@@ -1,0 +1,40 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Real-TPU execution is exercised by bench.py / __graft_entry__.py; unit and
+parity tests must be hermetic and fast, and multi-chip sharding is validated
+on the virtual CPU mesh per the project conventions.
+"""
+import os
+import subprocess
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+
+
+@pytest.fixture(scope="session")
+def ref_build():
+    """Build the reference oracle (binary + .so + conformance decoder)."""
+    out = subprocess.run(
+        [os.path.join(REPO, "tools", "build_ref.sh")],
+        check=True, capture_output=True, text=True).stdout.strip()
+    return out
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    if not os.path.exists(os.path.join(FIXTURES, "tiny64x48_420_6f.y4m")):
+        subprocess.run([sys.executable,
+                        os.path.join(REPO, "tools", "mkfixtures.py"),
+                        FIXTURES], check=True)
+    return FIXTURES

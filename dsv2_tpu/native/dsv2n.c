@@ -1,0 +1,679 @@
+/* dsv2n — native host runtime for the serial paths of dsv2_tpu.
+ *
+ * Two things genuinely resist data-parallel execution in this codec and
+ * live here instead of on the TPU:
+ *   1. the per-coefficient entropy scan (adaptive Rice / exp-Golomb state
+ *      feeds back across the whole scan; ref: src/hzcc.c:234-583)
+ *   2. the raster-sequential 4x4 in-loop filters, whose reads overlap the
+ *      writes of previously processed tiles (ref: src/bmc.c:51-659)
+ *
+ * The quantization decisions themselves are made on the TPU; this code only
+ * serializes/deserializes already-quantized values and applies the
+ * sequential pixel filters. Semantics match the DSV2 v2.8 reference
+ * bit-for-bit.
+ */
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+#define API __attribute__((visibility("default")))
+
+static inline int imin(int a, int b) { return a < b ? a : b; }
+static inline int imax(int a, int b) { return a > b ? a : b; }
+static inline int iclamp(int x, int lo, int hi) { return x < lo ? lo : (x > hi ? hi : x); }
+static inline uint8_t u8(int v) { return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v)); }
+static inline int iabs(int v) { return v < 0 ? -v : v; }
+
+/* ------------------------------------------------------------------ */
+/* bit I/O (MSB first over a flat buffer; writer assumes zeroed bytes) */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    uint8_t *base;
+    uint32_t bit;
+} BW;
+
+static void bw_one(BW *w)
+{
+    w->base[w->bit >> 3] |= (uint8_t)(1u << (7 - (w->bit & 7)));
+    w->bit++;
+}
+
+static void bw_bit(BW *w, int v)
+{
+    if (v) {
+        w->base[w->bit >> 3] |= (uint8_t)(1u << (7 - (w->bit & 7)));
+    }
+    w->bit++;
+}
+
+static void bw_bits(BW *w, unsigned n, unsigned v)
+{
+    while (n) {
+        unsigned take = 8 - (w->bit & 7);
+        if (take > n) take = n;
+        unsigned shift = (7 - (w->bit & 7)) - take + 1;
+        w->base[w->bit >> 3] |= (uint8_t)(((v >> (n - take)) & ((1u << take) - 1u)) << shift);
+        n -= take;
+        w->bit += take;
+    }
+}
+
+static void bw_align(BW *w) { w->bit = (w->bit + 7u) & ~7u; }
+
+static void bw_ueg(BW *w, unsigned v)
+{
+    unsigned x;
+    int nb, i;
+    v++;
+    for (nb = -1, x = v; x; x >>= 1) nb++;
+    for (i = 0; i < nb; i++) {
+        w->bit++; /* zero */
+        bw_bit(w, (int)(v & (1u << (nb - 1 - i))));
+    }
+    bw_one(w);
+}
+
+static void bw_neg(BW *w, int v)
+{
+    int s = 0;
+    if (v < 0) { s = 1; v = -v; }
+    bw_ueg(w, (unsigned)(v - 1));
+    if (v) bw_bit(w, s);
+}
+
+static void bw_rice(BW *w, unsigned v, int *rk, int damp)
+{
+    unsigned k = (unsigned)(*rk) >> damp;
+    unsigned q = v >> k;
+    if (q) (*rk)++;
+    else if (*rk > 0) (*rk)--;
+    w->bit += q; /* zeroes */
+    bw_one(w);
+    bw_bits(w, k, v);
+}
+
+static void bw_nrice(BW *w, int v, int *rk, int damp)
+{
+    unsigned u = v >= 0 ? (unsigned)(2 * v) : (unsigned)(-2 * v - 1);
+    bw_rice(w, u - 1u, rk, damp);
+}
+
+typedef struct {
+    const uint8_t *base;
+    uint32_t bit;
+} BR;
+
+static unsigned br_bit(BR *r)
+{
+    unsigned out = (r->base[r->bit >> 3] >> (7 - (r->bit & 7))) & 1u;
+    r->bit++;
+    return out;
+}
+
+static unsigned br_bits(BR *r, unsigned n)
+{
+    unsigned out = 0;
+    while (n) {
+        unsigned take = 8 - (r->bit & 7);
+        if (take > n) take = n;
+        unsigned shift = (7 - (r->bit & 7)) - take + 1;
+        out = (out << take) | ((r->base[r->bit >> 3] >> shift) & ((1u << take) - 1u));
+        n -= take;
+        r->bit += take;
+    }
+    return out;
+}
+
+static void br_align(BR *r) { r->bit = (r->bit + 7u) & ~7u; }
+
+static unsigned br_ueg(BR *r)
+{
+    unsigned v = 1;
+    while (!br_bit(r)) {
+        v = (v << 1) | br_bit(r);
+    }
+    return v - 1;
+}
+
+static int br_neg(BR *r)
+{
+    int v = (int)br_ueg(r) + 1;
+    if (v && br_bit(r)) return -v;
+    return v;
+}
+
+static unsigned br_rice(BR *r, int *rk, int damp)
+{
+    unsigned k = (unsigned)(*rk) >> damp;
+    unsigned q = 0;
+    while (!br_bit(r)) q++;
+    if (q) (*rk)++;
+    else if (*rk > 0) (*rk)--;
+    return (q << k) | (k ? br_bits(r, k) : 0);
+}
+
+static int br_nrice(BR *r, int *rk, int damp)
+{
+    unsigned u = br_rice(r, rk, damp) + 1u;
+    return (int)(u >> 1) ^ -(int)(u & 1u);
+}
+
+/* ------------------------------------------------------------------ */
+/* Coefficient scan (ref: src/hzcc.c hzcc_enc/hzcc_dec bit structure)  */
+/* ------------------------------------------------------------------ */
+
+typedef struct {
+    int32_t count; /* number of coefs in this segment */
+    int32_t damp;  /* rice damp, or < 0 for NEG coding (LL segment) */
+} DSVN_SEG;
+
+#define RUN_BITS 24
+
+/* v: already-quantized coefficients in scan order (0 = not coded).
+ * out must be zero-filled. Returns bytes written. */
+API uint32_t dsvn_scan_enc(const int32_t *v, int64_t total,
+                           const DSVN_SEG *segs, int nsegs,
+                           uint8_t *out)
+{
+    BW w = { out, 0 };
+    int run = 0, nruns = 0, vk = 0, s;
+    int64_t i = 0;
+    uint32_t endbit;
+
+    bw_bits(&w, RUN_BITS, 0);
+    bw_align(&w);
+    (void)total;
+    for (s = 0; s < nsegs; s++) {
+        int32_t n = segs[s].count;
+        int damp = segs[s].damp;
+        int32_t j;
+        for (j = 0; j < n; j++, i++) {
+            int32_t val = v[i];
+            if (val) {
+                bw_ueg(&w, (unsigned)run);
+                if (damp < 0) bw_neg(&w, val);
+                else bw_nrice(&w, val, &vk, damp);
+                run = -1;
+                nruns++;
+            }
+            run++;
+        }
+    }
+    bw_align(&w);
+    endbit = w.bit;
+    w.bit = 0;
+    bw_bits(&w, RUN_BITS, (unsigned)nruns);
+    w.bit = endbit;
+    bw_align(&w);
+    return w.bit >> 3;
+}
+
+/* buf points at the aligned start of the scan (the RUN_BITS slot);
+ * lim = byte limit (exclusive) relative to buf for the overrun guard.
+ * v (zero-filled) receives raw quantized values in scan order. */
+API void dsvn_scan_dec(const uint8_t *buf, uint32_t lim,
+                       int32_t *v, const DSVN_SEG *segs, int nsegs)
+{
+    BR r = { buf, 0 };
+    int vk = 0, s;
+    int64_t i = 0;
+    int runs;
+    int64_t run;
+
+    runs = (int)br_bits(&r, RUN_BITS);
+    br_align(&r);
+    run = (runs-- > 0) ? (int64_t)br_ueg(&r) : (int64_t)0x7fffffff;
+    for (s = 0; s < nsegs; s++) {
+        int32_t n = segs[s].count;
+        int damp = segs[s].damp;
+        int32_t j;
+        for (j = 0; j < n; j++, i++) {
+            if (!run--) {
+                int32_t val;
+                if (damp < 0) val = br_neg(&r);
+                else val = br_nrice(&r, &vk, damp);
+                run = (runs-- > 0) ? (int64_t)br_ueg(&r) : (int64_t)0x7fffffff;
+                if ((r.bit >> 3) >= lim) {
+                    return;
+                }
+                v[i] = val;
+            }
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* 4x4 in-loop filters (ref: src/bmc.c:51-659). Sequential raster scan */
+/* over tiles; each tile's test window overlaps prior tiles' writes.   */
+/* ------------------------------------------------------------------ */
+
+#define FDIM 4
+
+#define LPF6(e0, i0, e1, i1) ((5 * ((e0) + (i0)) + 3 * ((e1) + (i1)) + 8) >> 4)
+
+static int flat6(int e2, int e1, int e0, int i0, int i1, int i2, int avg, int t)
+{
+    return iabs(e0 - avg) < t && iabs(i0 - avg) < t &&
+           iabs(e1 - avg) < t && iabs(i1 - avg) < t &&
+           iabs(e2 - avg) < t && iabs(i2 - avg) < t;
+}
+
+static void hfilt(uint8_t *b, int w, int h, int s,
+                  int x, int y, int edge, int thE, int thM)
+{
+    int line, top, bot, in_edge;
+
+    if (x < FDIM || x > w - FDIM || (edge && thE <= 0) || thM <= 0) return;
+    top = x + iclamp(y, 0, h - 1) * s;
+    bot = x + iclamp(y + FDIM, 0, h - 1) * s;
+    in_edge = x < (w - FDIM - FDIM);
+    if (!edge) thE = thM;
+    for (line = top; line < bot; line += s) {
+        int e2 = b[line - 3], e1 = b[line - 2], e0 = b[line - 1];
+        int i0 = b[line + 0], i1 = b[line + 1], i2 = b[line + 2];
+        int avg = LPF6(e0, i0, e1, i1);
+        if (flat6(e2, e1, e0, i0, i1, i2, avg, thE)) {
+            b[line - 2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
+            b[line + 0] = (uint8_t)avg;
+            avg *= 5;
+            b[line - 1] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
+            b[line + 1] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
+        }
+        if (in_edge) {
+            int k = line + FDIM;
+            i2 = b[k - 2]; i1 = b[k - 1]; i0 = b[k + 0];
+            e0 = b[k + 1]; e1 = b[k + 2]; e2 = b[k + 3];
+            avg = LPF6(e0, i0, e1, i1);
+            if (flat6(e2, e1, e0, i0, i1, i2, avg, thM)) {
+                b[k + 0] = (uint8_t)avg;
+                b[k + 2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
+                avg *= 5;
+                b[k - 1] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
+                b[k + 1] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
+            }
+        }
+    }
+}
+
+static void vfilt(uint8_t *b, int w, int h, int s,
+                  int x, int y, int edge, int thE, int thM)
+{
+    int beg, end, i, s2 = 2 * s, s3 = 3 * s, in_edge;
+    uint8_t *bk = b + FDIM * s;
+
+    if (y < FDIM || y > h - FDIM || (edge && thE <= 0) || thM <= 0) return;
+    beg = iclamp(x, 0, w - 1) + y * s;
+    end = iclamp(x + FDIM, 0, w - 1) + y * s;
+    in_edge = y < (h - FDIM - FDIM);
+    if (!edge) thE = thM;
+    for (i = beg; i < end; i++) {
+        int e2 = b[i - s3], e1 = b[i - s2], e0 = b[i - s];
+        int i0 = b[i + 0], i1 = b[i + s], i2 = b[i + s2];
+        int avg = LPF6(e0, i0, e1, i1);
+        if (flat6(e2, e1, e0, i0, i1, i2, avg, thE)) {
+            b[i - s2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
+            b[i + 0] = (uint8_t)avg;
+            avg *= 5;
+            b[i - s] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
+            b[i + s] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
+        }
+        if (in_edge) {
+            i2 = bk[i - s2]; i1 = bk[i - s]; i0 = bk[i + 0];
+            e0 = bk[i + s]; e1 = bk[i + s2]; e2 = bk[i + s3];
+            avg = LPF6(e0, i0, e1, i1);
+            if (flat6(e2, e1, e0, i0, i1, i2, avg, thM)) {
+                bk[i + 0] = (uint8_t)avg;
+                bk[i + s2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
+                avg *= 5;
+                bk[i - s] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
+                bk[i + s] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
+            }
+        }
+    }
+}
+
+/* downsampled smoothing factor (ref: bmc.c:193-222) */
+static unsigned dsfactor(const uint8_t *a, int as)
+{
+    int d0, d1, d2, d3;
+    unsigned sh, sv;
+
+    d0 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
+    d1 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
+    a += 2 * as;
+    d2 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
+    d3 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
+    sh = (unsigned)iabs((d0 + d1) - (d3 + d2));
+    sv = (unsigned)iabs((d2 + d1) - (d3 + d0));
+    if ((sh > sv ? sh : sv) < 8) return 0;
+    d2 = 255 - d2;
+    d3 = 255 - d3;
+    sh = (unsigned)iabs(d0 - d1 + d2 - d3);
+    sv = (unsigned)iabs(d0 + d1 - d2 - d3) >> 2;
+    if (sh > sv) return (3 * sh + sv + 2) >> 2;
+    return (3 * sv + sh + 2) >> 2;
+}
+
+/* 4x4 haar energy + downsampled energy (ref: bmc.c:224-270) */
+static void tile_energy(const uint8_t *a, int as,
+                        int *psh, int *psv, int *pslh, int *pslv)
+{
+    int x, y, sh = 0, sv = 0, hh;
+    int d0, d1, d2, d3;
+    const uint8_t *p = a;
+
+    for (y = 0; y < 4; y += 2) {
+        const uint8_t *ra = p + y * as;
+        const uint8_t *rb = ra + as;
+        for (x = 0; x < 4; x += 2) {
+            int x0 = ra[x], x1 = ra[x + 1], x2 = rb[x], x3 = rb[x + 1];
+            hh = iabs(x0 - x1 - x2 + x3) >> 1;
+            sh += iabs(x0 - x1 + x2 - x3) + hh;
+            sv += iabs(x0 + x1 - x2 - x3) + hh;
+        }
+    }
+    *psh = sh;
+    *psv = sv;
+    d0 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
+    d1 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
+    a += 2 * as;
+    d2 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
+    d3 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
+    hh = iabs(d0 - d1 - d2 + d3) >> 1;
+    *pslh = iabs(d0 - d1 + d2 - d3) + hh;
+    *pslv = iabs(d0 + d1 - d2 - d3) + hh;
+}
+
+/* histogram de-gradient sharpener (ref: bmc.c:272-337) */
+#define NHIST 16
+
+static void degrad(uint8_t *a, int as)
+{
+    uint8_t hist[NHIST];
+    uint16_t sums[NHIST];
+    int x, y, lo = -1, hi = -1, alo, ahi, flo, fhi, mid;
+    uint8_t *p = a;
+
+    memset(hist, 0, sizeof(hist));
+    memset(sums, 0, sizeof(sums));
+    for (y = 0; y < 4; y++) {
+        for (x = 0; x < 4; x++) {
+            int t = p[x] >> 4;
+            hist[t]++;
+            sums[t] = (uint16_t)(sums[t] + p[x]);
+        }
+        p += as;
+    }
+    for (x = 0; x < NHIST; x++) {
+        if (hist[x]) {
+            if (lo == -1) lo = x;
+            hi = x;
+        }
+    }
+    if (lo >= hi) return;
+    alo = sums[lo] / hist[lo];
+    ahi = sums[hi] / hist[hi];
+    if (alo == 0) alo = 1;
+    if (ahi == 0) ahi = 1;
+    flo = hist[lo];
+    fhi = hist[hi];
+    mid = (alo + ahi + 1) >> 1;
+    p = a;
+    for (y = 0; y < 4; y++) {
+        for (x = 0; x < 4; x++) {
+            int os = p[x];
+            if (os < mid) p[x] = (uint8_t)(os + ((flo * (alo - os)) / 16));
+            else if (os > mid) p[x] = (uint8_t)(os + ((fhi * (ahi - os)) / 16));
+        }
+        p += as;
+    }
+}
+
+API void dsvn_post_process(uint8_t *plane, int w, int h, int s)
+{
+    int i, j;
+    for (j = 0; j < h / FDIM; j++) {
+        int y = j * FDIM;
+        if (y + FDIM >= h) continue;
+        for (i = 0; i < w / FDIM; i++) {
+            int x = i * FDIM;
+            if (x + FDIM >= w) continue;
+            degrad(plane + x + y * s, s);
+        }
+    }
+}
+
+static int curve_tex(int tt)
+{
+    if (tt < 8) return (8 - tt) * 8;
+    if (tt > 192) return 0;
+    return tt - 7;
+}
+
+/* blockdata flag bits (ref: src/dsv_internal.h:96-110) */
+#define F_STABLE   (1 << 0)
+#define F_MAINTAIN (1 << 1)
+#define F_SKIP     (1 << 2)
+#define F_RINGING  (1 << 3)
+#define F_INTRA    (1 << 4)
+#define F_EPRM     (1 << 5)
+
+/* intra-frame dering filter (ref: bmc.c:390-457); fq = compute_filter_q,
+ * fthresh = 32*(14-lb2(fq)), both precomputed host-side */
+API void dsvn_intra_filter(uint8_t *plane, int w, int h, int s,
+                           const uint8_t *blockdata, int nbh, int nbv,
+                           int fq, int fthresh, int lossless, int do_filter)
+{
+    int i, j, nsbx = w / FDIM, nsby = h / FDIM;
+
+    if (lossless || !do_filter) return;
+    for (j = 0; j < nsby; j++) {
+        int fy = j * nbv / nsby;
+        int y = j * FDIM;
+        if (y + FDIM >= h) continue;
+        for (i = 0; i < nsbx; i++) {
+            int fx = i * nbh / nsbx;
+            int flags = blockdata[fx + fy * nbh];
+            int tt = 32;
+            int x = i * FDIM;
+            if (x + FDIM >= w) continue;
+            if (!(flags & F_RINGING)) {
+                int sh, sv, shl, svl;
+                uint8_t *tile = plane + x + y * s;
+                tile_energy(tile, s, &sh, &sv, &shl, &svl);
+                if (imax(sh, sv) < 256 && imax(sh, sv) > 8) {
+                    if (flags & (F_MAINTAIN | F_STABLE)) {
+                        tt = (int)dsfactor(tile, s);
+                        if (flags & F_STABLE) tt = tt * 5 >> 2;
+                    } else {
+                        tt >>= 2;
+                    }
+                    tt = tt * 2 / 3;
+                    tt = (tt * fq) >> 12;
+                    tt = iclamp(tt, 0, fthresh);
+                    hfilt(plane, w, h, s, x, y, 0, tt, tt);
+                    vfilt(plane, w, h, s, x, y, 0, tt, tt);
+                    if (sh > sv) tt = 3 * sh + sv;
+                    else tt = 3 * sv + sh;
+                    tt = curve_tex(tt);
+                    tt = 16 + ((tt + 2) >> 2);
+                    tt = (tt * fq) >> 12;
+                    tt = iclamp(tt, 0, fthresh);
+                    hfilt(plane, w, h, s, x, y, 0, tt, tt);
+                    vfilt(plane, w, h, s, x, y, 0, tt, tt);
+                }
+            }
+        }
+    }
+}
+
+/* MV helpers over int16 x/y arrays + flag bytes */
+#define MVF_INTRA  (1u << 0)
+#define MVF_EPRM   (1u << 1)
+#define MVF_SKIP   (1u << 3)
+
+static void neighbordif2(const int16_t *mvx, const int16_t *mvy,
+                         const uint32_t *mvflags, int nbh,
+                         int x, int y, int *dx, int *dy)
+{
+    int cmx = mvx[x + y * nbh], cmy = mvy[x + y * nbh];
+    int vx0, vy0, vx1, vy1;
+
+    if (iabs(cmx) < 2 && iabs(cmy) < 2) {
+        *dx = *dy = 0;
+        return;
+    }
+    vx0 = vx1 = cmx;
+    vy0 = vy1 = cmy;
+    if (x > 0) {
+        int k = (x - 1) + y * nbh;
+        if ((mvx[k] || mvy[k]) && !(mvflags[k] & MVF_SKIP)) {
+            vx0 = mvx[k];
+            vy0 = mvy[k];
+        }
+    }
+    if (y > 0) {
+        int k = x + (y - 1) * nbh;
+        if ((mvx[k] || mvy[k]) && !(mvflags[k] & MVF_SKIP)) {
+            vx1 = mvx[k];
+            vy1 = mvy[k];
+        }
+    }
+    *dx = iabs(vx0 - cmx) + iabs(vy0 - cmy);
+    *dy = iabs(vx1 - cmx) + iabs(vy1 - cmy);
+}
+
+/* inter-frame luma cleanup filter (ref: bmc.c:459-602) */
+API void dsvn_luma_filter(uint8_t *plane, int w, int h, int s,
+                          const int16_t *mvx, const int16_t *mvy,
+                          const uint32_t *mvflags, const uint8_t *submask,
+                          int nbh, int nbv, int blk_w, int blk_h,
+                          int fq, int fthresh, int lossless, int do_filter,
+                          int temporal_mc, int inter_sharpen)
+{
+    int i, j, nsbx = w / FDIM, nsby = h / FDIM;
+    int sharpen = inter_sharpen ? temporal_mc : 0;
+
+    if (lossless) return;
+    for (j = 0; j < nsby; j++) {
+        int fy = j * nbv / nsby;
+        int edgev = ((j * FDIM) % blk_h) == 0;
+        int edgevs = ((j * FDIM) % (blk_h / 2)) == 0;
+        int y = j * FDIM;
+        if (y + FDIM >= h) continue;
+        for (i = 0; i < nsbx; i++) {
+            int fx = i * nbh / nsbx;
+            int edgeh = ((i * FDIM) % blk_w) == 0;
+            int edgehs = ((i * FDIM) % (blk_w / 2)) == 0;
+            int bi = fx + fy * nbh;
+            uint32_t fl = mvflags[bi];
+            int x = i * FDIM, ndx = -1, ndy = -1, amx, amy;
+            uint8_t *dxy;
+
+            if (fl & MVF_SKIP) continue;
+            if (x + FDIM >= w) continue;
+            amx = iabs(mvx[bi]);
+            amy = iabs(mvy[bi]);
+            if (do_filter) {
+                neighbordif2(mvx, mvy, mvflags, nbh, fx, fy, &ndx, &ndy);
+            }
+            dxy = plane + x + y * s;
+            if (fl & MVF_INTRA) {
+                int thH = iclamp((64 * fq) >> 12, 2, 32);
+                int thL = iclamp((32 * fq) >> 12, 2, 32);
+                int teh = edgeh, tev = edgev;
+                if (submask[bi] != 0xf) {
+                    teh |= edgehs;
+                    tev |= edgevs;
+                }
+                hfilt(plane, w, h, s, x, y, teh, thH, thL);
+                vfilt(plane, w, h, s, x, y, tev, thH, thL);
+                continue;
+            }
+            if (do_filter && (ndx || ndy)) {
+                int tt, addx, addy, sh, sv, shl, svl, tndc;
+                int eprm = (fl & MVF_EPRM) != 0;
+                int teh = edgeh || eprm;
+                int tev = edgev || eprm;
+                /* intra is false on this path; submask split cannot apply */
+                tndc = (ndx + ndy + 1) >> 1;
+                tile_energy(dxy, s, &sh, &sv, &shl, &svl);
+                if (sh < 2 * sv && sv < 2 * sh) {
+                    int ix, iy;
+                    if (ndx < amx) ndx >>= 1;
+                    if (ndy < amy) ndy >>= 1;
+                    shl = (shl > 128) ? 0 : (128 - shl);
+                    svl = (svl > 128) ? 0 : (128 - svl);
+                    ix = imin(amx, 32);
+                    iy = imin(amy, 32);
+                    tt = ((sh * (32 - iy) + shl * iy) + 16) >> 5;
+                    tt += ((sv * (32 - ix) + svl * ix) + 16) >> 5;
+                    tt = (tt + 1) >> 1;
+                    if (ndx < amy && ndy < amx) tt = 0;
+                } else {
+                    tt = (sh + sv + 1) >> 1;
+                }
+                tt = (tt * tndc + 4) >> 3;
+                tt = (imin(tt, fthresh) * fq) >> 12;
+                addx = (imin(ndy, fthresh) * fq) >> 12;
+                addy = (imin(ndx, fthresh) * fq) >> 12;
+                if (sh > 2 * sv || amy > 2 * amx) {
+                    vfilt(plane, w, h, s, x, y, tev, tt + addy, tt);
+                } else if (sv > 2 * sh || amx > 2 * amy) {
+                    hfilt(plane, w, h, s, x, y, teh, tt + addx, tt);
+                } else {
+                    hfilt(plane, w, h, s, x, y, teh, tt + addx, tt);
+                    vfilt(plane, w, h, s, x, y, tev, tt + addy, tt);
+                }
+            }
+            if (sharpen && ((mvx[bi] & 3) && (mvy[bi] & 3)) &&
+                ((mvx[bi] | mvy[bi]) & 1) && amx < 8 && amy < 8) {
+                degrad(dxy, s);
+            }
+        }
+    }
+}
+
+/* inter-frame chroma filter (ref: bmc.c:604-659); q is the raw quant */
+API void dsvn_chroma_filter(uint8_t *plane, int w, int h, int s,
+                            const int16_t *mvx, const int16_t *mvy,
+                            const uint32_t *mvflags,
+                            int nbh, int nbv, int bw, int bh,
+                            int q, int lossless)
+{
+    int i, j, z;
+    int ith = iclamp((64 * q) >> 12, 2, 32);
+
+    if (lossless) return;
+    for (j = 0; j < nbv; j++) {
+        int y = j * bh;
+        for (i = 0; i < nbh; i++) {
+            int x = i * bw;
+            int bi = i + j * nbh;
+            uint32_t fl = mvflags[bi];
+            int tx, ty;
+
+            if (fl & MVF_SKIP) continue;
+            tx = ty = ith;
+            if (!(fl & MVF_INTRA)) {
+                int ndx, ndy, amx, amy;
+                neighbordif2(mvx, mvy, mvflags, nbh, i, j, &ndx, &ndy);
+                amx = iabs(mvx[bi]);
+                amy = iabs(mvy[bi]);
+                if (ndx < amy && ndy < amx) {
+                    tx = ty = 0;
+                } else {
+                    tx = (imin(ndy, 64) * q) >> 12;
+                    ty = (imin(ndx, 64) * q) >> 12;
+                }
+            }
+            for (z = 0; z < bh; z += FDIM) {
+                if (y + z + FDIM < h) hfilt(plane, w, h, s, x, y + z, 0, tx, tx);
+            }
+            for (z = 0; z < bw; z += FDIM) {
+                if (x + z + FDIM < w) vfilt(plane, w, h, s, x + z, y, 0, ty, ty);
+            }
+        }
+    }
+}

@@ -1,0 +1,224 @@
+"""DSV2 v2.8 decoder session.
+
+Host side: packet/header parsing, block metadata + motion deserialization,
+entropy scan (native). Device side: dequantization, inverse subband
+transform, motion-compensated prediction + reconstruction. Sequential
+in-loop filters run in the native runtime.
+(ref: src/dsv_decoder.c)
+"""
+import numpy as np
+
+from .. import native
+from ..bitstream import BitReader
+from ..core import constants as K
+from ..core import intmath as im
+from ..core.frame import Frame, plane_dims, coef_dims, B
+from ..ops import sbt, hzcc, mc
+from ..utils import packet
+from . import plane as planecode
+from . import motion
+
+DEC_OK = 0
+DEC_ERROR = 1
+DEC_EOS = 2
+DEC_GOT_META = 3
+
+
+def compute_filter_q(cfg_like, q):
+    """(ref: src/bmc.c:376-388)."""
+    psyf = hzcc.spatial_psy_factor(cfg_like, -1)
+    if q > 1536:
+        q = 1536
+    q += q * psyf >> (7 + 3)
+    if q < 1024:
+        q = 512 + q // 2
+    return q
+
+
+class _PCfg:
+    """Per-frame static parameters shared by the device kernels."""
+
+    def __init__(self, meta, blk_w, blk_h, isP, lossless, do_psy=0):
+        self.meta = meta
+        self.blk_w, self.blk_h = blk_w, blk_h
+        self.nbh = im.udiv_round_up(meta.width, blk_w)
+        self.nbv = im.udiv_round_up(meta.height, blk_h)
+        self.isP = isP
+        self.lossless = lossless
+        self.do_psy = do_psy
+        self.cdims = coef_dims(meta.subsamp, meta.width, meta.height)
+        self.pdims = plane_dims(meta.subsamp, meta.width, meta.height)
+
+    def hzcc_cfg(self, c):
+        cw, ch = self.cdims[c]
+        return hzcc.HzccCfg(cw, ch, c == 0, self.isP, self.lossless,
+                            self.nbh, self.nbv, self.blk_w, self.blk_h,
+                            self.meta.width, self.meta.height,
+                            self.meta.subsamp, self.do_psy)
+
+    def sbt_cfg(self, c):
+        cw, ch = self.cdims[c]
+        return sbt.SbtCfg(cw, ch, c == 0, self.isP, self.lossless,
+                          self.nbh, self.nbv)
+
+    def mc_cfg(self, c):
+        pw, ph = self.pdims[c]
+        sh = K.fmt_h_shift(self.meta.subsamp) if c else 0
+        sv = K.fmt_v_shift(self.meta.subsamp) if c else 0
+        return mc.McCfg(pw, ph, self.blk_w >> sh, self.blk_h >> sv,
+                        self.nbh, self.nbv, sh, sv, c == 0, self.lossless)
+
+
+def apply_inloop_filters(frame: Frame, mf, pcfg, q, do_filter, temporal_mc):
+    """Luma cleanup + chroma filters on a reconstructed P frame."""
+    hc = pcfg.hzcc_cfg(0)
+    fq = compute_filter_q(hc, q)
+    fthresh = 32 * (14 - im.lb2(fq))
+    for c in range(3):
+        arr = frame.planes[c]
+        stride = arr.shape[1]
+        pw, ph = pcfg.pdims[c]
+        vis = arr[B:, B:]
+        if c == 0:
+            native.luma_filter(vis, pw, ph, stride, mf.x, mf.y, mf.flags,
+                               mf.submask, pcfg.nbh, pcfg.nbv,
+                               pcfg.blk_w, pcfg.blk_h, fq, fthresh,
+                               pcfg.lossless, do_filter, temporal_mc,
+                               pcfg.meta.inter_sharpen)
+        else:
+            sh = K.fmt_h_shift(pcfg.meta.subsamp)
+            sv = K.fmt_v_shift(pcfg.meta.subsamp)
+            native.chroma_filter(vis, pw, ph, stride, mf.x, mf.y, mf.flags,
+                                 pcfg.nbh, pcfg.nbv, pcfg.blk_w >> sh,
+                                 pcfg.blk_h >> sv, q, pcfg.lossless)
+
+
+def apply_intra_filter(frame: Frame, blockdata_grid, pcfg, q, do_filter):
+    """Intra dering filter, luma only (ref: bmc.c:390-457)."""
+    if pcfg.lossless or not do_filter:
+        return
+    hc = pcfg.hzcc_cfg(0)
+    fq = compute_filter_q(hc, q)
+    fthresh = 32 * (14 - im.lb2(fq))
+    arr = frame.planes[0]
+    pw, ph = pcfg.pdims[0]
+    bd = np.ascontiguousarray(blockdata_grid.reshape(-1))
+    native.intra_filter(arr[B:, B:], pw, ph, arr.shape[1], bd,
+                        pcfg.nbh, pcfg.nbv, fq, fthresh, pcfg.lossless,
+                        do_filter)
+
+
+class Decoder:
+    def __init__(self, postsharp=False):
+        self.meta = None
+        self.ref = None           # Frame
+        self.postsharp = postsharp
+
+    def decode_packet(self, buf):
+        """Decode one packet buffer. Returns (code, Frame|None, fno)."""
+        r = BitReader(buf)
+        pkt_type = packet.parse_packet_hdr(r)
+        if pkt_type is None:
+            return DEC_ERROR, None, -1
+        if not K.pt_is_pic(pkt_type):
+            if pkt_type == K.PT_META:
+                self.meta = packet.decode_metadata(r)
+                return DEC_GOT_META, None, -1
+            if pkt_type == K.PT_EOS:
+                return DEC_EOS, None, -1
+            return DEC_ERROR, None, -1
+        if self.meta is None:
+            return DEC_OK, None, -1
+
+        meta = self.meta
+        has_ref = K.pt_has_ref(pkt_type)
+        is_ref = K.pt_is_ref(pkt_type)
+
+        r.align()
+        fno = r.get_bits(32)
+        r.align()
+        blk_w = 16 << r.get_ueg()
+        blk_h = 16 << r.get_ueg()
+        if not (K.MIN_BLOCK_SIZE <= blk_w <= K.MAX_BLOCK_SIZE
+                and K.MIN_BLOCK_SIZE <= blk_h <= K.MAX_BLOCK_SIZE):
+            return DEC_ERROR, None, -1
+        r.align()
+        stats = [K.ONE_MARKER] * K.MAX_STAT
+        stats[K.STABLE_STAT] = r.get_bit()
+        if not has_ref:
+            stats[K.MAINTAIN_STAT] = r.get_bit()
+            stats[K.RINGING_STAT] = r.get_bit()
+        else:
+            stats[K.MODE_STAT] = r.get_bit()
+            stats[K.EPRM_STAT] = r.get_bit()
+        do_filter = r.get_bit()
+        quant = r.get_bits(K.MAX_QP_BITS)
+        lossless = quant == 1
+        if r.get_bit():
+            r.get_bits(15)
+        r.align()
+
+        pcfg = _PCfg(meta, blk_w, blk_h, has_ref, lossless)
+        nblk = pcfg.nbh * pcfg.nbv
+        blockdata = motion.decode_stability_blocks(r, buf, nblk, has_ref,
+                                                   stats)
+        mf = None
+        if has_ref:
+            mf = motion.decode_motion(r, buf, pcfg.nbh, pcfg.nbv, stats,
+                                      blockdata)
+        else:
+            motion.decode_intra_meta(r, buf, nblk, stats, blockdata)
+        r.align()
+
+        bd_grid = blockdata.reshape(pcfg.nbv, pcfg.nbh)
+        residual = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        for c in range(3):
+            cw, ch = pcfg.cdims[c]
+            ok, ll, v = planecode.decode_plane(r, cw, ch)
+            if not ok:
+                continue  # decode continues like the reference
+            coefs = hzcc.make_dequantize(pcfg.hzcc_cfg(c))(
+                v, bd_grid, np.int32(quant), np.int32(ll))
+            px = np.asarray(sbt.sbc2p(sbt.make_inv_sbt(pcfg.sbt_cfg(c))(
+                coefs, bd_grid, np.int32(quant))))
+            pw, ph = pcfg.pdims[c]
+            residual.view(c)[:, :] = px[:ph, :pw]
+        if not has_ref:
+            apply_intra_filter(residual, bd_grid, pcfg, quant, do_filter)
+
+        out = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        if has_ref:
+            if self.ref is None:
+                return DEC_ERROR, None, -1
+            tmc = K.temporal_mc(fno)
+            for c in range(3):
+                mcc = pcfg.mc_cfg(c)
+                pred = mc.make_predict(mcc)(
+                    self.ref.planes[c],
+                    mf.grid(mf.x).astype(np.int32),
+                    mf.grid(mf.y).astype(np.int32),
+                    mf.grid(mf.flags).astype(np.int32),
+                    mf.grid(mf.submask).astype(np.int32),
+                    mf.grid(mf.dc).astype(np.int32), np.int32(tmc))
+                res_canvas = residual.planes[c][B:B + mcc.gh, B:B + mcc.gw]
+                recon = np.asarray(mc.make_reconstruct(mcc)(
+                    res_canvas, pred, mf.grid(mf.flags).astype(np.int32)))
+                out.planes[c][B:B + mcc.gh, B:B + mcc.gw] = recon
+            apply_inloop_filters(out, mf, pcfg, quant, do_filter, tmc)
+        else:
+            out.copy_from(residual)
+
+        if is_ref:
+            self.ref = out.clone(border=True)
+        return DEC_OK, out, fno
+
+
+def decode_stream(stream, out_writer=None):
+    """Decode a .dsv stream; yields (fno, Frame)."""
+    dec = Decoder()
+    for t, buf in packet.iter_packets(stream):
+        code, frame, fno = dec.decode_packet(buf)
+        if code == DEC_EOS:
+            return
+        if code == DEC_OK and frame is not None:
+            yield fno, frame

@@ -1,0 +1,604 @@
+"""DSV2 v2.8 encoder session.
+
+Host: GOP state machine, rate control, packetization, motion/metadata
+serialization, native entropy scan. Device: intra analysis reductions,
+forward/inverse subband transform, adaptive quantization, motion search
+metrics, prediction/residual math.
+(ref: src/dsv_encoder.c)
+"""
+import numpy as np
+
+from .. import native
+from ..bitstream import BitWriter
+from ..core import constants as K
+from ..core import intmath as im
+from ..core.frame import Frame, plane_dims, coef_dims, ds2x_luma, B
+from ..ops import sbt, hzcc, mc, blockanalysis
+from ..utils import packet
+from ..utils.packet import VideoMeta
+from . import plane as planecode
+from . import motion, rc
+from .decoder import _PCfg, apply_intra_filter, apply_inloop_filters
+
+
+class Params:
+    """Per-frame coding parameters (ref: DSV_PARAMS, src/dsv.h:242-268)."""
+
+    def __init__(self, meta, effort, do_psy):
+        self.meta = meta
+        self.effort = effort
+        self.do_psy = do_psy
+        self.is_ref = 0
+        self.has_ref = 0
+        self.blk_w = self.blk_h = 16
+        self.nbh = self.nbv = 0
+        self.temporal_mc = 0
+        self.lossless = False
+
+    @property
+    def psyf_all(self):
+        return hzcc.spatial_psy_factor(self, -1)
+
+    # duck-typed fields for hzcc.spatial_psy_factor
+    @property
+    def vid_w(self):
+        return self.meta.width
+
+    @property
+    def vid_h(self):
+        return self.meta.height
+
+
+class EncData:
+    """Per-frame bundle (ref: DSV_ENCDATA, src/dsv_encoder.h:49-66)."""
+
+    def __init__(self, fnum, padded):
+        self.fnum = fnum
+        self.padded = padded          # bordered+extended source Frame
+        self.pyramid = []
+        self.residual = None          # becomes the reconstruction
+        self.params = None
+        self.quant = 0
+        self.refdata = None
+        self.final_mvs = None
+
+
+class Stats:
+    def __init__(self):
+        z = ("inum pnum iqual pqual isize psize mb mbI mbP mbdc mbsub eprm "
+             "skip fpx hpx qpx fpy hpy qpy ifnum pfnum").split()
+        for n in z:
+            setattr(self, n, 0)
+        self.mbsubs = [0, 0, 0, 0]
+        self.iminq = self.pminq = self.imins = self.pmins = 2**31 - 1
+        self.imaxq = self.pmaxq = self.imaxs = self.pmaxs = 0
+
+
+class Encoder:
+    """(ref: DSV_ENCODER init at src/dsv_encoder.c:1319-1358)."""
+
+    def __init__(self):
+        self.quality = 80 * K.RC_QUAL_SCALE
+        self.gop = 48
+        self.effort = K.MAX_EFFORT
+        self.pyramid_levels = 0
+        self.rc_mode = K.RC_CRF
+        self.bitrate = 2**31 - 1
+        self.rc_pergop = 0
+        self.min_q_step = 4
+        self.max_q_step = 1
+        self.min_quality = self.quality - K.user_qual_to_rc_qual(5)
+        self.max_quality = K.RC_QUAL_MAX
+        self.min_I_frame_quality = self.quality - K.user_qual_to_rc_qual(2)
+        self.prev_I_frame_quality = 0
+        self.intra_pct_thresh = 90
+        self.stable_refresh = 24
+        self.scene_change_pct = 85
+        self.do_scd = 1
+        self.variable_i_interval = 1
+        self.skip_block_thresh = 0
+        self.block_size_override_x = -1
+        self.block_size_override_y = -1
+        self.do_temporal_aq = 1
+        self.do_psy = K.PSY_ALL
+        self.do_dark_intra_boost = 1
+        self.do_intra_filter = 1
+        self.do_inter_filter = -1
+        self.meta = VideoMeta()
+        # state
+        self.rc_qual = 0
+        self.rf_total = 0
+        self.rf_reset = 0
+        self.rf_avg = 0
+        self.total_P_frame_q = 0
+        self.avg_P_frame_q = 0
+        self.prev_complexity = -1
+        self.curr_complexity = -1
+        self.curr_avgmot = 0
+        self.curr_intra_pct = 0
+        self.curr_scblocks = 0
+        self.prev_chaos = -1
+        self.motion_chaos = 0
+        self.motion_static = 0
+        self.avg_err = 0
+        self.auto_filter = 0
+        self.next_fnum = 0
+        self.ref = None               # EncData
+        self.prev_link = 0
+        self.force_metadata = 0
+        self.stability = None         # (nblk, 2) int32
+        self.refresh_ctr = 0
+        self.blockdata = None         # uint8[nblk]
+        self.intra_map = None
+        self.prev_gop = -1
+        self.prev_quant = 0
+        self.stats = Stats()
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def set_metadata(self, meta: VideoMeta):
+        self.meta = meta
+
+    def start(self):
+        """(ref: dsv_enc_start, dsv_encoder.c:1360-1383)."""
+        self.quality = im.clamp(self.quality, 0, K.RC_QUAL_MAX)
+        if self.rc_mode == K.RC_CRF:
+            self.rc_qual = im.clamp(self.quality + rc.rc_qual_pct(5),
+                                    self.min_I_frame_quality,
+                                    self.max_quality)
+            self.rf_avg = self.rc_qual
+            self.avg_P_frame_q = self.quality
+        elif self.rc_mode == K.RC_ABR:
+            self.rc_qual = self.quality
+            self.avg_P_frame_q = self.quality * 4 // 5
+        self.force_metadata = 1
+
+    # -- main entry --------------------------------------------------------
+
+    def encode_frame(self, planes):
+        """Encode one frame (y, u, v arrays). Returns a list of packet
+        buffers (bytes) with link offsets applied (ref: dsv_enc,
+        dsv_encoder.c:1430-1575)."""
+        meta = self.meta
+        padded = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        padded.load(planes)
+        padded.extend()
+        d = EncData(self.next_fnum, padded)
+        self.next_fnum += 1
+
+        gop_start, outbuf = self._encode_one(d)
+        bufs = []
+        if gop_start:
+            mbuf = bytearray(packet.encode_metadata(meta))
+            bufs.append(self._link(mbuf))
+        bufs.append(self._link(bytearray(outbuf)))
+        self._tally(d, len(outbuf))
+        return [bytes(b) for b in bufs]
+
+    def end_of_stream(self):
+        buf = bytearray(packet.encode_eos())
+        packet.set_link_offsets(buf, self.prev_link, 0)
+        self.prev_link = 0
+        return [bytes(buf)]
+
+    def _link(self, buf):
+        next_link = len(buf)
+        packet.set_link_offsets(buf, self.prev_link, next_link)
+        self.prev_link = next_link
+        return buf
+
+    # -- per-frame pipeline --------------------------------------------------
+
+    def _setup_params(self, d):
+        """(ref: encode_one_frame, dsv_encoder.c:1184-1241)."""
+        p = Params(self.meta, self.effort, self.do_psy)
+        w, h = self.meta.width, self.meta.height
+        p.temporal_mc = K.temporal_mc(d.fnum)
+        p.lossless = self.quality == K.RC_QUAL_MAX
+
+        def size4dim(dim):
+            return K.MAX_BLOCK_SIZE if dim > 1280 else K.MIN_BLOCK_SIZE
+
+        p.blk_w, p.blk_h = size4dim(w), size4dim(h)
+        if abs(w - h) < min(w, h):
+            mins = min(p.blk_w, p.blk_h)
+            p.blk_w = p.blk_h = mins
+        if self.block_size_override_x >= 0:
+            p.blk_w = im.clamp(16 << self.block_size_override_x,
+                               K.MIN_BLOCK_SIZE, K.MAX_BLOCK_SIZE)
+        if self.block_size_override_y >= 0:
+            p.blk_h = im.clamp(16 << self.block_size_override_y,
+                               K.MIN_BLOCK_SIZE, K.MAX_BLOCK_SIZE)
+        p.nbh = im.udiv_round_up(w, p.blk_w)
+        p.nbv = im.udiv_round_up(h, p.blk_h)
+        d.params = p
+        if self.stability is None:
+            self.stability = np.zeros((p.nbh * p.nbv, 2), dtype=np.int64)
+            self.blockdata = np.zeros(p.nbh * p.nbv, dtype=np.uint8)
+        if self.pyramid_levels == 0:
+            lvls = im.lb2(min(w, h))
+            maxdim = max(p.nbh, p.nbv)
+            while (1 << lvls) > maxdim:
+                lvls -= 1
+            self.pyramid_levels = im.clamp(lvls, 3, K.MAX_PYRAMID_LEVELS)
+
+    def _mk_pyramid(self, frame):
+        """(ref: dsv_encoder.c:493-516)."""
+        pyr = []
+        prev = frame
+        w, h = frame.width, frame.height
+        for i in range(self.pyramid_levels):
+            f = Frame(frame.subsamp, im.round_shift(w, i + 1),
+                      im.round_shift(h, i + 1), border=True)
+            ds2x_luma(f, prev)
+            f.extend(luma_only=True)
+            pyr.append(f)
+            prev = f
+        return pyr
+
+    def _encode_one(self, d):
+        """(ref: encode_one_frame, dsv_encoder.c:1184-1317)."""
+        self._setup_params(d)
+        p = d.params
+        prev_I = self.prev_gop
+        d.pyramid = self._mk_pyramid(d.padded)
+
+        gop_start = 0
+        if self.force_metadata or (self.prev_gop + self.gop) <= d.fnum:
+            gop_start = 1
+            self.prev_gop = d.fnum
+            self.force_metadata = 0
+
+        if self.gop == K.GOP_INTRA:
+            p.is_ref = 0
+            p.has_ref = 0
+        else:
+            p.is_ref = 1
+            if gop_start:
+                p.has_ref = 0
+            else:
+                p.has_ref = 1
+                d.refdata = self.ref
+            self.ref = d
+        self.avg_err = 0
+
+        forced_intra = 0
+        if not p.has_ref:
+            if self.intra_map is None:
+                self.intra_map = np.zeros(p.nbh * p.nbv, dtype=np.uint8)
+        else:
+            self._motion_est(d)
+            forced_intra = self._scene_change_detection(d)
+        if self.variable_i_interval and forced_intra:
+            self.prev_gop = d.fnum
+        if not p.has_ref:
+            if self.intra_map is None:
+                self.intra_map = np.zeros(p.nbh * p.nbv, dtype=np.uint8)
+            self.intra_map[:] = 0
+
+        d.quant = rc.quality2quant(self, d, prev_I, forced_intra)
+        self._compute_auto_filter(d)
+
+        d.residual = d.padded.clone(border=True)
+        outbuf = self._encode_picture(d)
+
+        if p.is_ref and self.gop != K.GOP_INTRA:
+            d.residual.extend()  # becomes the reconstructed reference
+        return gop_start, outbuf
+
+    # -- picture ------------------------------------------------------------
+
+    def _gather_stats(self, d, intramv, stats):
+        """(ref: dsv_encoder.c:992-1037)."""
+        p = d.params
+        nblk = p.nbh * p.nbv
+        temp_rc = self.refresh_ctr
+        if self.refresh_ctr >= self.stable_refresh:
+            temp_rc = 0
+        avgdiv = max(temp_rc, 1)
+        for i in range(nblk):
+            stable = 0
+            if p.has_ref:
+                fl = int(d.final_mvs.flags[i])
+                if fl & (1 << K.MV_BIT_INTRA):
+                    stable = 0
+                else:
+                    stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
+                if not (fl & (1 << K.MV_BIT_SKIP)):
+                    stats[K.MODE_STAT] += 1 if (fl & (1 << K.MV_BIT_INTRA)) else -1
+                    stats[K.EPRM_STAT] += 1 if (fl & (1 << K.MV_BIT_EPRM)) else -1
+            else:
+                fl = int(intramv.flags[i])
+                if d.fnum > 0 and self.do_temporal_aq:
+                    ax = self.stability[i, 0] // avgdiv
+                    ay = self.stability[i, 1] // avgdiv
+                    stable = 1 if (ax == 0 and ay == 0) else 0
+                else:
+                    stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
+                stats[K.MAINTAIN_STAT] += 1 if (fl & (1 << K.MV_BIT_MAINTAIN)) else -1
+                stats[K.RINGING_STAT] += 1 if (fl & (1 << K.MV_BIT_RINGING)) else -1
+            stats[K.STABLE_STAT] += 1 if (stable & 1) else -1
+
+    def _stable_decisions(self, d, intramv):
+        """Stable/skip bits + blockdata init + stability accumulation
+        (ref: encode_stable_blocks, dsv_encoder.c:797-883)."""
+        p = d.params
+        nblk = p.nbh * p.nbv
+        if self.refresh_ctr >= self.stable_refresh:
+            self.refresh_ctr = 0
+            self.stability[:] = 0
+        avgdiv = max(self.refresh_ctr, 1)
+        fps = im.udiv_round(p.meta.fps_num, p.meta.fps_den)
+        if fps <= 24:
+            dsf = 6
+        elif fps <= 30:
+            dsf = 4
+        elif fps <= 60:
+            dsf = 2
+        else:
+            dsf = 0
+        bits = np.zeros(nblk, dtype=np.uint8)
+        for i in range(nblk):
+            stable = 0
+            if p.has_ref:
+                mf = d.final_mvs
+                fl = int(mf.flags[i])
+                self.blockdata[i] = 0
+                if fl & (1 << K.MV_BIT_SKIP):
+                    mf.x[i] = mf.y[i] = 0
+                if fl & (1 << K.MV_BIT_INTRA):
+                    stable = 0
+                    self.blockdata[i] |= K.IS_INTRA
+                else:
+                    stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
+                    if not stable:
+                        self.stability[i, 0] += abs(int(mf.x[i])) >> dsf
+                        self.stability[i, 1] += abs(int(mf.y[i])) >> dsf
+                    else:
+                        mf.x[i] = mf.y[i] = 0
+                self.blockdata[i] |= stable << K.SKIP_BIT
+                simc = 1 if (fl & (1 << K.MV_BIT_SIMCMPLX)) else 0
+                self.blockdata[i] |= simc << K.SIMCMPLX_BIT
+            else:
+                fl = int(intramv.flags[i])
+                stable = 0
+                if d.fnum > 0 and self.do_temporal_aq:
+                    ax = self.stability[i, 0] // avgdiv
+                    ay = self.stability[i, 1] // avgdiv
+                    stable = 1 if (ax == 0 and ay == 0) else 0
+                stable |= 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
+                self.blockdata[i] = stable << K.STABLE_BIT
+            bits[i] = stable & 1
+        return bits
+
+    def _encode_picture(self, d):
+        """(ref: encode_picture, dsv_encoder.c:1039-1173)."""
+        p = d.params
+        meta = self.meta
+        w = BitWriter(1 << 16)
+        packet.write_packet_hdr(w, K.make_pt(p.is_ref, p.has_ref))
+        w.align()
+        w.put_bits(32, d.fnum)
+
+        intramv = None
+        if not p.has_ref:
+            intramv = blockanalysis.intra_analysis(d.padded, p)
+
+        stats = [K.ONE_MARKER] * K.MAX_STAT
+        if self.effort >= 7:
+            self._gather_stats(d, intramv, stats)
+            for i in range(K.MAX_STAT):
+                stats[i] = (K.ZERO_MARKER if stats[i] > 0 else K.ONE_MARKER)
+        else:
+            stats[K.MAINTAIN_STAT] = K.ZERO_MARKER
+            stats[K.RINGING_STAT] = K.ZERO_MARKER
+
+        w.align()
+        w.put_ueg(im.lb2(p.blk_w) - 4)
+        w.put_ueg(im.lb2(p.blk_h) - 4)
+        w.align()
+        w.put_bit(stats[K.STABLE_STAT])
+        if p.has_ref:
+            w.put_bit(stats[K.MODE_STAT])
+            w.put_bit(stats[K.EPRM_STAT])
+            inter_filter = (self.do_inter_filter == 1
+                            or (self.do_inter_filter == -1
+                                and self.auto_filter))
+            w.put_bit(1 if inter_filter else 0)
+        else:
+            inter_filter = 0
+            w.put_bit(stats[K.MAINTAIN_STAT])
+            w.put_bit(stats[K.RINGING_STAT])
+            w.put_bit(self.do_intra_filter)
+        w.put_bits(K.MAX_QP_BITS, d.quant)
+        w.put_bit(0)
+        w.align()
+
+        stable_bits = self._stable_decisions(d, intramv)
+        motion.encode_stable_blocks(w, stable_bits, stats)
+        pred_frame = None
+        if p.has_ref:
+            pred_frame = self._sub_pred(d)
+            w.align()
+            motion.encode_motion(w, d.final_mvs, stats, self.blockdata)
+        else:
+            for i in range(p.nbh * p.nbv):
+                fl = int(intramv.flags[i])
+                ring = 1 if (fl & (1 << K.MV_BIT_RINGING)) else 0
+                maint = 1 if (fl & (1 << K.MV_BIT_MAINTAIN)) else 0
+                self.blockdata[i] |= ring << K.RINGING_BIT
+                self.blockdata[i] |= maint << K.MAINTAIN_BIT
+            ring_bits = (intramv.flags & (1 << K.MV_BIT_RINGING)) != 0
+            maint_bits = (intramv.flags & (1 << K.MV_BIT_MAINTAIN)) != 0
+            motion.encode_intra_meta(w, ring_bits, maint_bits, stats)
+
+        # image data (ref: dsv_encoder.c:1134-1161)
+        w.align()
+        pcfg = _PCfg(meta, p.blk_w, p.blk_h, bool(p.has_ref), p.lossless,
+                     do_psy=p.do_psy)
+        bd_grid = np.ascontiguousarray(
+            self.blockdata.reshape(p.nbv, p.nbh))
+        mf = d.final_mvs if p.has_ref else intramv
+        eprm_m = np.asarray(mf.grid(mf.bit(K.MV_BIT_EPRM)))
+        mlt_m = np.asarray(mf.grid(mf.bit(K.MV_BIT_MAINTAIN)
+                                   & (np.abs(mf.x.astype(np.int32)) < 32)
+                                   & (np.abs(mf.y.astype(np.int32)) < 32)))
+        for c in range(3):
+            cw, ch = pcfg.cdims[c]
+            pw, ph = pcfg.pdims[c]
+            arr = d.residual.planes[c]
+            x = np.zeros((ch, cw), dtype=np.int32)
+            x[:ph, :] = arr[B:B + ph, B:B + cw].astype(np.int32) - 128
+            coefs = sbt.make_fwd_sbt(pcfg.sbt_cfg(c))(x, bd_grid)
+            deq, v_scan = hzcc.make_quantize(pcfg.hzcc_cfg(c))(
+                coefs, bd_grid, eprm_m, mlt_m, np.int32(d.quant))
+            ll = int(np.asarray(coefs[0, 0]))
+            planecode.encode_plane(w, deq, np.asarray(v_scan), ll, cw, ch)
+            px = np.asarray(sbt.sbc2p(sbt.make_inv_sbt(pcfg.sbt_cfg(c))(
+                deq, bd_grid, np.int32(d.quant))))
+            d.residual.view(c)[:, :] = px[:ph, :pw]
+        if not p.has_ref:
+            apply_intra_filter(d.residual, bd_grid, pcfg, d.quant,
+                               self.do_intra_filter)
+
+        out = w.data()
+        if p.has_ref:
+            self._add_res(d, pred_frame, pcfg, inter_filter)
+        return out
+
+    # -- P-frame machinery ----------------------------------------------------
+
+    def _sub_pred(self, d):
+        """Prediction + residual subtraction (ref: dsv_sub_pred via
+        encode_picture, dsv_encoder.c:1125)."""
+        p = d.params
+        meta = self.meta
+        mf = d.final_mvs
+        pcfg = _PCfg(meta, p.blk_w, p.blk_h, True, p.lossless, p.do_psy)
+        pred = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        for c in range(3):
+            mcc = pcfg.mc_cfg(c)
+            pr = mc.make_predict(mcc)(
+                d.refdata.residual.planes[c],
+                mf.grid(mf.x).astype(np.int32),
+                mf.grid(mf.y).astype(np.int32),
+                mf.grid(mf.flags).astype(np.int32),
+                mf.grid(mf.submask).astype(np.int32),
+                mf.grid(mf.dc).astype(np.int32),
+                np.int32(p.temporal_mc))
+            pred.planes[c][B:B + mcc.gh, B:B + mcc.gw] = np.asarray(pr)
+            res_canvas = d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw]
+            res2 = mc.make_subtract(mcc)(
+                res_canvas, pr, mf.grid(mf.flags).astype(np.int32))
+            d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = np.asarray(res2)
+        return pred
+
+    def _add_res(self, d, pred, pcfg, inter_filter):
+        """Reconstruction for the reference chain (ref: dsv_add_res via
+        dsv_encoder.c:1166-1172)."""
+        p = d.params
+        mf = d.final_mvs
+        for c in range(3):
+            mcc = pcfg.mc_cfg(c)
+            res_canvas = d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw]
+            pred_canvas = pred.planes[c][B:B + mcc.gh, B:B + mcc.gw]
+            recon = mc.make_reconstruct(mcc)(
+                res_canvas, pred_canvas, mf.grid(mf.flags).astype(np.int32))
+            d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = np.asarray(recon)
+        apply_inloop_filters(d.residual, mf, pcfg, d.quant, inter_filter,
+                             p.temporal_mc)
+
+    def _motion_est(self, d):
+        from . import hme
+        hme.motion_est(self, d)
+
+    def _scene_change_detection(self, d):
+        from . import scd
+        return scd.scene_change_detection(self, d)
+
+    def _compute_auto_filter(self, d):
+        """(ref: dsv_encoder.c:518-543)."""
+        p = d.params
+        SQR = lambda x: x * x
+        intra_pct = self.curr_intra_pct
+        scblocks = self.curr_scblocks
+        chaos = self.motion_chaos
+        psy = p.psyf_all
+        norm = SQR(d.quant) >> 15
+        relerr = ((SQR(intra_pct) + scblocks + self.avg_err * chaos)
+                  // max(norm, 1))
+        relerr = relerr + (relerr * psy >> 7)
+        avg_chaos = (self.prev_chaos + chaos + 1) >> 1
+        thresh = 8
+        thresh += thresh * psy >> 5
+        thresh -= (min(avg_chaos, 48) * psy * max(self.avg_err // 2, 1)
+                   // (128 * (thresh - 2)))
+        self.auto_filter = 1 if (chaos <= 1 or relerr > thresh) else 0
+
+    # -- post-frame stats -----------------------------------------------------
+
+    def _tally(self, d, outlen):
+        """(ref: dsv_enc, dsv_encoder.c:1471-1570)."""
+        p = d.params
+        st = self.stats
+        if p.has_ref:
+            st.pnum += 1
+            st.pfnum += 1 if self.auto_filter else 0
+            st.psize += outlen
+            st.pqual += self.rc_qual
+            st.pmaxq = max(self.rc_qual, st.pmaxq)
+            st.pmaxs = max(outlen, st.pmaxs)
+            st.pminq = min(self.rc_qual, st.pminq)
+            st.pmins = min(outlen, st.pmins)
+            mf = d.final_mvs
+            for i in range(p.nbh * p.nbv):
+                fl = int(mf.flags[i])
+                if fl & (1 << K.MV_BIT_EPRM):
+                    st.eprm += 1
+                if fl & (1 << K.MV_BIT_SKIP):
+                    st.skip += 1
+                elif fl & (1 << K.MV_BIT_INTRA):
+                    st.mbI += 1
+                    if mf.dc[i] & K.SRC_DC_PRED:
+                        st.mbdc += 1
+                    if mf.submask[i] != K.MASK_ALL_INTRA:
+                        st.mbsub += 1
+                        for b in range(4):
+                            if mf.submask[i] & (1 << b):
+                                st.mbsubs[b] += 1
+                else:
+                    st.mbP += 1
+                    for val, fp, hp, qp in ((mf.x[i], "fpx", "hpx", "qpx"),
+                                            (mf.y[i], "fpy", "hpy", "qpy")):
+                        if val & 1:
+                            setattr(st, qp, getattr(st, qp) + 1)
+                        elif val & 3:
+                            setattr(st, hp, getattr(st, hp) + 1)
+                        else:
+                            setattr(st, fp, getattr(st, fp) + 1)
+            st.mb += p.nbh * p.nbv
+        else:
+            st.inum += 1
+            st.ifnum += 1 if self.do_intra_filter else 0
+            st.isize += outlen
+            st.iqual += self.rc_qual
+            st.imaxq = max(self.rc_qual, st.imaxq)
+            st.imaxs = max(outlen, st.imaxs)
+            st.iminq = min(self.rc_qual, st.iminq)
+            st.imins = min(outlen, st.imins)
+        if p.has_ref:
+            self.refresh_ctr += 1
+        if self.rc_mode != K.RC_CQP:
+            if self.rc_mode == K.RC_CRF:
+                self.rf_total += self.rc_qual
+            else:
+                self.rf_total += outlen
+            self.rf_reset += 1
+            if p.has_ref:
+                self.total_P_frame_q += self.rc_qual
+                self.avg_P_frame_q = self.total_P_frame_q // self.rf_reset
+            self.rf_avg = self.rf_total // self.rf_reset
+            if self.rf_reset >= K.RF_RESET:
+                self.rf_total = self.rf_avg
+                self.total_P_frame_q = self.total_P_frame_q // self.rf_reset
+                self.rf_reset = 1

@@ -1,0 +1,51 @@
+"""Plane-level coefficient coding: host framing around the device quantizer
+and the native entropy scan (ref: src/hzcc.c:585-649)."""
+import numpy as np
+
+from .. import native
+from ..bitstream import BitWriter, BitReader
+from ..ops import hzcc
+
+EOP_SYMBOL = 0x55
+
+
+def encode_plane(w: BitWriter, coefs_deq, v_scan, ll_value, cw, ch):
+    """Append one coded plane. coefs_deq/v_scan come from
+    ops.hzcc.make_quantize; ll_value is the (unquantized) DC coefficient."""
+    w.align()
+    startp = w.byte_pos
+    w.put_bits(32, 0)
+    w.put_seg(int(ll_value))
+    w.align()
+    blob = native.scan_encode(v_scan, hzcc.scan_segments(cw, ch))
+    w.concat_bytes(blob)
+    w.put_bits(8, EOP_SYMBOL)
+    w.align()
+    endp = w.byte_pos
+    w.patch_bits(startp * 8, 32, (endp - startp) - 4)
+
+
+def decode_plane(r: BitReader, cw, ch):
+    """Returns (ok, ll_value, v_scan). Mirrors dsv_decode_plane's framing,
+    error detection and skip-by-length behavior."""
+    r.align()
+    plen = r.get_bits(32)
+    r.align()
+    total = hzcc.total_scan_coefs(cw, ch)
+    if not (0 < plen < cw * ch * 4 * 2):
+        return False, 0, np.zeros(total, dtype=np.int32)
+    start = r.byte_pos
+    ll = r.get_seg()
+    r.align()
+    a0 = r.byte_pos
+    lim = start + plen - a0
+    buf = bytes(r.buf[a0:])
+    v, endbit = native.scan_decode(np.frombuffer(buf, dtype=np.uint8), lim,
+                                   total, hzcc.scan_segments(cw, ch))
+    # verify the end-of-plane marker (ref: hzcc.c:604, 636-639)
+    r.pos = a0 * 8 + endbit
+    ok = r.get_bits(8) == EOP_SYMBOL
+    r.align()
+    r.seek_byte(start)
+    r.skip_bytes(plen)
+    return ok, ll, v

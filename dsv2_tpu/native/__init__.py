@@ -36,7 +36,7 @@ def lib():
             L.dsvn_scan_enc.argtypes = [
                 C.POINTER(C.c_int32), C.c_int64, C.POINTER(Seg), C.c_int,
                 C.POINTER(C.c_uint8)]
-            L.dsvn_scan_dec.restype = None
+            L.dsvn_scan_dec.restype = C.c_uint32
             L.dsvn_scan_dec.argtypes = [
                 C.POINTER(C.c_uint8), C.c_uint32, C.POINTER(C.c_int32),
                 C.POINTER(Seg), C.c_int]
@@ -80,14 +80,14 @@ def scan_encode(values, segments):
 
 
 def scan_decode(buf, lim, total, segments):
-    """Inverse of scan_encode; returns raw quantized values (int32)."""
+    """Inverse of scan_encode; returns (values int32, final bit position)."""
     b = np.frombuffer(buf, dtype=np.uint8) if not isinstance(
         buf, np.ndarray) else buf
     b = np.ascontiguousarray(b)
     v = np.zeros(total, dtype=np.int32)
-    lib().dsvn_scan_dec(_u8p(b), lim, _i32p(v), _segarr(segments),
-                        len(segments))
-    return v
+    endbit = lib().dsvn_scan_dec(_u8p(b), lim, _i32p(v), _segarr(segments),
+                                 len(segments))
+    return v, endbit
 
 
 def post_process(plane):

@@ -211,9 +211,11 @@ API uint32_t dsvn_scan_enc(const int32_t *v, int64_t total,
 
 /* buf points at the aligned start of the scan (the RUN_BITS slot);
  * lim = byte limit (exclusive) relative to buf for the overrun guard.
- * v (zero-filled) receives raw quantized values in scan order. */
-API void dsvn_scan_dec(const uint8_t *buf, uint32_t lim,
-                       int32_t *v, const DSVN_SEG *segs, int nsegs)
+ * v (zero-filled) receives raw quantized values in scan order.
+ * Returns the final bit position (pre-alignment), matching where the
+ * reference's serial reader would stand before the EOP check. */
+API uint32_t dsvn_scan_dec(const uint8_t *buf, uint32_t lim,
+                           int32_t *v, const DSVN_SEG *segs, int nsegs)
 {
     BR r = { buf, 0 };
     int vk = 0, s;
@@ -235,12 +237,14 @@ API void dsvn_scan_dec(const uint8_t *buf, uint32_t lim,
                 else val = br_nrice(&r, &vk, damp);
                 run = (runs-- > 0) ? (int64_t)br_ueg(&r) : (int64_t)0x7fffffff;
                 if ((r.bit >> 3) >= lim) {
-                    return;
+                    return r.bit;
                 }
                 v[i] = val;
             }
         }
     }
+    br_align(&r);
+    return r.bit;
 }
 
 /* ------------------------------------------------------------------ */

@@ -62,7 +62,7 @@ class BitWriter:
 
     def put_ueg(self, v):
         """Unsigned interleaved exp-Golomb (ref: bs.c:130-147)."""
-        v += 1
+        v = int(v) + 1
         nb = v.bit_length() - 1
         self._ensure(2 * nb + 1)
         for i in range(nb):
@@ -72,6 +72,7 @@ class BitWriter:
 
     def put_seg(self, v):
         """Signed interleaved exp-Golomb (ref: bs.c:173-189)."""
+        v = int(v)
         s = 1 if v < 0 else 0
         if s:
             v = -v
@@ -81,6 +82,7 @@ class BitWriter:
 
     def put_neg(self, v):
         """Nonzero signed interleaved exp-Golomb (ref: bs.c:204-220)."""
+        v = int(v)
         s = 1 if v < 0 else 0
         if s:
             v = -v

@@ -57,6 +57,7 @@ def neighbordif(mvx, mvy, skip, nbh, x, y):
 
 def seg_bits(v):
     """Bit cost of a SEG code (ref: dsv.c:334-354)."""
+    v = int(v)
     if v < 0:
         v = -v
     v += 1

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Encoder throughput benchmark vs the reference C encoder.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+vs_baseline = our fps / single-threaded C reference fps measured on this
+host in the same run (the reference publishes no numbers; BASELINE.md).
+Config: CIF 352x288 4:2:0 intra encode, qp=60 (round-1 scope: the P-frame
+search is still host-bound; see PROGRESS.jsonl).
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+W, H, NFRAMES = 352, 288, 32
+ARGS = ["-qp=60", "-gop=0"]
+
+
+def ensure_inputs():
+    import numpy as np
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import mkfixtures
+    path = "/tmp/dsv2_bench_cif.y4m"
+    if not os.path.exists(path):
+        mkfixtures.write_y4m(path, W, H, NFRAMES)
+    return path
+
+
+def ref_fps(ref_bin, src):
+    t0 = time.perf_counter()
+    subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                    "-out=/tmp/dsv2_bench_ref.dsv", "-y4m=1"] + ARGS,
+                   capture_output=True)
+    dt = time.perf_counter() - t0
+    return NFRAMES / dt
+
+
+def our_fps(src):
+    from dsv2_tpu.utils import y4m
+    from dsv2_tpu.codec.encoder import Encoder
+    from dsv2_tpu.utils.packet import VideoMeta
+    from dsv2_tpu.parallel.batch import encode_intra_batch
+
+    frames = []
+    with open(src, "rb") as f:
+        rdr = y4m.Y4MReader(f)
+        while True:
+            p = rdr.read_frame()
+            if p is None:
+                break
+            frames.append(p)
+
+    def mk():
+        enc = Encoder()
+        enc.set_metadata(VideoMeta(width=W, height=H))
+        enc.gop = 0
+        enc.quality = 60 * 4
+        enc.start()
+        return enc
+
+    # warmup (jit compile of the batched device pipeline, same batch shape)
+    enc = mk()
+    encode_intra_batch(enc, frames)
+    # timed run
+    enc = mk()
+    t0 = time.perf_counter()
+    encode_intra_batch(enc, frames)
+    enc.end_of_stream()
+    dt = time.perf_counter() - t0
+    return NFRAMES / dt
+
+
+def main():
+    ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
+                             capture_output=True, text=True,
+                             check=True).stdout.strip()
+    src = ensure_inputs()
+    c_fps = ref_fps(os.path.join(ref_dir, "dsv2"), src)
+    fps = our_fps(src)
+    print(json.dumps({
+        "metric": "cif_intra_encode_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / c_fps, 4),
+    }))
+    print(f"# reference C encoder: {c_fps:.2f} fps (same host, same config)",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

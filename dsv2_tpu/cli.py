@@ -239,6 +239,11 @@ def cmd_decode(argv):
 
 
 def main(argv=None):
+    import os
+    plat = os.environ.get("DSV2_JAX_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] not in ("e", "d"):
         print("usage: dsv2_tpu <e|d> [options]")

@@ -602,3 +602,19 @@ class Encoder:
                 self.rf_total = self.rf_avg
                 self.total_P_frame_q = self.total_P_frame_q // self.rf_reset
                 self.rf_reset = 1
+
+
+def _tally_intra_size(self, outlen, rc_qual):
+    """Post-frame I stats for the batched path (matches _tally's I branch)."""
+    st = self.stats
+    st.inum += 1
+    st.ifnum += 1 if self.do_intra_filter else 0
+    st.isize += outlen
+    st.iqual += rc_qual
+    st.imaxq = max(rc_qual, st.imaxq)
+    st.imaxs = max(outlen, st.imaxs)
+    st.iminq = min(rc_qual, st.iminq)
+    st.imins = min(outlen, st.imins)
+
+
+Encoder._tally_intra_size = _tally_intra_size

@@ -122,10 +122,143 @@ def chroma_analysis(y, u, v):
     return nature, greyish, skinnish, hifreq
 
 
+def _batched_features(blocks):
+    """Vectorized block features over an (N, bh, bw) uint8 stack. Returns a
+    dict of (N,) int64 arrays with C-exact semantics."""
+    p = blocks.astype(np.int64)
+    n, bh, bw = p.shape
+    area = bw * bh
+    s = p.sum(axis=(1, 2))
+    sh = np.abs(p[:, :, 1:] - p[:, :, :-1]).sum(axis=(1, 2))
+    sv = np.abs(p[:, 1:, :] - p[:, :-1, :]).sum(axis=(1, 2))
+    avg = s // area
+    var = np.abs(p - avg[:, None, None]).sum(axis=(1, 2))
+    dvar = var >> 1
+    tex = np.maximum(sh, sv) - dvar
+    detail = dvar + np.maximum(tex, 0)
+    # quant_tex (ref: hme.c:586-617)
+    q4 = p >> 4
+    dh = q4[:, :, :-1] - q4[:, :, 1:]
+    sh2 = (dh * dh).sum(axis=(1, 2))
+    dv = q4[:, 1:, :] - q4[:, :-1, :]
+    sv2 = (dv * dv).sum(axis=(1, 2))
+    qtex = im.iisqrt(np.maximum(sh2, sv2)) // avg2(bw, bh)
+    # histogram variance (ref: hme.c:711-749)
+    havg = np.maximum(avg, 1)
+    quant16 = ((1 << (HISTBITS - 1)) << 16) // havg
+    hi = np.clip((p * quant16[:, None, None]) >> 16, 0, NHIST - 1)
+    off = (np.arange(n)[:, None, None] * NHIST + hi).ravel()
+    hist = np.bincount(off, minlength=n * NHIST).reshape(n, NHIST)
+    hm = hist.sum(axis=1) // NHIST
+    hvar_raw = ((hist - hm[:, None]) ** 2).sum(axis=1)
+    hvar = (hvar_raw * 256) // (NHIST * area * area)
+    # peaks over 2x downsample (ref: hme.c:624-692)
+    w2, h2 = bw // 2, bh // 2
+    ds = (p[:, 0:2 * h2:2, 0:2 * w2:2] + p[:, 0:2 * h2:2, 1:2 * w2:2]
+          + p[:, 1:2 * h2:2, 0:2 * w2:2] + p[:, 1:2 * h2:2, 1:2 * w2:2]
+          + 2) >> 2
+    hi2 = np.minimum((ds * quant16[:, None, None]) >> 16, NHIST - 1)
+    off2 = (np.arange(n)[:, None, None] * NHIST + hi2).ravel()
+    ph = np.bincount(off2, minlength=n * NHIST).reshape(n, NHIST)
+    pavg = ph.sum(axis=1) // NHIST
+    maxv = (ph.max(axis=1)) >> 2
+    left = np.concatenate(
+        [np.full((n, 1), -1, ph.dtype), ph[:, :-1]], axis=1)
+    right = np.concatenate(
+        [ph[:, 1:], np.full((n, 1), -1, ph.dtype)], axis=1)
+    is_peak = ((ph > left) & (ph > right)
+               & ((ph > maxv[:, None]) | (ph > pavg[:, None])))
+    npeaks = is_peak.sum(axis=1)
+    return dict(detail=detail, avg=avg, var=var, tex=np.maximum(sh, sv),
+                qtex=qtex, hvar=hvar, npeaks=npeaks)
+
+
 def intra_analysis(frame, params):
     """I-frame psychovisual block classification (ref: hme.c:1835-1971).
     frame: core.frame.Frame (bordered, extended). Returns a MotionField with
-    RINGING/MAINTAIN/SKIP(keep-HF) flags."""
+    RINGING/MAINTAIN/SKIP(keep-HF) flags. Full-size blocks are processed as
+    one batched reduction; partial edge blocks fall back to the scalar path."""
+    lum0 = frame.view(0)
+    p = params
+    if (lum0.shape[1] % p.blk_w == 0 and lum0.shape[0] % p.blk_h == 0
+            and (p.blk_w >> K.fmt_h_shift(p.meta.subsamp)) >= 2
+            and (p.blk_h >> K.fmt_v_shift(p.meta.subsamp)) >= 2):
+        return _intra_analysis_fast(frame, params)
+    return _intra_analysis_scalar(frame, params)
+
+
+def _intra_analysis_fast(frame, params):
+    p = params
+    nbh, nbv = p.nbh, p.nbv
+    bw, bh = p.blk_w, p.blk_h
+    mf = MotionField(nbh, nbv)
+    lum = frame.view(0)
+    subsamp = p.meta.subsamp
+    hs, vs = K.fmt_h_shift(subsamp), K.fmt_v_shift(subsamp)
+    cbw, cbh = bw >> hs, bh >> vs
+    scale = 2 * p.psyf_all
+    do_psy = p.do_psy
+    n = nbh * nbv
+
+    blocks = (lum.reshape(nbv, bh, nbh, bw).transpose(0, 2, 1, 3)
+              .reshape(n, bh, bw))
+    f = _batched_features(blocks)
+    area = bw * bh
+    detail = f["detail"]
+    avg = f["avg"]
+    ringing = np.zeros(n, dtype=bool)
+    foliage = np.zeros(n, dtype=bool)
+    is_text = np.zeros(n, dtype=bool)
+    var_t = np.full(n, 16, dtype=np.int64)
+    if do_psy & (K.PSY_ADAPTIVE_RINGING | K.PSY_CONTENT_ANALYSIS):
+        hvar, qtex, npeaks = f["hvar"], f["qtex"], f["npeaks"]
+        luma_var = f["var"] // area
+        luma_tex = f["tex"] // area
+        is_text = np.abs(npeaks - 2) <= 1
+        tf2 = (((qtex == 1) | (qtex == 2)) & (hvar <= 3)
+               & (luma_tex >= 10) & (luma_var >= luma_tex))
+        tf = (((qtex == 2) | (qtex == 3)) & (luma_tex >= 8)
+              & (luma_var >= 2 * luma_tex) & (np.abs(hvar - 5) <= 3))
+        is_text &= (tf | tf2)
+        ub = frame.view(1).astype(np.int64)
+        vb = frame.view(2).astype(np.int64)
+        carea = cbw * cbh
+        uavg = (ub.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+                // carea).reshape(-1)
+        vavg = (vb.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+                // carea).reshape(-1)
+        nature = (uavg < 128) & (vavg < 160)
+        greyish = (np.abs(uavg - 128) < 8) & (np.abs(vavg - 128) < 8)
+        skinnish = ((avg > 80) & (avg < 230) & (np.abs(uavg - 108) < 24)
+                    & (np.abs(vavg - 148) < 24))
+        hifreq = (uavg > 160) & ~greyish & ~skinnish
+        foliage = nature & (avg < 160) & (detail > (36 * area) // max(scale, 1))
+        is_text &= ~foliage
+        ring_cond = foliage | ((hvar <= np.minimum(qtex - 3, 2) * 16)
+                               & (qtex > 1))
+        if do_psy & K.PSY_ADAPTIVE_RINGING:
+            ringing = ~hifreq & ring_cond
+        var_t = np.where(nature | greyish | skinnish, 20,
+                         np.where(~hifreq, 16, 8))
+    maintain = np.ones(n, dtype=bool)
+    keep_hf = np.ones(n, dtype=bool)
+    if do_psy & (K.PSY_CONTENT_ANALYSIS | K.PSY_ADAPTIVE_QUANT):
+        d = detail // area
+        keep_hf &= d < 48
+        maintain = d < var_t * 4
+    if do_psy & K.PSY_CONTENT_ANALYSIS:
+        keep_hf = np.where(foliage, False, np.where(is_text, True, keep_hf))
+        maintain = np.where(foliage, True, np.where(is_text, False, maintain))
+    if do_psy & K.PSY_ADAPTIVE_RINGING:
+        ringing |= avg < 24
+    mf.flags = ((ringing.astype(np.uint32) << K.MV_BIT_RINGING)
+                | (maintain.astype(np.uint32) << K.MV_BIT_MAINTAIN)
+                | (keep_hf.astype(np.uint32) << K.MV_BIT_SKIP))
+    return mf
+
+
+def _intra_analysis_scalar(frame, params):
+    """Per-block reference path (handles partial edge blocks)."""
     p = params
     nbh, nbv = p.nbh, p.nbv
     y_w, y_h = p.blk_w, p.blk_h

@@ -1,0 +1,199 @@
+"""Batched intra encoding: one device dispatch for many frames.
+
+For CRF/CQP intra-only encoding the per-frame quant sequence is independent
+of the coded output (rate control feeds back rc_qual, not bytes;
+ref: dsv_encoder.c:1552-1570), so the entire device program — forward SBT,
+adaptive quantization, inverse SBT — runs as a single vmapped call over a
+frame batch, and the host then serializes each frame's scan values. Produces
+byte-identical streams to the sequential encoder.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as K
+from ..core import intmath as im
+from ..core.frame import Frame, B
+from ..ops import sbt, hzcc, blockanalysis
+from ..utils import packet
+from ..bitstream import BitWriter
+from ..codec import plane as planecode
+from ..codec import motion, rc
+from ..codec.decoder import _PCfg, apply_intra_filter
+
+
+@functools.lru_cache(maxsize=None)
+def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy):
+    from ..utils.packet import VideoMeta
+    pcfg = _PCfg(VideoMeta(width=w_, height=h_, subsamp=subsamp),
+                 blk_w, blk_h, False, lossless, do_psy)
+
+    def one_plane(c):
+        scfg = pcfg.sbt_cfg(c)
+        hcfg = pcfg.hzcc_cfg(c)
+        qf = hzcc.make_quantize(hcfg)
+        inv = sbt.make_inv_sbt(scfg)
+        fwd = sbt.make_fwd_sbt(scfg)
+
+        def f(x, bd, q):
+            dummy = jnp.zeros((pcfg.nbv, pcfg.nbh), dtype=bool)
+            coefs = fwd(x, bd)
+            deq, v = qf(coefs, bd, dummy, dummy, q)
+            recon = inv(deq, bd, q)
+            px = jnp.clip(recon + 128, 0, 255).astype(jnp.uint8)
+            return px, v, coefs[0, 0]
+        return f
+
+    fns = [one_plane(c) for c in range(3)]
+
+    def batch(xs0, xs1, xs2, bds, qs):
+        outs = []
+        for c, xs in enumerate((xs0, xs1, xs2)):
+            outs.append(jax.vmap(fns[c])(xs, bds, qs))
+        return outs
+
+    return jax.jit(batch)
+
+
+def encode_intra_batch(enc, frame_planes):
+    """Encode a list of (y, u, v) frames with gop=0 semantics in one device
+    batch. Returns the packet byte chunks (same as sequential encode_frame
+    calls, byte-for-byte)."""
+    meta = enc.meta
+    nfr = len(frame_planes)
+    first_fnum = enc.next_fnum
+
+    # --- host: padded frames + per-frame params/analysis/quants -----------
+    datas = []
+    for planes in frame_planes:
+        padded = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        padded.load(planes)
+        padded.extend()
+        from ..codec.encoder import EncData
+        d = EncData(enc.next_fnum, padded)
+        enc.next_fnum += 1
+        enc._setup_params(d)
+        d.params.is_ref = 0
+        d.params.has_ref = 0
+        d.pyramid = enc._mk_pyramid(padded)
+        datas.append(d)
+
+    pcfg = _PCfg(meta, datas[0].params.blk_w, datas[0].params.blk_h,
+                 False, datas[0].params.lossless, datas[0].params.do_psy)
+    p = datas[0].params
+    nblk = p.nbh * p.nbv
+
+    gop_starts = []
+    rc_quals = []
+    quants = []
+    intramvs = []
+    blockdatas = []
+    stable_bits_all = []
+    stats_all = []
+    for d in datas:
+        gop_start = 0
+        if enc.force_metadata or (enc.prev_gop + enc.gop) <= d.fnum:
+            gop_start = 1
+            enc.prev_gop = d.fnum
+            enc.force_metadata = 0
+        gop_starts.append(gop_start)
+        if enc.intra_map is None:
+            enc.intra_map = np.zeros(nblk, dtype=np.uint8)
+        enc.intra_map[:] = 0
+        d.quant = rc.quality2quant(enc, d, enc.prev_gop, 0)
+        enc._compute_auto_filter(d)
+        quants.append(d.quant)
+        intramv = blockanalysis.intra_analysis(d.padded, d.params)
+        intramvs.append(intramv)
+        stats = [K.ONE_MARKER] * K.MAX_STAT
+        if enc.effort >= 7:
+            enc._gather_stats(d, intramv, stats)
+            stats = [(K.ZERO_MARKER if s > 0 else K.ONE_MARKER)
+                     for s in stats]
+        else:
+            stats[K.MAINTAIN_STAT] = K.ZERO_MARKER
+            stats[K.RINGING_STAT] = K.ZERO_MARKER
+        stats_all.append(stats)
+        stable_bits = enc._stable_decisions(d, intramv)
+        stable_bits_all.append(stable_bits)
+        for i in range(nblk):
+            fl = int(intramv.flags[i])
+            ring = 1 if (fl & (1 << K.MV_BIT_RINGING)) else 0
+            maint = 1 if (fl & (1 << K.MV_BIT_MAINTAIN)) else 0
+            enc.blockdata[i] |= ring << K.RINGING_BIT
+            enc.blockdata[i] |= maint << K.MAINTAIN_BIT
+        blockdatas.append(enc.blockdata.reshape(p.nbv, p.nbh).copy())
+        rc_quals.append(enc.rc_qual)
+        # per-frame RC stats (CRF/CQP only; size-independent)
+        if enc.rc_mode == K.RC_CRF:
+            enc.rf_total += enc.rc_qual
+            enc.rf_reset += 1
+            enc.rf_avg = enc.rf_total // enc.rf_reset
+            if enc.rf_reset >= K.RF_RESET:
+                enc.rf_total = enc.rf_avg
+                enc.total_P_frame_q = enc.total_P_frame_q // enc.rf_reset
+                enc.rf_reset = 1
+
+    # --- device: one batched dispatch --------------------------------------
+    xs = [[], [], []]
+    for d in datas:
+        for c in range(3):
+            cw, ch = pcfg.cdims[c]
+            pw, ph = pcfg.pdims[c]
+            arr = d.padded.planes[c]
+            x = np.zeros((ch, cw), dtype=np.int32)
+            x[:ph, :] = arr[B:B + ph, B:B + cw].astype(np.int32) - 128
+            xs[c].append(x)
+    xs = [np.stack(a) for a in xs]
+    bds = np.stack(blockdatas)
+    qs = np.asarray(quants, dtype=np.int32)
+    fn = _device_batch_fn(meta.width, meta.height, meta.subsamp,
+                          p.blk_w, p.blk_h, p.lossless, p.do_psy)
+    outs = fn(xs[0], xs[1], xs[2], bds, qs)
+    outs = jax.tree_util.tree_map(np.asarray, outs)
+
+    # --- host: serialize ----------------------------------------------------
+    chunks = []
+    for fi, d in enumerate(datas):
+        w = BitWriter(1 << 16)
+        packet.write_packet_hdr(w, K.make_pt(0, 0))
+        w.align()
+        w.put_bits(32, d.fnum)
+        stats = stats_all[fi]
+        w.align()
+        w.put_ueg(im.lb2(p.blk_w) - 4)
+        w.put_ueg(im.lb2(p.blk_h) - 4)
+        w.align()
+        w.put_bit(stats[K.STABLE_STAT])
+        w.put_bit(stats[K.MAINTAIN_STAT])
+        w.put_bit(stats[K.RINGING_STAT])
+        w.put_bit(enc.do_intra_filter)
+        w.put_bits(K.MAX_QP_BITS, d.quant)
+        w.put_bit(0)
+        w.align()
+        motion.encode_stable_blocks(w, stable_bits_all[fi], stats)
+        imv = intramvs[fi]
+        ring_bits = (imv.flags & (1 << K.MV_BIT_RINGING)) != 0
+        maint_bits = (imv.flags & (1 << K.MV_BIT_MAINTAIN)) != 0
+        motion.encode_intra_meta(w, ring_bits, maint_bits, stats)
+        w.align()
+        recon = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        for c in range(3):
+            cw, ch = pcfg.cdims[c]
+            pw, ph = pcfg.pdims[c]
+            px, v, ll = (outs[c][0][fi], outs[c][1][fi], outs[c][2][fi])
+            planecode.encode_plane(w, None, v, int(ll), cw, ch)
+            recon.view(c)[:, :] = px[:ph, :pw]
+        apply_intra_filter(recon, blockdatas[fi], pcfg, d.quant,
+                           enc.do_intra_filter)
+        out = w.data()
+        bufs = []
+        if gop_starts[fi]:
+            mbuf = bytearray(packet.encode_metadata(meta))
+            bufs.append(enc._link(mbuf))
+        bufs.append(enc._link(bytearray(out)))
+        enc._tally_intra_size(len(out), rc_quals[fi])
+        chunks.extend(bytes(b) for b in bufs)
+    return chunks

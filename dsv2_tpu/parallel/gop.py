@@ -1,0 +1,130 @@
+"""Multi-chip parallel encoding over a jax.sharding.Mesh.
+
+The codec's scaling seams (mirrors the reference's process-level GOP
+parallelism, ref: parallel_encode.sh + the closed-GOP bitstream design):
+
+- **gop axis (data parallel)**: independent closed GOPs encode concurrently;
+  every GOP starts with a metadata packet and uses relative link offsets, so
+  the host byte-concatenates per-GOP streams into one valid .dsv
+  (ref: dsv_main.c:136-138, dsv_encoder.c:1247-1251).
+- **sp axis (spatial)**: within one frame, the separable wavelet passes and
+  the per-pixel quantizer shard across the plane; XLA inserts the halo /
+  transpose collectives from the sharding annotations.
+
+This module provides the device-side batched frame pipeline used by both
+`__graft_entry__.dryrun_multichip` and the batched benchmark, plus the
+host-side GOP splitter/concatenator.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import constants as K
+from ..core import intmath as im
+from ..ops import sbt, hzcc
+
+
+def device_intra_step(cfg_sbt, cfg_hzcc):
+    """Single-frame luma intra transform+quant step (jittable, vmappable):
+    pixels -> (dequantized coefs, scan values)."""
+    def step(px, blockdata, q):
+        x = px.astype(jnp.int32) - 128
+        coefs = _fwd(x, blockdata, cfg_sbt)
+        deq, v = _quant(coefs, blockdata, q, cfg_hzcc)
+        recon = _inv(deq, blockdata, q, cfg_sbt)
+        return jnp.clip(recon + 128, 0, 255).astype(jnp.uint8), v
+    return step
+
+
+def _fwd(x, blockdata, cfg):
+    for l in range(1, cfg.lvls + 1):
+        kind = sbt._kind(cfg, l)
+        if kind == "haar":
+            sw = im.round_shift(cfg.cw, l - 1)
+            sh = im.round_shift(cfg.ch, l - 1)
+            x = x.at[:sh, :sw].set(
+                sbt._haar_fwd(x[:sh, :sw], sh, sw, sbt._ovf(cfg, l)))
+        else:
+            x = sbt._filter_2d_fwd(x, cfg, l, kind, blockdata)
+    return x
+
+
+def _inv(x, blockdata, q, cfg):
+    for l in range(cfg.lvls, 0, -1):
+        kind = sbt._kind(cfg, l)
+        ovf = sbt._ovf(cfg, l)
+        if kind == "haar":
+            sw = im.round_shift(cfg.cw, l - 1)
+            sh = im.round_shift(cfg.ch, l - 1)
+            if cfg.lossless or (not cfg.is_luma and cfg.isP):
+                out = sbt._haar_inv_simple(x[:sh, :sw], sh, sw, ovf)
+            else:
+                hqp = q // (14 if cfg.isP else (2 if l > 4 else 8)) \
+                    if cfg.is_luma else q // 2
+                out = sbt._haar_inv_filtered(x, sh, sw, ovf, hqp)
+            x = x.at[:sh, :sw].set(out)
+        else:
+            x = sbt._filter_2d_inv(x, cfg, l, kind, blockdata)
+    return x
+
+
+def _quant(coefs, blockdata, q, cfg):
+    f = hzcc.make_quantize(cfg)
+    dummy = jnp.zeros((cfg.nbv, cfg.nbh), dtype=bool)
+    return f(coefs, blockdata, dummy, dummy, q)
+
+
+def make_batched_intra_pipeline(w, h, nbh, nbv, mesh=None):
+    """Batched (B, h, w) intra device pipeline, optionally sharded over a
+    mesh with axes ('gop', 'sp'): batch over gop, plane width over sp."""
+    cfg_s = sbt.SbtCfg(w, h, True, False, False, nbh, nbv)
+    cfg_h = hzcc.HzccCfg(w, h, True, False, False, nbh, nbv, 16, 16,
+                         w, h, K.SUBSAMP_420, K.PSY_ALL)
+    step = device_intra_step(cfg_s, cfg_h)
+    batched = jax.vmap(step, in_axes=(0, 0, None))
+    if mesh is None:
+        return jax.jit(batched)
+    in_sh = (NamedSharding(mesh, P("gop", None, "sp")),
+             NamedSharding(mesh, P("gop", None, None)),
+             NamedSharding(mesh, P()))
+    return jax.jit(batched, in_shardings=in_sh)
+
+
+def split_gops(total_frames, gop):
+    """Frame ranges of independent closed GOPs."""
+    if gop <= 0:
+        return [(0, total_frames)]
+    out = []
+    s = 0
+    while s < total_frames:
+        out.append((s, min(s + gop, total_frames)))
+        s += gop
+    return out
+
+
+def encode_gops_parallel(frames, meta, gop, enc_factory, workers=None):
+    """Host-parallel encode of independent GOP chunks; returns the
+    concatenated .dsv stream (each chunk starts with metadata + I frame,
+    link offsets are chunk-relative so byte concatenation is valid)."""
+    import concurrent.futures as cf
+
+    ranges = split_gops(len(frames), gop)
+
+    def encode_range(rng):
+        s, e = rng
+        enc = enc_factory()
+        chunks = []
+        for f in range(s, e):
+            chunks.extend(enc.encode_frame(frames[f]))
+        return b"".join(chunks)
+
+    if workers is None or workers <= 1 or len(ranges) == 1:
+        parts = [encode_range(r) for r in ranges]
+    else:
+        with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+            parts = list(ex.map(encode_range, ranges))
+    eos = enc_factory().end_of_stream()
+    return b"".join(parts) + b"".join(eos)

@@ -70,9 +70,13 @@ DEC_PARAMS = {
 
 def parse_args(argv, table):
     opts = {k: v[0] for k, v in table.items()}
-    io = {"inp": "-", "out": "-"}
+    io = {"inp": "-", "out": "-", "verbose": False}
     for arg in argv:
-        if arg in ("-y", "-v") or arg.startswith("-l"):
+        if arg == "-v":
+            io["verbose"] = True
+            continue
+        if arg == "-y" or (arg.startswith("-l") and "=" not in arg
+                           and arg[2:].isdigit()):
             continue
         if not arg.startswith("-") or "=" not in arg:
             raise SystemExit("strange argument: %s" % arg)
@@ -191,7 +195,41 @@ def cmd_encode(argv):
     out.write(data)
     if io["out"] != "-":
         out.close()
+    if io["verbose"]:
+        print_stats(enc, len(data), frno - opts["sfr"], fps)
     return 0
+
+
+def print_stats(enc, total_bytes, total_frames, fps):
+    """End-of-run statistics dump (ref: dsv_main.c:805-893)."""
+    st = enc.stats
+    total_frames = max(total_frames, 1)
+    bpf = total_bytes * 8 // total_frames
+    bps = bpf * fps
+    print(f"encoded {total_bytes} bytes @ {bps} bps, {bps // 1024} kbps, "
+          f"{bps // 8192} KBps. fps = {fps}, bpf = {bpf}", file=sys.stderr)
+    if st.inum:
+        print(f"num I (filt/total): {st.ifnum}/{st.inum}, total bytes: "
+              f"{st.isize}, [min,avg,max] -> qual: [{st.iminq}, "
+              f"{st.iqual // st.inum}, {st.imaxq}], bytes: [{st.imins}, "
+              f"{st.isize // st.inum}, {st.imaxs}]", file=sys.stderr)
+    if st.pnum:
+        print(f"num P (filt/total): {st.pfnum}/{st.pnum}, total bytes: "
+              f"{st.psize}, [min,avg,max] -> qual: [{st.pminq}, "
+              f"{st.pqual // st.pnum}, {st.pmaxq}], bytes: [{st.pmins}, "
+              f"{st.psize // st.pnum}, {st.pmaxs}]", file=sys.stderr)
+        if st.mb:
+            for name, v in (("intra", st.mbI), ("inter", st.mbP),
+                            ("eprm", st.eprm), ("skip", st.skip)):
+                t = v * 1000 // st.mb
+                print(f"avg {name} blocks: {t // 10}.{t % 10}%",
+                      file=sys.stderr)
+        if st.mbP:
+            for axis, fp, hp, qp in (("x", st.fpx, st.hpx, st.qpx),
+                                     ("y", st.fpy, st.hpy, st.qpy)):
+                f_, h_, q_ = (v * 1000 // st.mbP for v in (fp, hp, qp))
+                print(f"{axis}: fp {f_ / 10:.1f}% hp {h_ / 10:.1f}% "
+                      f"qp {q_ / 10:.1f}%", file=sys.stderr)
 
 
 def im_clamp(v):
@@ -206,7 +244,7 @@ def cmd_decode(argv):
     opts, io = parse_args(argv, DEC_PARAMS)
     inp = sys.stdin.buffer if io["inp"] == "-" else open(io["inp"], "rb")
     out = sys.stdout.buffer if io["out"] == "-" else open(io["out"], "wb")
-    dec = D.Decoder()
+    dec = D.Decoder(draw_info=opts["drawinfo"])
     writer = None
     for t, buf in packet.iter_packets(inp):
         code, frame, fno = dec.decode_packet(buf)

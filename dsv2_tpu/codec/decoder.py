@@ -109,10 +109,11 @@ def apply_intra_filter(frame: Frame, blockdata_grid, pcfg, q, do_filter):
 
 
 class Decoder:
-    def __init__(self, postsharp=False):
+    def __init__(self, postsharp=False, draw_info=0):
         self.meta = None
         self.ref = None           # Frame
         self.postsharp = postsharp
+        self.draw_info = draw_info
 
     def decode_packet(self, buf):
         """Decode one packet buffer. Returns (code, Frame|None, fno)."""
@@ -210,6 +211,12 @@ class Decoder:
 
         if is_ref:
             self.ref = out.clone(border=True)
+        if self.draw_info:
+            from . import drawinfo
+            shown = out.clone(border=False)
+            drawinfo.draw_info(shown.view(0), blockdata, mf, pcfg,
+                               self.draw_info, has_ref)
+            out = shown
         return DEC_OK, out, fno
 
 

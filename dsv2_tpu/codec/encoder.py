@@ -296,27 +296,28 @@ class Encoder:
         if self.refresh_ctr >= self.stable_refresh:
             temp_rc = 0
         avgdiv = max(temp_rc, 1)
-        for i in range(nblk):
-            stable = 0
-            if p.has_ref:
-                fl = int(d.final_mvs.flags[i])
-                if fl & (1 << K.MV_BIT_INTRA):
-                    stable = 0
-                else:
-                    stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
-                if not (fl & (1 << K.MV_BIT_SKIP)):
-                    stats[K.MODE_STAT] += 1 if (fl & (1 << K.MV_BIT_INTRA)) else -1
-                    stats[K.EPRM_STAT] += 1 if (fl & (1 << K.MV_BIT_EPRM)) else -1
+        if not p.has_ref:
+            fl = intramv.flags
+            if d.fnum > 0 and self.do_temporal_aq:
+                stable = ((self.stability[:, 0] // avgdiv == 0)
+                          & (self.stability[:, 1] // avgdiv == 0))
             else:
-                fl = int(intramv.flags[i])
-                if d.fnum > 0 and self.do_temporal_aq:
-                    ax = self.stability[i, 0] // avgdiv
-                    ay = self.stability[i, 1] // avgdiv
-                    stable = 1 if (ax == 0 and ay == 0) else 0
-                else:
-                    stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
-                stats[K.MAINTAIN_STAT] += 1 if (fl & (1 << K.MV_BIT_MAINTAIN)) else -1
-                stats[K.RINGING_STAT] += 1 if (fl & (1 << K.MV_BIT_RINGING)) else -1
+                stable = (fl & (1 << K.MV_BIT_SKIP)) != 0
+            maint = int(((fl & (1 << K.MV_BIT_MAINTAIN)) != 0).sum())
+            ring = int(((fl & (1 << K.MV_BIT_RINGING)) != 0).sum())
+            stats[K.MAINTAIN_STAT] += 2 * maint - nblk
+            stats[K.RINGING_STAT] += 2 * ring - nblk
+            stats[K.STABLE_STAT] += 2 * int(stable.sum()) - nblk
+            return
+        for i in range(nblk):
+            fl = int(d.final_mvs.flags[i])
+            if fl & (1 << K.MV_BIT_INTRA):
+                stable = 0
+            else:
+                stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
+            if not (fl & (1 << K.MV_BIT_SKIP)):
+                stats[K.MODE_STAT] += 1 if (fl & (1 << K.MV_BIT_INTRA)) else -1
+                stats[K.EPRM_STAT] += 1 if (fl & (1 << K.MV_BIT_EPRM)) else -1
             stats[K.STABLE_STAT] += 1 if (stable & 1) else -1
 
     def _stable_decisions(self, d, intramv):
@@ -337,6 +338,16 @@ class Encoder:
             dsf = 2
         else:
             dsf = 0
+        if not p.has_ref:
+            fl = intramv.flags
+            if d.fnum > 0 and self.do_temporal_aq:
+                stable = ((self.stability[:, 0] // avgdiv == 0)
+                          & (self.stability[:, 1] // avgdiv == 0))
+            else:
+                stable = np.zeros(nblk, dtype=bool)
+            stable = stable | ((fl & (1 << K.MV_BIT_SKIP)) != 0)
+            self.blockdata[:] = stable.astype(np.uint8) << K.STABLE_BIT
+            return stable.astype(np.uint8)
         bits = np.zeros(nblk, dtype=np.uint8)
         for i in range(nblk):
             stable = 0
@@ -422,12 +433,11 @@ class Encoder:
             w.align()
             motion.encode_motion(w, d.final_mvs, stats, self.blockdata)
         else:
-            for i in range(p.nbh * p.nbv):
-                fl = int(intramv.flags[i])
-                ring = 1 if (fl & (1 << K.MV_BIT_RINGING)) else 0
-                maint = 1 if (fl & (1 << K.MV_BIT_MAINTAIN)) else 0
-                self.blockdata[i] |= ring << K.RINGING_BIT
-                self.blockdata[i] |= maint << K.MAINTAIN_BIT
+            fl = intramv.flags
+            self.blockdata |= (((fl >> K.MV_BIT_RINGING) & 1)
+                               << K.RINGING_BIT).astype(np.uint8)
+            self.blockdata |= (((fl >> K.MV_BIT_MAINTAIN) & 1)
+                               << K.MAINTAIN_BIT).astype(np.uint8)
             ring_bits = (intramv.flags & (1 << K.MV_BIT_RINGING)) != 0
             maint_bits = (intramv.flags & (1 << K.MV_BIT_MAINTAIN)) != 0
             motion.encode_intra_meta(w, ring_bits, maint_bits, stats)

@@ -25,7 +25,8 @@ from ..codec.decoder import _PCfg, apply_intra_filter
 
 
 @functools.lru_cache(maxsize=None)
-def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy):
+def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
+                     need_recon):
     from ..utils.packet import VideoMeta
     pcfg = _PCfg(VideoMeta(width=w_, height=h_, subsamp=subsamp),
                  blk_w, blk_h, False, lossless, do_psy)
@@ -37,13 +38,26 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy):
         inv = sbt.make_inv_sbt(scfg)
         fwd = sbt.make_fwd_sbt(scfg)
 
-        def f(x, bd, q):
+        def f(x8, bd, q):
             dummy = jnp.zeros((pcfg.nbv, pcfg.nbh), dtype=bool)
+            x = x8.astype(jnp.int32) - 128
             coefs = fwd(x, bd)
             deq, v = qf(coefs, bd, dummy, dummy, q)
-            recon = inv(deq, bd, q)
-            px = jnp.clip(recon + 128, 0, 255).astype(jnp.uint8)
-            return px, v, coefs[0, 0]
+            if need_recon:
+                recon = inv(deq, bd, q)
+                px = jnp.clip(recon + 128, 0, 255).astype(jnp.uint8)
+            else:
+                # gop=0 / non-reference frames: the reconstruction is dead
+                # work (ref keeps no chain; dsv_encoder.c:1296-1301)
+                px = jnp.zeros((1, 1), jnp.uint8)
+            # compact the (sparse) scan values on device: stable argsort
+            # puts nonzero scan positions first, in scan order — the host
+            # then fetches only the occupied prefix (tunnel bandwidth)
+            nz = v != 0
+            order = jnp.argsort(~nz, stable=True).astype(jnp.int32)
+            vals_c = v[order]
+            nnz = nz.sum().astype(jnp.int32)
+            return px, vals_c, order, nnz, coefs[0, 0]
         return f
 
     fns = [one_plane(c) for c in range(3)]
@@ -55,6 +69,27 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy):
         return outs
 
     return jax.jit(batch)
+
+
+def _fetch_sparse(vals_c, pos_c, nnz):
+    """Two-phase device->host fetch: counts first, then only the occupied
+    prefix of the compacted (value, position) arrays; host scatters back to
+    dense scan vectors."""
+    counts = np.asarray(nnz)
+    total = vals_c.shape[1]
+    k = int(counts.max(initial=0))
+    k = min(_round_up(max(k, 1), 4096), total)
+    vals = np.asarray(vals_c[:, :k])
+    pos = np.asarray(pos_c[:, :k])
+    out = np.zeros((vals_c.shape[0], total), dtype=np.int32)
+    for i in range(vals_c.shape[0]):
+        n = int(counts[i])
+        out[i, pos[i, :n]] = vals[i, :n]
+    return out
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
 
 
 def encode_intra_batch(enc, frame_planes):
@@ -118,12 +153,11 @@ def encode_intra_batch(enc, frame_planes):
         stats_all.append(stats)
         stable_bits = enc._stable_decisions(d, intramv)
         stable_bits_all.append(stable_bits)
-        for i in range(nblk):
-            fl = int(intramv.flags[i])
-            ring = 1 if (fl & (1 << K.MV_BIT_RINGING)) else 0
-            maint = 1 if (fl & (1 << K.MV_BIT_MAINTAIN)) else 0
-            enc.blockdata[i] |= ring << K.RINGING_BIT
-            enc.blockdata[i] |= maint << K.MAINTAIN_BIT
+        fl = intramv.flags
+        enc.blockdata |= (((fl >> K.MV_BIT_RINGING) & 1) << K.RINGING_BIT
+                          ).astype(np.uint8)
+        enc.blockdata |= (((fl >> K.MV_BIT_MAINTAIN) & 1) << K.MAINTAIN_BIT
+                          ).astype(np.uint8)
         blockdatas.append(enc.blockdata.reshape(p.nbv, p.nbh).copy())
         rc_quals.append(enc.rc_qual)
         # per-frame RC stats (CRF/CQP only; size-independent)
@@ -143,16 +177,21 @@ def encode_intra_batch(enc, frame_planes):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
             arr = d.padded.planes[c]
-            x = np.zeros((ch, cw), dtype=np.int32)
-            x[:ph, :] = arr[B:B + ph, B:B + cw].astype(np.int32) - 128
+            x = np.full((ch, cw), 128, dtype=np.uint8)
+            x[:ph, :] = arr[B:B + ph, B:B + cw]
             xs[c].append(x)
     xs = [np.stack(a) for a in xs]
     bds = np.stack(blockdatas)
     qs = np.asarray(quants, dtype=np.int32)
+    need_recon = enc.gop != K.GOP_INTRA
     fn = _device_batch_fn(meta.width, meta.height, meta.subsamp,
-                          p.blk_w, p.blk_h, p.lossless, p.do_psy)
+                          p.blk_w, p.blk_h, p.lossless, p.do_psy,
+                          need_recon)
     outs = fn(xs[0], xs[1], xs[2], bds, qs)
-    outs = jax.tree_util.tree_map(np.asarray, outs)
+    vscans = [_fetch_sparse(outs[c][1], outs[c][2], outs[c][3])
+              for c in range(3)]
+    pxs = [np.asarray(outs[c][0]) for c in range(3)] if need_recon else None
+    lls = [np.asarray(outs[c][4]) for c in range(3)]
 
     # --- host: serialize ----------------------------------------------------
     chunks = []
@@ -179,15 +218,18 @@ def encode_intra_batch(enc, frame_planes):
         maint_bits = (imv.flags & (1 << K.MV_BIT_MAINTAIN)) != 0
         motion.encode_intra_meta(w, ring_bits, maint_bits, stats)
         w.align()
-        recon = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        recon = (Frame(meta.subsamp, meta.width, meta.height, border=True)
+                 if need_recon else None)
         for c in range(3):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
-            px, v, ll = (outs[c][0][fi], outs[c][1][fi], outs[c][2][fi])
-            planecode.encode_plane(w, None, v, int(ll), cw, ch)
-            recon.view(c)[:, :] = px[:ph, :pw]
-        apply_intra_filter(recon, blockdatas[fi], pcfg, d.quant,
-                           enc.do_intra_filter)
+            planecode.encode_plane(w, None, vscans[c][fi], int(lls[c][fi]),
+                                   cw, ch)
+            if need_recon:
+                recon.view(c)[:, :] = pxs[c][fi][:ph, :pw]
+        if need_recon:
+            apply_intra_filter(recon, blockdatas[fi], pcfg, d.quant,
+                               enc.do_intra_filter)
         out = w.data()
         bufs = []
         if gop_starts[fi]:

@@ -107,8 +107,8 @@ class RawYUVReader:
 
 def y4m_subs_name(subsamp):
     return {K.SUBSAMP_444: b"444", K.SUBSAMP_422: b"422",
-            K.SUBSAMP_420: b"420", K.SUBSAMP_411: b"411",
-            K.SUBSAMP_410: b"410"}[subsamp]
+            K.SUBSAMP_UYVY: b"422", K.SUBSAMP_420: b"420",
+            K.SUBSAMP_411: b"411", K.SUBSAMP_410: b"410"}[subsamp]
 
 
 class Y4MWriter:

@@ -40,6 +40,7 @@ def lib():
             L.dsvn_scan_dec.argtypes = [
                 C.POINTER(C.c_uint8), C.c_uint32, C.POINTER(C.c_int32),
                 C.POINTER(Seg), C.c_int]
+            _setup_hme(L)
             _lib = L
     return _lib
 
@@ -119,3 +120,119 @@ def chroma_filter(plane_arr, w, h, stride, mvx, mvy, mvflags,
     lib().dsvn_chroma_filter(_u8p(plane_arr), w, h, stride,
                              _i16p(mvx), _i16p(mvy), _u32p(mvflags),
                              nbh, nbv, bw, bh, q, int(lossless))
+
+
+# --- HME metric primitives -------------------------------------------------
+
+_B = 32  # frame border
+
+
+def _setup_hme(L):
+    import ctypes as C
+    V = C.c_void_p
+    L.dsvn_metr.restype = C.c_uint32
+    L.dsvn_metr.argtypes = [V, C.c_int, V, C.c_int] + [C.c_int] * 5
+    L.dsvn_umetr.restype = C.c_uint32
+    L.dsvn_umetr.argtypes = [V, C.c_int, V, C.c_int] + [C.c_int] * 5
+    L.dsvn_sse.restype = C.c_uint32
+    L.dsvn_sse.argtypes = [V, C.c_int, V, C.c_int, C.c_int, C.c_int]
+    L.dsvn_qpsad.restype = C.c_uint32
+    L.dsvn_qpsad.argtypes = [V, C.c_int, V] + [C.c_int] * 5
+    L.dsvn_cand_scores.restype = None
+    L.dsvn_cand_scores.argtypes = ([V, C.c_int, V, C.c_int]
+                                   + [C.c_int] * 6 + [V, V, C.c_int, V])
+    L.dsvn_make_qpel_grid.restype = None
+    L.dsvn_make_qpel_grid.argtypes = [V, C.c_int, V]
+    L.dsvn_err_intra.restype = None
+    L.dsvn_err_intra.argtypes = ([V, C.c_int, V, C.c_int]
+                                 + [C.c_int] * 7 + [C.c_uint32, V])
+    L.dsvn_block_features.restype = None
+    L.dsvn_block_features.argtypes = [V, C.c_int, C.c_int, C.c_int, V]
+    L.dsvn_mv_cost.restype = C.c_int64
+    L.dsvn_mv_cost.argtypes = [V, V] + [C.c_int] * 10
+    L.dsvn_movec_pred.restype = None
+    L.dsvn_movec_pred.argtypes = [V, V, C.c_int, C.c_int, C.c_int, V]
+    L.dsvn_neighbordif2.restype = None
+    L.dsvn_neighbordif2.argtypes = [V, V, V, C.c_int, C.c_int, C.c_int, V]
+
+
+def pptr(arr, x, y):
+    """Address of bordered plane arr at visible coords (x, y)."""
+    return (arr.__array_interface__["data"][0]
+            + arr.shape[1] * (_B + y) + (_B + x))
+
+
+def aptr(arr):
+    return arr.__array_interface__["data"][0]
+
+
+def metr(a, ax, ay, b, bx, by, w, h, psy):
+    return lib().dsvn_metr(pptr(a, ax, ay), a.shape[1], pptr(b, bx, by),
+                           b.shape[1], w, h, psy[0], psy[1], psy[2])
+
+
+def umetr(a, ax, ay, b, bx, by, w, h, psy):
+    return lib().dsvn_umetr(pptr(a, ax, ay), a.shape[1], pptr(b, bx, by),
+                            b.shape[1], w, h, psy[0], psy[1], psy[2])
+
+
+def sse(a, ax, ay, b, bx, by, w, h):
+    return lib().dsvn_sse(pptr(a, ax, ay), a.shape[1], pptr(b, bx, by),
+                          b.shape[1], w, h)
+
+
+def cand_scores(a, ax, ay, b, bx, by, w, h, level, psy, dxs, dys):
+    n = len(dxs)
+    dxa = np.asarray(dxs, dtype=np.int32)
+    dya = np.asarray(dys, dtype=np.int32)
+    out = np.zeros(n, dtype=np.uint32)
+    lib().dsvn_cand_scores(pptr(a, ax, ay), a.shape[1], pptr(b, bx, by),
+                           b.shape[1], w, h, level, psy[0], psy[1], psy[2],
+                           aptr(dxa), aptr(dya), n, aptr(out))
+    return out
+
+
+def make_qpel_grid(ref, x, y):
+    """68x68 probe grid; (x, y) = probe origin minus (1, 1) pre-offset
+    handled by the caller (pass the window's top-left visible coords)."""
+    q = np.zeros((68, 68), dtype=np.uint8)
+    lib().dsvn_make_qpel_grid(pptr(ref, x, y), ref.shape[1], aptr(q))
+    return q
+
+
+def qpsad(a, ax, ay, q, t0, t1, psy):
+    return lib().dsvn_qpsad(pptr(a, ax, ay), a.shape[1], aptr(q),
+                            t0, t1, psy[0], psy[1], psy[2])
+
+
+def err_intra(a, ax, ay, b, bx, by, avg_sb, avg_src, w, h, psy, ratio):
+    out = np.zeros(3, dtype=np.uint32)
+    lib().dsvn_err_intra(pptr(a, ax, ay), a.shape[1], pptr(b, bx, by),
+                         b.shape[1], avg_sb, avg_src, w, h,
+                         psy[0], psy[1], psy[2], ratio, aptr(out))
+    return int(out[0]), int(out[1]), int(out[2])
+
+
+def block_features(a, x, y, w, h):
+    """(detail, avg, var, tex, qtex, hvar, npeaks)."""
+    out = np.zeros(7, dtype=np.int32)
+    lib().dsvn_block_features(pptr(a, x, y), a.shape[1], w, h, aptr(out))
+    return out
+
+
+def mv_cost(mvx, mvy, nbh, blk_w, blk_h, vid_w, vid_h, i, j, mx, my, q, sqr):
+    return lib().dsvn_mv_cost(aptr(mvx), aptr(mvy), nbh, blk_w, blk_h,
+                              vid_w, vid_h, i, j, mx, my, q, sqr)
+
+
+def movec_pred(mvx, mvy, nbh, x, y):
+    out = np.zeros(2, dtype=np.int32)
+    lib().dsvn_movec_pred(aptr(mvx), aptr(mvy), nbh, x, y, aptr(out))
+    return int(out[0]), int(out[1])
+
+
+def neighbordif2(mvx, mvy, skip_u8, nbh, x, y):
+    out = np.zeros(2, dtype=np.int32)
+    lib().dsvn_neighbordif2(aptr(mvx), aptr(mvy), aptr(skip_u8), nbh, x, y,
+                            aptr(out))
+    return int(out[0]), int(out[1])

@@ -681,3 +681,400 @@ API void dsvn_chroma_filter(uint8_t *plane, int w, int h, int s,
         }
     }
 }
+
+/* ------------------------------------------------------------------ */
+/* HME metric primitives (ref: src/hme.c:80-366, 775-837).            */
+/* Hot per-block math for the host motion-search orchestrator; the    */
+/* TPU wavefront implementation supersedes these for bulk throughput. */
+/* ------------------------------------------------------------------ */
+
+static uint32_t nat_isqrt(uint32_t n)
+{
+    uint32_t pos = 1u << 30, res = 0, rem = n;
+    if (n == 0) return 0;
+    while (pos > rem) pos >>= 2;
+    while (pos) {
+        uint32_t dif = res + pos;
+        res >>= 1;
+        if (rem >= dif) { rem -= dif; res += pos; }
+        pos >>= 2;
+    }
+    return res;
+}
+
+#define NAT_AVG2(a, b) (((a) + (b) + 1) >> 1)
+#define NAT_UAVG4(a, b, c, d) ((unsigned)((a) + (b) + (c) + (d) + 2) >> 2)
+
+static uint32_t metr_ret(uint32_t acc, int w, int h)
+{
+    return nat_isqrt(acc) * (uint32_t)(w * h) / (uint32_t)NAT_AVG2(w, h);
+}
+
+static uint32_t metr_acc(const uint8_t *a, int as, const uint8_t *b, int bs,
+                         int w, int h, int ew, int tw, int aw)
+{
+    uint32_t acc = 0;
+    int i, j;
+    for (j = 0; j < h / 2; j++) {
+        int bp = 0;
+        for (i = 0; i < w / 2; i++) {
+            int a1 = a[bp], a2 = a[bp + 1], a3 = a[bp + as], a4 = a[bp + 1 + as];
+            int b1 = b[bp], b2 = b[bp + 1], b3 = b[bp + bs], b4 = b[bp + 1 + bs];
+            int s0 = NAT_UAVG4(a1, a2, a3, a4);
+            int s1 = NAT_UAVG4(b1, b2, b3, b4);
+            int se = NAT_UAVG4(iabs(a1 - b1), iabs(a2 - b2), iabs(a3 - b3), iabs(a4 - b4));
+            int ta = NAT_UAVG4(iabs(a1 - a2), iabs(a2 - a3), iabs(a3 - a4), iabs(a4 - a1));
+            int tb = NAT_UAVG4(iabs(b1 - b2), iabs(b2 - b3), iabs(b3 - b4), iabs(b4 - b1));
+            acc += (uint32_t)(se * se) << ew;
+            acc += (uint32_t)((ta - tb) * (ta - tb)) << tw;
+            acc += (uint32_t)((s0 - s1) * (s0 - s1)) << aw;
+            bp += 2;
+        }
+        a += 2 * as;
+        b += 2 * bs;
+    }
+    return acc;
+}
+
+API uint32_t dsvn_metr(const uint8_t *a, int as, const uint8_t *b, int bs,
+                       int w, int h, int ew, int tw, int aw)
+{
+    if (w == 0 || h == 0) return 0x7FFFFFFF;
+    return metr_ret(metr_acc(a, as, b, bs, w, h, ew, tw, aw), w, h);
+}
+
+API uint32_t dsvn_umetr(const uint8_t *a, int as, const uint8_t *b, int bs,
+                        int w, int h, int ew, int tw, int aw)
+{
+    return metr_acc(a, as, b, bs, w, h, ew, tw, aw);
+}
+
+API uint32_t dsvn_sse(const uint8_t *a, int as, const uint8_t *b, int bs,
+                      int w, int h)
+{
+    uint32_t acc = 0;
+    int i, j;
+    if (w == 0 || h == 0) return 0x7FFFFFFF;
+    for (j = 0; j < h; j++) {
+        for (i = 0; i < w; i++) {
+            int d = a[i] - b[i];
+            acc += (uint32_t)(d * d);
+        }
+        a += as;
+        b += bs;
+    }
+    return acc;
+}
+
+/* batched candidate scoring: hier_metr over n (dx, dy) offsets */
+API void dsvn_cand_scores(const uint8_t *src, int ss,
+                          const uint8_t *refbase, int rs,
+                          int w, int h, int level,
+                          int ew, int tw, int aw,
+                          const int32_t *dxs, const int32_t *dys, int n,
+                          uint32_t *scores)
+{
+    int k;
+    for (k = 0; k < n; k++) {
+        const uint8_t *rp = refbase + dxs[k] + dys[k] * rs;
+        if (level > 1) scores[k] = dsvn_sse(src, ss, rp, rs, w, h);
+        else scores[k] = dsvn_metr(src, ss, rp, rs, w, h, ew, tw, aw);
+    }
+}
+
+/* half+quarter-pel probe grid (ref: hme.c:787-837).
+ * refwin: 21x21 window with stride rws whose (1,1) sample is the probe
+ * origin. qout: 68*68 grid. */
+#define SPD 17
+#define HPD 34
+#define QPD 68
+
+API void dsvn_make_qpel_grid(const uint8_t *refwin, int rws, uint8_t *qout)
+{
+    int32_t hbuf[(SPD + 3) * SPD];
+    int32_t hg[(HPD + 1) * (HPD + 1)];
+    int i, j;
+
+    for (j = 0; j < SPD + 3; j++) {
+        const uint8_t *r = refwin + j * rws;
+        for (i = 0; i < SPD; i++) {
+            hbuf[i + j * SPD] = 5 * (r[i + 1] + r[i + 2]) - (r[i] + r[i + 3]);
+        }
+    }
+    memset(hg, 0, sizeof(hg));
+    for (j = 0; j < SPD; j++) {
+        const uint8_t *r0 = refwin + (j + 0) * rws + 1; /* row j-1 rel probe */
+        const uint8_t *r1 = refwin + (j + 1) * rws + 1;
+        const uint8_t *r2 = refwin + (j + 2) * rws + 1;
+        const uint8_t *r3 = refwin + (j + 3) * rws + 1;
+        for (i = 0; i < SPD; i++) {
+            int fp = r1[i];
+            int hh = (5 * (r1[i] + r1[i + 1]) - (r1[i - 1] + r1[i + 2]) + 4) >> 3;
+            int vv = (5 * (r1[i] + r2[i]) - (r0[i] + r3[i]) + 4) >> 3;
+            int x = i + j * SPD;
+            int dg = (5 * (hbuf[x + SPD] + hbuf[x + 2 * SPD])
+                      - (hbuf[x] + hbuf[x + 3 * SPD]) + 32) >> 6;
+            hg[(2 * j) * (HPD + 1) + 2 * i] = fp;
+            hg[(2 * j) * (HPD + 1) + 2 * i + 1] = u8(hh);
+            hg[(2 * j + 1) * (HPD + 1) + 2 * i] = u8(vv);
+            hg[(2 * j + 1) * (HPD + 1) + 2 * i + 1] = u8(dg);
+        }
+    }
+    for (j = 0; j < HPD; j++) {
+        const int32_t *h0 = hg + j * (HPD + 1);
+        const int32_t *h1 = hg + (j + 1) * (HPD + 1);
+        uint8_t *qa = qout + (2 * j) * QPD;
+        uint8_t *qb = qout + (2 * j + 1) * QPD;
+        for (i = 0; i < HPD; i++) {
+            qa[2 * i] = (uint8_t)h0[i];
+            qa[2 * i + 1] = (uint8_t)NAT_AVG2(h0[i], h0[i + 1]);
+            qb[2 * i] = (uint8_t)NAT_AVG2(h0[i], h1[i]);
+            qb[2 * i + 1] = (uint8_t)NAT_UAVG4(h0[i], h0[i + 1], h1[i], h1[i + 1]);
+        }
+    }
+}
+
+/* qpsad over the probe grid (ref: hme.c:244-269) */
+API uint32_t dsvn_qpsad(const uint8_t *a, int as, const uint8_t *q,
+                        int t0, int t1, int ew, int tw, int aw)
+{
+    const uint8_t *b = q + (4 + t1) * QPD + 4 + t0;
+    uint32_t acc = 0;
+    int i, j;
+    for (j = 0; j < 8; j++) {
+        int ap = 0;
+        for (i = 0; i < 8; i++) {
+            int a1 = a[ap], a2 = a[ap + 1], a3 = a[ap + as], a4 = a[ap + 1 + as];
+            int b1 = b[(8 * i) * 1 + (8 * j) * QPD];
+            int b2 = b[(8 * i + 4) + (8 * j) * QPD];
+            int b3 = b[(8 * i) + (8 * j + 4) * QPD];
+            int b4 = b[(8 * i + 4) + (8 * j + 4) * QPD];
+            int s0 = NAT_UAVG4(a1, a2, a3, a4);
+            int s1 = NAT_UAVG4(b1, b2, b3, b4);
+            int se = NAT_UAVG4(iabs(a1 - b1), iabs(a2 - b2), iabs(a3 - b3), iabs(a4 - b4));
+            int ta = NAT_UAVG4(iabs(a1 - a2), iabs(a2 - a3), iabs(a3 - a4), iabs(a4 - a1));
+            int tb = NAT_UAVG4(iabs(b1 - b2), iabs(b2 - b3), iabs(b3 - b4), iabs(b4 - b1));
+            acc += (uint32_t)(se * se) << ew;
+            acc += (uint32_t)((ta - tb) * (ta - tb)) << tw;
+            acc += (uint32_t)((s0 - s1) * (s0 - s1)) << aw;
+            ap += 2;
+        }
+        a += 2 * as;
+    }
+    return metr_ret(acc, 16, 16);
+}
+
+/* err_intra (ref: hme.c:839-889) */
+API void dsvn_err_intra(const uint8_t *a, int as, const uint8_t *b, int bs,
+                        int avg_sb, int avg_src, int w, int h,
+                        int ew, int tw, int aw, uint32_t ratio,
+                        uint32_t *out3)
+{
+    uint32_t intra_sb = 0, intra_src = 0, inter = 0;
+    int i, j;
+    for (j = 0; j < h / 2; j++) {
+        int bp = 0;
+        for (i = 0; i < w / 2; i++) {
+            int a1 = a[bp], a2 = a[bp + 1], a3 = a[bp + as], a4 = a[bp + 1 + as];
+            int b1 = b[bp], b2 = b[bp + 1], b3 = b[bp + bs], b4 = b[bp + 1 + bs];
+            int s0 = NAT_UAVG4(a1, a2, a3, a4);
+            int s1 = NAT_UAVG4(b1, b2, b3, b4);
+            int ta = NAT_UAVG4(iabs(a1 - a2), iabs(a2 - a3), iabs(a3 - a4), iabs(a4 - a1));
+            int tb = NAT_UAVG4(iabs(b1 - b2), iabs(b2 - b3), iabs(b3 - b4), iabs(b4 - b1));
+            int ae = NAT_UAVG4(iabs(a1 - b1), iabs(a2 - b2), iabs(a3 - b3), iabs(a4 - b4));
+            inter += ((uint32_t)(ae * ae) * ratio) >> (5 - ew);
+            inter += (uint32_t)((ta - tb) * (ta - tb)) << tw;
+            inter += (uint32_t)((s0 - s1) * (s0 - s1)) << aw;
+            ae = NAT_UAVG4(iabs(a1 - avg_sb), iabs(a2 - avg_sb), iabs(a3 - avg_sb), iabs(a4 - avg_sb));
+            intra_sb += (uint32_t)(ae * ae) << ew;
+            intra_sb += (uint32_t)(ta * ta) << tw;
+            intra_sb += (uint32_t)((s0 - avg_sb) * (s0 - avg_sb)) << (aw + 1);
+            ae = NAT_UAVG4(iabs(a1 - avg_src), iabs(a2 - avg_src), iabs(a3 - avg_src), iabs(a4 - avg_src));
+            intra_src += (uint32_t)(ae * ae) << ew;
+            intra_src += (uint32_t)(ta * ta) << tw;
+            intra_src += (uint32_t)((s0 - avg_src) * (s0 - avg_src)) << (aw + 1);
+            bp += 2;
+        }
+        a += 2 * as;
+        b += 2 * bs;
+    }
+    out3[0] = intra_sb;
+    out3[1] = intra_src;
+    out3[2] = (inter * ratio) >> 5;
+}
+
+/* block features for the search path (ref: hme.c:492-749) */
+API void dsvn_block_features(const uint8_t *a, int as, int w, int h,
+                             int32_t *out)
+{
+    /* out: detail, avg, var, tex, qtex, hvar, npeaks */
+    int i, j, x;
+    int64_t s = 0;
+    uint32_t sh = 0, sv = 0, sh2 = 0, sv2 = 0;
+    int avg, var = 0, tex, detail;
+    uint16_t hist[NHIST];
+    int area = w * h;
+
+    for (j = 0; j < h; j++) {
+        const uint8_t *row = a + j * as;
+        const uint8_t *prev = j ? row - as : row;
+        s += row[0];
+        sv += iabs(row[0] - prev[0]);
+        for (i = 1; i < w; i++) {
+            s += row[i];
+            sh += iabs(row[i] - row[i - 1]);
+            sv += iabs(row[i] - prev[i]);
+        }
+    }
+    avg = (int)(s / area);
+    for (j = 0; j < h; j++) {
+        const uint8_t *row = a + j * as;
+        for (i = 0; i < w; i++) var += iabs(row[i] - avg);
+    }
+    out[1] = avg;
+    out[2] = var;
+    out[3] = (int32_t)imax(sh, sv);
+    tex = (int)imax(sh, sv) - (var >> 1);
+    detail = (var >> 1) + imax(tex, 0);
+    out[0] = detail;
+    /* quant_tex */
+    for (j = 0; j < h; j++) {
+        const uint8_t *row = a + j * as;
+        const uint8_t *prev = j ? row - as : row;
+        int pr = row[w - 1] >> 4;
+        for (i = w - 1; i >= 0; i--) {
+            int px = row[i] >> 4;
+            int d = px - pr;
+            sh2 += (uint32_t)(d * d);
+            d = px - (prev[i] >> 4);
+            sv2 += (uint32_t)(d * d);
+            pr = px;
+        }
+    }
+    out[4] = (int32_t)(nat_isqrt(sh2 > sv2 ? sh2 : sv2) / (uint32_t)NAT_AVG2(w, h));
+    /* hist var */
+    {
+        int havg = avg ? avg : 1;
+        uint32_t q16 = (uint32_t)((8 << 16) / havg);
+        uint32_t hvar = 0;
+        int hm;
+        memset(hist, 0, sizeof(hist));
+        for (j = 0; j < h; j++) {
+            const uint8_t *row = a + j * as;
+            for (i = 0; i < w; i++) {
+                int hi = (int)((row[i] * q16) >> 16);
+                hist[iclamp(hi, 0, NHIST - 1)]++;
+            }
+        }
+        hm = area / NHIST;
+        for (x = 0; x < NHIST; x++) {
+            int d = hist[x] - hm;
+            hvar += (uint32_t)(d * d);
+        }
+        out[5] = (int32_t)(((uint64_t)hvar * 256) / ((uint64_t)NHIST * area * area));
+    }
+    /* peaks */
+    {
+        int havg = avg ? avg : 1;
+        uint32_t q16 = (uint32_t)((8 << 16) / havg);
+        int w2 = w / 2, h2 = h / 2, maxv = 0, pavg = 0, npeaks = 0;
+        memset(hist, 0, sizeof(hist));
+        for (j = 0; j < h2; j++) {
+            const uint8_t *ra = a + (2 * j) * as;
+            const uint8_t *rb = ra + as;
+            for (i = 0; i < w2; i++) {
+                int ds = NAT_UAVG4(ra[2 * i], ra[2 * i + 1], rb[2 * i], rb[2 * i + 1]);
+                int hi = (int)((ds * q16) >> 16);
+                hist[imin(hi, NHIST - 1)]++;
+            }
+        }
+        for (x = 0; x < NHIST; x++) {
+            if (hist[x] > maxv) maxv = hist[x];
+            pavg += hist[x];
+        }
+        pavg /= NHIST;
+        maxv >>= 2;
+        for (x = 0; x < NHIST; x++) {
+            int c = hist[x];
+            int pk = 1;
+            if (x > 0) pk &= c > hist[x - 1];
+            if (x < NHIST - 1) pk &= c > hist[x + 1];
+            pk &= (c > maxv) || (c > pavg);
+            if (pk) npeaks++;
+        }
+        out[6] = npeaks;
+    }
+}
+
+/* MV cost model + neighborhood metric (ref: src/dsv.c:324-447) */
+
+static int seg_bits_c(int v)
+{
+    int nb = -1, len;
+    unsigned x;
+    if (v < 0) v = -v;
+    v++;
+    for (x = (unsigned)v; x; x >>= 1) nb++;
+    len = nb * 2 + 1;
+    return len + 1;
+}
+
+static int pred3(int left, int top, int topleft)
+{
+    int dif = left + top - topleft;
+    if (iabs(dif - left) < iabs(dif - top)) return left;
+    return top;
+}
+
+API void dsvn_movec_pred(const int16_t *mvx, const int16_t *mvy, int nbh,
+                         int x, int y, int32_t *out2)
+{
+    int vx0 = 0, vy0 = 0, vx1 = 0, vy1 = 0, vx2 = 0, vy2 = 0;
+    if (x > 0) { vx0 = mvx[(x - 1) + y * nbh]; vy0 = mvy[(x - 1) + y * nbh]; }
+    if (y > 0) { vx1 = mvx[x + (y - 1) * nbh]; vy1 = mvy[x + (y - 1) * nbh]; }
+    if (x > 0 && y > 0) {
+        vx2 = mvx[(x - 1) + (y - 1) * nbh];
+        vy2 = mvy[(x - 1) + (y - 1) * nbh];
+    }
+    out2[0] = pred3(vx0, vx1, vx2);
+    out2[1] = pred3(vy0, vy1, vy2);
+}
+
+API int64_t dsvn_mv_cost(const int16_t *mvx, const int16_t *mvy, int nbh,
+                         int blk_w, int blk_h, int vid_w, int vid_h,
+                         int i, int j, int mx, int my, int q, int sqr)
+{
+    int32_t pr[2];
+    int64_t bits, b2sr;
+    dsvn_movec_pred(mvx, mvy, nbh, i, j, pr);
+    bits = seg_bits_c(mx - pr[0]) + seg_bits_c(my - pr[1]);
+    b2sr = (256LL * ((q * q) >> 12) * blk_w * blk_h) / ((int64_t)vid_w * vid_h);
+    bits += bits * b2sr >> 7;
+    if (sqr) bits *= bits;
+    return bits;
+}
+
+API void dsvn_neighbordif2(const int16_t *mvx, const int16_t *mvy,
+                           const uint8_t *skip, int nbh, int x, int y,
+                           int32_t *out2)
+{
+    int k = x + y * nbh;
+    int cmx = mvx[k], cmy = mvy[k];
+    int vx0, vy0, vx1, vy1;
+    if (iabs(cmx) < 2 && iabs(cmy) < 2) {
+        out2[0] = out2[1] = 0;
+        return;
+    }
+    vx0 = vx1 = cmx;
+    vy0 = vy1 = cmy;
+    if (x > 0) {
+        int k2 = (x - 1) + y * nbh;
+        if ((mvx[k2] || mvy[k2]) && !skip[k2]) { vx0 = mvx[k2]; vy0 = mvy[k2]; }
+    }
+    if (y > 0) {
+        int k2 = x + (y - 1) * nbh;
+        if ((mvx[k2] || mvy[k2]) && !skip[k2]) { vx1 = mvx[k2]; vy1 = mvy[k2]; }
+    }
+    out2[0] = iabs(vx0 - cmx) + iabs(vy0 - cmy);
+    out2[1] = iabs(vx1 - cmx) + iabs(vy1 - cmy);
+}

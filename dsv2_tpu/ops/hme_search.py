@@ -19,6 +19,7 @@ from ..core import mvmath
 from ..core.frame import Frame, ds2x_luma, B
 from ..codec.motion import MotionField
 from . import blockanalysis as ba
+from .. import native as nat
 
 N_SEARCH = 9
 RECTX = [0, 1, -1, 0, 0, -1, 1, -1, 1]
@@ -252,8 +253,9 @@ def err_intra(a, b, avg_sb, avg_src, psy, ratio):
             ((int(inter) & U32) * ratio & U32) >> 5)
 
 
-def test_subblock_intra_y(p, refmv_xy, mv, srcw, refw, detail_src, avg_src,
-                          neidif, ratio, bw, bh, psyscale):
+def test_subblock_intra_y(p, refmv_xy, mv, splane, sx, sy, rplane, rx, ry,
+                          detail_src, avg_src, neidif, ratio, bw, bh,
+                          psyscale):
     """(ref: hme.c:891-985). mv: dict with x, y, submask, dc, flags."""
     if refmv_xy is None:
         refmv_xy = (mv["x"], mv["y"])
@@ -275,17 +277,18 @@ def test_subblock_intra_y(p, refmv_xy, mv, srcw, refw, detail_src, avg_src,
             if mv["submask"] & bits[bit_index]:
                 bit_index += 1
                 continue
-            src_d = srcw[g:g + sbh, f:f + sbw]
-            mvr_d = refw[g:g + sbh, f:f + sbw]
-            avg_sub = block_avg(mvr_d)
-            local_detail, avg_local = ba.block_detail(src_d)
+            rfeat = nat.block_features(rplane, rx + f, ry + g, sbw, sbh)
+            avg_sub = int(rfeat[1])
+            sfeat = nat.block_features(splane, sx + f, sy + g, sbw, sbh)
+            local_detail, avg_local = int(sfeat[0]), int(sfeat[1])
             dcd = abs(int(avg_local) - int(avg_sub)) + 2
             if local_detail > (dcd * dcd * bw * bh * ratio) >> 5:
                 bit_index += 1
                 continue
             dc = (avg_local + avg_src * 3 + 2) >> 2
-            sub_pred_err, src_pred_err, intererr = err_intra(
-                src_d, mvr_d, avg_sub, dc, psy, ratio)
+            sub_pred_err, src_pred_err, intererr = nat.err_intra(
+                splane, sx + f, sy + g, rplane, rx + f, ry + g,
+                avg_sub, dc, sbw, sbh, psy, ratio)
             lo = avg2(detail_src, local_detail)
             hi = detail_src
             lerp = (lo * (32 - psyscale) + hi * psyscale) >> 5
@@ -360,9 +363,12 @@ def yuv_max_subblock_err(src, ref, bx, by, brx, bry, bw, bh,
         sub = []
         for g in (0, h2):
             for f in (0, w2):
-                a = win(src.planes[z], x0 + f, y0 + g, w2, h2)
-                b = win(ref.planes[z], rx + f, ry + g, w2, h2)
-                sub.append(umetr(a, b, psy) if w2 and h2 else 0)
+                if w2 and h2:
+                    sub.append(nat.umetr(src.planes[z], x0 + f, y0 + g,
+                                         ref.planes[z], rx + f, ry + g,
+                                         w2, h2, psy))
+                else:
+                    sub.append(0)
         out.append(max(sub))
     return out
 
@@ -386,26 +392,22 @@ def subpixel_me(p, mvf_x, mvf_y, mv, fpelx, fpely, src, ref, i, j, best,
     if best == 0:
         return best
     yarea = bw * bh
-    srcw = win(src.planes[0], bx, by, bw, bh)
     quad = []
     dx4 = [1, -1, 0, 0]
     dy4 = [0, 0, 1, -1]
     for n in range(4):
-        refw = win(ref.planes[0], bx + fpelx + dx4[n], by + fpely + dy4[n],
-                   bw, bh)
-        quad.append(fastsse(srcw, refw))
+        quad.append(nat.sse(src.planes[0], bx, by, ref.planes[0],
+                            bx + fpelx + dx4[n], by + fpely + dy4[n], bw, bh))
     area_ratio = 8 * (SP_SAD_SZ * SP_SAD_SZ) // yarea
     iarea_ratio = 8 * yarea // (SP_SAD_SZ * SP_SAD_SZ)
     best = u32(best * area_ratio) >> 3
     xx = bx + ((bw >> 1) - ((SP_SAD_SZ + 1) // 2))
     yy = by + ((bh >> 1) - ((SP_SAD_SZ + 1) // 2))
-    # 21x21 ref window: origin offset -1 for negative hpel, and the filters
-    # read one left/up and two right/down beyond the 17-sample span
+    # probe window origin offset -1 for negative hpel; the grid builder
+    # reads one row/col above-left and two beyond (21x21 total)
     rx = xx + fpelx - 1
     ry = yy + fpely - 1
-    refwin = win(ref.planes[0], rx - 1, ry - 1, SP_DIM + 4, SP_DIM + 4)
-    q = qpel_grid(hpel_grid(refwin))
-    srcsp = win(src.planes[0], xx, yy, SP_SAD_SZ, SP_SAD_SZ)
+    q = nat.make_qpel_grid(ref.planes[0], rx - 1, ry - 1)
 
     pri = [0, -1]
     sec = [-1, 0]
@@ -430,7 +432,7 @@ def subpixel_me(p, mvf_x, mvf_y, mv, fpelx, fpely, src, ref, i, j, best,
             t = [testv[n >> 1][0] << hp, testv[n >> 1][1] << hp]
         if ((t[0] | t[1]) & 1) and p.effort < 8:
             continue
-        score = qpsad(srcsp, q, t[0], t[1], psy)
+        score = nat.qpsad(src.planes[0], xx, yy, q, t[0], t[1], psy)
         evx = mk_mv(fpelx, 0, t[0])
         evy = mk_mv(fpely, 0, t[1])
         score += mv_cost_lvl(mvf_x, mvf_y, p, i, j, evx, evy, quant, 0)
@@ -445,8 +447,8 @@ def subpixel_me(p, mvf_x, mvf_y, mv, fpelx, fpely, src, ref, i, j, best,
 def mv_cost_lvl(mvf_x, mvf_y, p, i, j, mx, my, q, level):
     """(ref: hme.c:354-366)."""
     sqr = 1 if level > 1 else 0
-    cost = mvmath.mv_cost(mvf_x, mvf_y, p.nbh, p.blk_w, p.blk_h,
-                          p.meta.width, p.meta.height, i, j, mx, my, q, sqr)
+    cost = nat.mv_cost(mvf_x, mvf_y, p.nbh, p.blk_w, p.blk_h,
+                       p.meta.width, p.meta.height, i, j, mx, my, q, sqr)
     cost = min(cost, 1 << 19)
     if sqr:
         return cost * ((q * q) >> K.MAX_QP_BITS) >> (K.MAX_QP_BITS - 2)
@@ -516,13 +518,12 @@ def refine_level(hme, level, gx, gy):
             lax = lay = 0
             srcw = win(src.planes[0], bx, by, bw, bh)
             if not squared:
-                var_src, avg_src = ba.block_detail(srcw)
+                feat = nat.block_features(src.planes[0], bx, by, bw, bh)
+                var_src, avg_src = int(feat[0]), int(feat[1])
                 tvar = w32(var_src + ((var_src >> 10) ** 2))
                 tvar = im.divt(w32(8 * tvar * hme.quant) >> 9, bw * bh)
                 if tvar:
-                    hvar = ba.block_hist_var(srcw)
-                    qtex = ba.quant_tex(srcw)
-                    npeaks, _ = ba.block_peaks(srcw, avg_src)
+                    hvar, qtex, npeaks = int(feat[5]), int(feat[4]), int(feat[6])
                     motion_bias = w32(motion_bias
                                       + w32(w32(tvar * (hvar - qtex)) * npeaks))
                 motion_bias = max(motion_bias, 0) // (2 + abs(gx) + abs(gy))
@@ -555,7 +556,7 @@ def refine_level(hme, level, gx, gy):
                     cands.append(qp2fp(lax * 4, lay * 4))
                     # spatial predictions (ref: hme.c:1202-1228)
                     if level == 0:
-                        px, py = mvmath.movec_pred(mvf_x, mvf_y, nxb, i, j)
+                        px, py = nat.movec_pred(mvf_x, mvf_y, nxb, i, j)
                         cands.append(qp2fp(px, py))
                     if i > 0:
                         k = (i - step) + j * nxb
@@ -589,11 +590,16 @@ def refine_level(hme, level, gx, gy):
 
             best_score = score_zero = U32
             best_k = 0
-            for k, (dx, dy) in enumerate(cands):
-                if invalid_block(ref, bx + dx, by + dy, bw, bh, 0):
-                    continue
-                refw = win(ref.planes[0], bx + dx, by + dy, bw, bh)
-                score = hier_metr(level, srcw, refw, psy)
+            valid = [(k, c) for k, c in enumerate(cands)
+                     if not invalid_block(ref, bx + c[0], by + c[1],
+                                          bw, bh, 0)]
+            if valid:
+                raw = nat.cand_scores(src.planes[0], bx, by,
+                                      ref.planes[0], bx, by, bw, bh, level,
+                                      psy, [c[0] for _, c in valid],
+                                      [c[1] for _, c in valid])
+            for vi, (k, (dx, dy)) in enumerate(valid):
+                score = int(raw[vi])
                 if dx == 0 and dy == 0:
                     score_zero = score
                 score += mv_cost_lvl(mvf_x, mvf_y, p, i, j,
@@ -609,8 +615,9 @@ def refine_level(hme, level, gx, gy):
             good_enough = 0
             qthresh = (hme.quant * bw * bh >> 11) & U32
             # good-enough vs source reference (ref: hme.c:1569-1584)
-            ogrw0 = win(ogr.planes[0], bx, by, bw, bh)
-            zoscore = fastmetr(srcw, ogrw0, psy)
+            zoscore = (0x7FFFFFFF if bw == 0 or bh == 0 else
+                       nat.metr(src.planes[0], bx, by, ogr.planes[0],
+                                bx, by, bw, bh, psy))
             if abs(dx) <= 1 and abs(dy) <= 1:
                 qthresh *= 2
             if zoscore < qthresh:
@@ -647,6 +654,16 @@ def refine_level(hme, level, gx, gy):
     return nintra
 
 
+def _nat_hier(level, src, ref, bx, by, dx, dy, bw, bh, psy):
+    if bw == 0 or bh == 0:
+        return 0x7FFFFFFF
+    if level > 1:
+        return nat.sse(src.planes[0], bx, by, ref.planes[0],
+                       bx + dx, by + dy, bw, bh)
+    return nat.metr(src.planes[0], bx, by, ref.planes[0],
+                    bx + dx, by + dy, bw, bh, psy)
+
+
 def _refine_fpel(hme, level, i, j, bestx, besty, best, good_thresh, srcw,
                  src, ref, bx, by, bw, bh, psy, mvf_x, mvf_y):
     """Greedy walk with retry (ref: hme.c:1300-1370)."""
@@ -660,8 +677,7 @@ def _refine_fpel(hme, level, i, j, bestx, besty, best, good_thresh, srcw,
             tvy = besty + RECTY[k]
             if invalid_block(ref, bx + tvx, by + tvy, bw, bh, 0):
                 continue
-            refw = win(ref.planes[0], bx + tvx, by + tvy, bw, bh)
-            score = hier_metr(level, srcw, refw, psy)
+            score = _nat_hier(level, src, ref, bx, by, tvx, tvy, bw, bh, psy)
             if 1 <= k <= 4:
                 metr[k - 1] = score
             if level == 0 and tvx == 0 and tvy == 0 and score <= good_thresh:
@@ -681,8 +697,7 @@ def _refine_fpel(hme, level, i, j, bestx, besty, best, good_thresh, srcw,
         tvy = besty + RECTY[3 if metr[2] <= metr[3] else 4]
         if invalid_block(ref, bx + tvx, by + tvy, bw, bh, 0):
             return bestx, besty, best, 0
-        refw = win(ref.planes[0], bx + tvx, by + tvy, bw, bh)
-        score = hier_metr(level, srcw, refw, psy)
+        score = _nat_hier(level, src, ref, bx, by, tvx, tvy, bw, bh, psy)
         score += mv_cost_lvl(mvf_x, mvf_y, p, i, j,
                              mk_mv(tvx * step, 0, 0),
                              mk_mv(tvy * step, 0, 0), hme.quant, level)
@@ -730,13 +745,14 @@ def _level0_decisions(hme, p, mvd, mvf, skipfield, i, j, idx, dx, dy, best,
     ratio = 1 << 5
     if is_subpel:
         ratio = u32(best << 5) // (best_fp + (0 if best_fp else 1))
-    ogrw = win(ogr.planes[0], bx + fpelx, by + fpely, bw, bh)
-    refw = win(ref.planes[0], bx + fpelx, by + fpely, bw, bh)
-    ogrerr = fastmetr(srcw, ogrw, psy)
+    ogrerr = (0x7FFFFFFF if bw == 0 or bh == 0 else
+              nat.metr(src.planes[0], bx, by, ogr.planes[0],
+                       bx + fpelx, by + fpely, bw, bh, psy))
     ogrmad = im.udiv_round(ogrerr, yarea)
     ogrmad = u32(ogrmad * ratio) >> 5
     mad = im.udiv_round(best, yarea)
-    var_ref, avg_ref = ba.block_detail(refw)
+    rfeat = nat.block_features(ref.planes[0], bx + fpelx, by + fpely, bw, bh)
+    var_ref, avg_ref = int(rfeat[0]), int(rfeat[1])
     dv = min(ratio, 32)
     ipolvar = (var_src * dv + var_ref * (32 - dv)) >> 5
     dv = abs(var_src - ipolvar)
@@ -760,10 +776,12 @@ def _level0_decisions(hme, p, mvd, mvf, skipfield, i, j, idx, dx, dy, best,
         avg_src, uavg_src, vavg_src)
     avg_y_dif = abs(avg_src - avg_ref)
     avg_c_dif = avg2(abs(uavg_src - uavg_ref), abs(vavg_src - vavg_ref))
-    mvrw = refw
-    eprmi, eprmd, eprmr = calc_eprm(srcw, mvrw, avg_src, avg_ref)
+    refw = win(ref.planes[0], bx + fpelx, by + fpely, bw, bh)
+    eprmi, eprmd, eprmr = calc_eprm(srcw, refw, avg_src, avg_ref)
     oob = outofbounds(i, j, nxb, p.nbv, p.blk_w, p.blk_h, mvd["x"], mvd["y"])
-    neidif = mvmath.neighbordif(mvf.x, mvf.y, skipfield, nxb, i, j)
+    nd0, nd1 = nat.neighbordif2(mvf.x, mvf.y, skipfield.view(np.uint8),
+                                nxb, i, j)
+    neidif = (nd0 + nd1) // 3
     skipt = quant_rd >> 19
     stats = (0, 0, 0)
 
@@ -819,8 +837,8 @@ def _level0_decisions(hme, p, mvd, mvf, skipfield, i, j, idx, dx, dy, best,
             b2 = u32(bsub[2] * ratio) >> 5
             if y_prereq and b0 < 4 * xth:
                 mvd["noxmity"] = True
-            utex = ba.block_tex(win(sp_u, cbx, cby, cbw, cbh))
-            vtex = ba.block_tex(win(sp_v, cbx, cby, cbw, cbh))
+            utex = int(nat.block_features(sp_u, cbx, cby, cbw, cbh)[3])
+            vtex = int(nat.block_features(sp_v, cbx, cby, cbw, cbh)[3])
             c_prereq = c_prereq and (utex > carea or vtex > carea)
             xth = chroma_ratio * xth >> 4
             if c_prereq and b1 < xth and b2 < xth:
@@ -830,8 +848,9 @@ def _level0_decisions(hme, p, mvd, mvf, skipfield, i, j, idx, dx, dy, best,
 
     # intra tests (ref: hme.c:1779-1788)
     psyscale = p.psyf_all
-    test_subblock_intra_y(p, refmv_xy, mvd, srcw, refw, ipolvar, avg_src,
-                          neidif, ratio, bw, bh, psyscale)
+    test_subblock_intra_y(p, refmv_xy, mvd, src.planes[0], bx, by,
+                          ref.planes[0], bx + fpelx, by + fpely,
+                          ipolvar, avg_src, neidif, ratio, bw, bh, psyscale)
     test_subblock_intra_c(p, mvd, (sp_u, sp_v), (rp_u, rp_v), mad,
                           ipolvar // (bw * bh), avg_src,
                           cbx, cby, cbmx, cbmy, cbw, cbh)

@@ -52,12 +52,20 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
                 px = jnp.zeros((1, 1), jnp.uint8)
             # compact the (sparse) scan values on device: stable argsort
             # puts nonzero scan positions first, in scan order — the host
-            # then fetches only the occupied prefix (tunnel bandwidth)
+            # then fetches only the occupied prefix (tunnel bandwidth).
+            # Values/position-deltas are narrowed to 16 bits with an
+            # overflow flag for the (rare) wide cases.
             nz = v != 0
             order = jnp.argsort(~nz, stable=True).astype(jnp.int32)
             vals_c = v[order]
             nnz = nz.sum().astype(jnp.int32)
-            return px, vals_c, order, nnz, coefs[0, 0]
+            dpos = jnp.diff(order, prepend=0)
+            v_ovf = (jnp.abs(vals_c) > 32767).any()
+            p_ovf = ((dpos > 65535) | (dpos < 0)).any()
+            vals16 = vals_c.astype(jnp.int16)
+            dpos16 = dpos.astype(jnp.uint16)
+            return (px, vals_c, order, nnz, coefs[0, 0],
+                    vals16, dpos16, v_ovf, p_ovf)
         return f
 
     fns = [one_plane(c) for c in range(3)]
@@ -71,16 +79,22 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
     return jax.jit(batch)
 
 
-def _fetch_sparse(vals_c, pos_c, nnz):
-    """Two-phase device->host fetch: counts first, then only the occupied
-    prefix of the compacted (value, position) arrays; host scatters back to
-    dense scan vectors."""
-    counts = np.asarray(nnz)
+def _fetch_sparse(out_c, counts, v_ovf, p_ovf):
+    """Two-phase device->host fetch: merged counts/flags first, then only
+    the occupied prefix of the narrowed (value, position-delta) arrays;
+    falls back to the 32-bit arrays when a plane overflowed 16 bits."""
+    vals_c, pos_c, vals16, dpos16 = out_c
     total = vals_c.shape[1]
     k = int(counts.max(initial=0))
     k = min(_round_up(max(k, 1), 4096), total)
-    vals = np.asarray(vals_c[:, :k])
-    pos = np.asarray(pos_c[:, :k])
+    if v_ovf:
+        vals = np.asarray(vals_c[:, :k])
+    else:
+        vals = np.asarray(vals16[:, :k]).astype(np.int32)
+    if p_ovf:
+        pos = np.asarray(pos_c[:, :k])
+    else:
+        pos = np.cumsum(np.asarray(dpos16[:, :k]).astype(np.int64), axis=1)
     out = np.zeros((vals_c.shape[0], total), dtype=np.int32)
     for i in range(vals_c.shape[0]):
         n = int(counts[i])
@@ -188,10 +202,25 @@ def encode_intra_batch(enc, frame_planes):
                           p.blk_w, p.blk_h, p.lossless, p.do_psy,
                           need_recon)
     outs = fn(xs[0], xs[1], xs[2], bds, qs)
-    vscans = [_fetch_sparse(outs[c][1], outs[c][2], outs[c][3])
-              for c in range(3)]
+    # one small fetch for all counts + lls + flags
+    smalls = np.asarray(jnp.concatenate(
+        [jnp.concatenate([outs[c][3], outs[c][4],
+                          outs[c][7].astype(jnp.int32),
+                          outs[c][8].astype(jnp.int32)])
+         for c in range(3)]))
+    per = nfr * 4
+    vscans = []
+    lls = []
+    for c in range(3):
+        seg = smalls[c * per:(c + 1) * per]
+        counts, ll = seg[:nfr], seg[nfr:2 * nfr]
+        v_ovf = bool(seg[2 * nfr:3 * nfr].any())
+        p_ovf = bool(seg[3 * nfr:4 * nfr].any())
+        vscans.append(_fetch_sparse(
+            (outs[c][1], outs[c][2], outs[c][5], outs[c][6]),
+            counts, v_ovf, p_ovf))
+        lls.append(ll)
     pxs = [np.asarray(outs[c][0]) for c in range(3)] if need_recon else None
-    lls = [np.asarray(outs[c][4]) for c in range(3)]
 
     # --- host: serialize ----------------------------------------------------
     chunks = []

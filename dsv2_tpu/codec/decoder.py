@@ -172,41 +172,68 @@ class Decoder:
         r.align()
 
         bd_grid = blockdata.reshape(pcfg.nbv, pcfg.nbh)
-        residual = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        from . import devsteps
+        vs = []
+        lls = []
+        bad_planes = []
         for c in range(3):
             cw, ch = pcfg.cdims[c]
             ok, ll, v = planecode.decode_plane(r, cw, ch)
             if not ok:
-                continue  # decode continues like the reference
-            coefs = hzcc.make_dequantize(pcfg.hzcc_cfg(c))(
-                v, bd_grid, np.int32(quant), np.int32(ll))
-            px = np.asarray(sbt.sbc2p(sbt.make_inv_sbt(pcfg.sbt_cfg(c))(
-                coefs, bd_grid, np.int32(quant))))
-            pw, ph = pcfg.pdims[c]
-            residual.view(c)[:, :] = px[:ph, :pw]
-        if not has_ref:
-            apply_intra_filter(residual, bd_grid, pcfg, quant, do_filter)
-
+                bad_planes.append(c)  # decode continues like the reference
+            vs.append(v)
+            lls.append(np.int32(ll))
         out = Frame(meta.subsamp, meta.width, meta.height, border=True)
         if has_ref:
             if self.ref is None:
                 return DEC_ERROR, None, -1
             tmc = K.temporal_mc(fno)
+            step = devsteps.make_p_decode_step(
+                meta.width, meta.height, meta.subsamp, blk_w, blk_h,
+                lossless)
+            refs = [self.ref.planes[c] for c in range(3)]
+            recons = step(tuple(vs), bd_grid, np.int32(quant), tuple(lls),
+                          tuple(refs),
+                          mf.grid(mf.x).astype(np.int32),
+                          mf.grid(mf.y).astype(np.int32),
+                          mf.grid(mf.flags).astype(np.int32),
+                          mf.grid(mf.submask).astype(np.int32),
+                          mf.grid(mf.dc).astype(np.int32), np.int32(tmc))
             for c in range(3):
                 mcc = pcfg.mc_cfg(c)
-                pred = mc.make_predict(mcc)(
-                    self.ref.planes[c],
-                    mf.grid(mf.x).astype(np.int32),
-                    mf.grid(mf.y).astype(np.int32),
-                    mf.grid(mf.flags).astype(np.int32),
-                    mf.grid(mf.submask).astype(np.int32),
-                    mf.grid(mf.dc).astype(np.int32), np.int32(tmc))
-                res_canvas = residual.planes[c][B:B + mcc.gh, B:B + mcc.gw]
-                recon = np.asarray(mc.make_reconstruct(mcc)(
-                    res_canvas, pred, mf.grid(mf.flags).astype(np.int32)))
-                out.planes[c][B:B + mcc.gh, B:B + mcc.gw] = recon
+                if c in bad_planes:
+                    # reference skips the inverse transform on a corrupt
+                    # plane: reconstruct against an all-zero residual
+                    pred = mc.make_predict(mcc)(
+                        self.ref.planes[c],
+                        mf.grid(mf.x).astype(np.int32),
+                        mf.grid(mf.y).astype(np.int32),
+                        mf.grid(mf.flags).astype(np.int32),
+                        mf.grid(mf.submask).astype(np.int32),
+                        mf.grid(mf.dc).astype(np.int32), np.int32(tmc))
+                    recon = mc.make_reconstruct(mcc)(
+                        np.zeros((mcc.gh, mcc.gw), np.uint8), pred,
+                        mf.grid(mf.flags).astype(np.int32))
+                    out.planes[c][B:B + mcc.gh, B:B + mcc.gw] = (
+                        np.asarray(recon))
+                else:
+                    out.planes[c][B:B + mcc.gh, B:B + mcc.gw] = (
+                        np.asarray(recons[c]))
             apply_inloop_filters(out, mf, pcfg, quant, do_filter, tmc)
         else:
+            step = devsteps.make_i_decode_step(
+                meta.width, meta.height, meta.subsamp, blk_w, blk_h,
+                lossless)
+            pxs = step(tuple(vs), bd_grid, np.int32(quant), tuple(lls))
+            residual = Frame(meta.subsamp, meta.width, meta.height,
+                             border=True)
+            for c in range(3):
+                pw, ph = pcfg.pdims[c]
+                if c in bad_planes:
+                    residual.view(c)[:, :] = 0
+                else:
+                    residual.view(c)[:, :] = np.asarray(pxs[c])[:ph, :pw]
+            apply_intra_filter(residual, bd_grid, pcfg, quant, do_filter)
             out.copy_from(residual)
 
         if is_ref:

@@ -18,6 +18,7 @@ from ..utils import packet
 from ..utils.packet import VideoMeta
 from . import plane as planecode
 from . import motion, rc
+from . import devsteps
 from .decoder import _PCfg, apply_intra_filter, apply_inloop_filters
 
 
@@ -427,9 +428,8 @@ class Encoder:
 
         stable_bits = self._stable_decisions(d, intramv)
         motion.encode_stable_blocks(w, stable_bits, stats)
-        pred_frame = None
         if p.has_ref:
-            pred_frame = self._sub_pred(d)
+            # prediction/subtraction happen inside the fused device step
             w.align()
             motion.encode_motion(w, d.final_mvs, stats, self.blockdata)
         else:
@@ -442,7 +442,8 @@ class Encoder:
             maint_bits = (intramv.flags & (1 << K.MV_BIT_MAINTAIN)) != 0
             motion.encode_intra_meta(w, ring_bits, maint_bits, stats)
 
-        # image data (ref: dsv_encoder.c:1134-1161)
+        # image data — one fused device dispatch for the whole frame
+        # (ref: dsv_encoder.c:1134-1161)
         w.align()
         pcfg = _PCfg(meta, p.blk_w, p.blk_h, bool(p.has_ref), p.lossless,
                      do_psy=p.do_psy)
@@ -453,27 +454,57 @@ class Encoder:
         mlt_m = np.asarray(mf.grid(mf.bit(K.MV_BIT_MAINTAIN)
                                    & (np.abs(mf.x.astype(np.int32)) < 32)
                                    & (np.abs(mf.y.astype(np.int32)) < 32)))
+        need_recon = bool(p.is_ref and self.gop != K.GOP_INTRA)
+        if p.has_ref:
+            step = devsteps.make_p_encode_step(
+                meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
+                p.lossless, p.do_psy)
+            srcs = []
+            for c in range(3):
+                mcc = pcfg.mc_cfg(c)
+                srcs.append(d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw])
+            refs = [d.refdata.residual.planes[c] for c in range(3)]
+            outs = step(tuple(srcs), tuple(refs),
+                        mf.grid(mf.x).astype(np.int32),
+                        mf.grid(mf.y).astype(np.int32),
+                        mf.grid(mf.flags).astype(np.int32),
+                        mf.grid(mf.submask).astype(np.int32),
+                        mf.grid(mf.dc).astype(np.int32),
+                        bd_grid, eprm_m, mlt_m, np.int32(d.quant),
+                        np.int32(p.temporal_mc))
+        else:
+            step = devsteps.make_i_encode_step(
+                meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
+                p.lossless, p.do_psy, need_recon)
+            xs = []
+            for c in range(3):
+                cw, ch = pcfg.cdims[c]
+                pw, ph = pcfg.pdims[c]
+                arr = d.residual.planes[c]
+                x = np.full((ch, cw), 128, dtype=np.uint8)
+                x[:ph, :] = arr[B:B + ph, B:B + cw]
+                xs.append(x)
+            outs = step(tuple(xs), bd_grid, np.int32(d.quant))
+        vscans, lls = devsteps.fetch_sparse_outs(outs)
         for c in range(3):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
-            arr = d.residual.planes[c]
-            x = np.zeros((ch, cw), dtype=np.int32)
-            x[:ph, :] = arr[B:B + ph, B:B + cw].astype(np.int32) - 128
-            coefs = sbt.make_fwd_sbt(pcfg.sbt_cfg(c))(x, bd_grid)
-            deq, v_scan = hzcc.make_quantize(pcfg.hzcc_cfg(c))(
-                coefs, bd_grid, eprm_m, mlt_m, np.int32(d.quant))
-            ll = int(np.asarray(coefs[0, 0]))
-            planecode.encode_plane(w, deq, np.asarray(v_scan), ll, cw, ch)
-            px = np.asarray(sbt.sbc2p(sbt.make_inv_sbt(pcfg.sbt_cfg(c))(
-                deq, bd_grid, np.int32(d.quant))))
-            d.residual.view(c)[:, :] = px[:ph, :pw]
+            planecode.encode_plane(w, None, vscans[c], lls[c], cw, ch)
+            if p.has_ref:
+                mcc = pcfg.mc_cfg(c)
+                d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = (
+                    np.asarray(outs[c][0]))
+            elif need_recon:
+                d.residual.view(c)[:, :] = np.asarray(outs[c][0])[:ph, :pw]
         if not p.has_ref:
-            apply_intra_filter(d.residual, bd_grid, pcfg, d.quant,
-                               self.do_intra_filter)
+            if need_recon:
+                apply_intra_filter(d.residual, bd_grid, pcfg, d.quant,
+                                   self.do_intra_filter)
 
         out = w.data()
         if p.has_ref:
-            self._add_res(d, pred_frame, pcfg, inter_filter)
+            apply_inloop_filters(d.residual, mf, pcfg, d.quant,
+                                 inter_filter, p.temporal_mc)
         return out
 
     # -- P-frame machinery ----------------------------------------------------

@@ -66,13 +66,17 @@ def seg_bits(v):
     return ln + 1  # v >= 1 always after the increment
 
 
+def _w32(x):
+    return ((x + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+
 def mv_cost(mvx, mvy, nbh, blk_w, blk_h, vid_w, vid_h, i, j, mx, my, q, sqr):
-    """Approximate R/D cost of coding (mx,my) at block (i,j)
-    (ref: dsv.c:356-371)."""
+    """Approximate R/D cost of coding (mx,my) at block (i,j); int32
+    wraparound matches the reference's C ints (ref: dsv.c:356-371)."""
     px, py = movec_pred(mvx, mvy, nbh, i, j)
     bits = seg_bits(mx - px) + seg_bits(my - py)
     b2sr = (256 * ((q * q) >> K.MAX_QP_BITS) * blk_w * blk_h) // (vid_w * vid_h)
-    bits += bits * b2sr >> 7
+    bits = _w32(bits + (_w32(bits * b2sr) >> 7))
     if sqr:
-        bits *= bits
+        bits = _w32(bits * bits)
     return bits

@@ -148,7 +148,7 @@ def _setup_hme(L):
                                  + [C.c_int] * 7 + [C.c_uint32, V])
     L.dsvn_block_features.restype = None
     L.dsvn_block_features.argtypes = [V, C.c_int, C.c_int, C.c_int, V]
-    L.dsvn_mv_cost.restype = C.c_int64
+    L.dsvn_mv_cost.restype = C.c_int32
     L.dsvn_mv_cost.argtypes = [V, V] + [C.c_int] * 10
     L.dsvn_movec_pred.restype = None
     L.dsvn_movec_pred.argtypes = [V, V, C.c_int, C.c_int, C.c_int, V]

@@ -1040,15 +1040,16 @@ API void dsvn_movec_pred(const int16_t *mvx, const int16_t *mvy, int nbh,
     out2[1] = pred3(vy0, vy1, vy2);
 }
 
-API int64_t dsvn_mv_cost(const int16_t *mvx, const int16_t *mvy, int nbh,
+API int32_t dsvn_mv_cost(const int16_t *mvx, const int16_t *mvy, int nbh,
                          int blk_w, int blk_h, int vid_w, int vid_h,
                          int i, int j, int mx, int my, int q, int sqr)
 {
     int32_t pr[2];
-    int64_t bits, b2sr;
+    int32_t bits, b2sr;
     dsvn_movec_pred(mvx, mvy, nbh, i, j, pr);
     bits = seg_bits_c(mx - pr[0]) + seg_bits_c(my - pr[1]);
-    b2sr = (256LL * ((q * q) >> 12) * blk_w * blk_h) / ((int64_t)vid_w * vid_h);
+    b2sr = (int32_t)((256 * ((q * q) >> 12) * blk_w * blk_h)
+                     / ((int64_t)vid_w * vid_h));
     bits += bits * b2sr >> 7;
     if (sqr) bits *= bits;
     return bits;

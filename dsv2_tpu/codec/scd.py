@@ -9,26 +9,45 @@ from ..core import intmath as im
 from ..core import mvmath
 
 
+def neighbordif2_grid(mf, p):
+    """Vectorized per-block (ndx, ndy) (ref: dsv.c:402-438)."""
+    nbh, nbv = p.nbh, p.nbv
+    x = mf.grid(mf.x).astype(np.int32)
+    y = mf.grid(mf.y).astype(np.int32)
+    skip = mf.grid(mf.bit(K.MV_BIT_SKIP))
+    nz = (x != 0) | (y != 0)
+
+    def nb(sx_, sy_, ok, svalid):
+        vx = np.where(svalid, sx_, x)
+        vy = np.where(svalid, sy_, y)
+        return np.abs(vx - x) + np.abs(vy - y)
+
+    lx = np.roll(x, 1, axis=1)
+    ly = np.roll(y, 1, axis=1)
+    lok = np.zeros_like(skip)
+    lok[:, 1:] = (~skip[:, :-1]) & nz[:, :-1]
+    tx = np.roll(x, 1, axis=0)
+    ty = np.roll(y, 1, axis=0)
+    tok = np.zeros_like(skip)
+    tok[1:, :] = (~skip[:-1, :]) & nz[:-1, :]
+    d0 = nb(lx, ly, None, lok)
+    d1 = nb(tx, ty, None, tok)
+    small = (np.abs(x) < 2) & (np.abs(y) < 2)
+    d0 = np.where(small, 0, d0)
+    d1 = np.where(small, 0, d1)
+    return d0, d1
+
+
 def avg_motion(enc, mf, p):
     """(ref: dsv_encoder.c:129-176)."""
     nbh, nbv = p.nbh, p.nbv
-    avgx = avgy = 0
-    chaos = stat = 0
     skip = mf.bit(K.MV_BIT_SKIP)
-    for j in range(nbv):
-        for i in range(nbh):
-            k = i + j * nbh
-            if not skip[k]:
-                avgx += int(mf.x[k])
-                avgy += int(mf.y[k])
-            if skip[k]:
-                stat += 1
-            else:
-                ndx, ndy = mvmath.neighbordif2(mf.x, mf.y, skip, nbh, i, j)
-                if ndx > 4 or ndy > 4:
-                    chaos += 1
-                else:
-                    stat += 1
+    avgx = int(mf.x[~skip].astype(np.int64).sum())
+    avgy = int(mf.y[~skip].astype(np.int64).sum())
+    d0, d1 = neighbordif2_grid(mf, p)
+    chaos_m = (~skip.reshape(nbv, nbh)) & ((d0 > 4) | (d1 > 4))
+    chaos = int(chaos_m.sum())
+    stat = nbh * nbv - chaos
     nblk = nbh * nbv
     avgx = (abs(avgx) + abs(avgy)) // (nblk * 2)
     avgx = max(avgx, 1)
@@ -52,36 +71,26 @@ def _mv_cost(mf, p, i, j, mx, my, q):
 def scene_complexity(enc, mf, p):
     """(ref: dsv_encoder.c:179-250)."""
     nbh, nbv = p.nbh, p.nbv
-    complexity = 0
-    skip = mf.bit(K.MV_BIT_SKIP)
-    intra = mf.bit(K.MV_BIT_INTRA)
+    skip = mf.grid(mf.bit(K.MV_BIT_SKIP))
+    intra = mf.grid(mf.bit(K.MV_BIT_INTRA))
+    allmask = mf.grid(mf.submask) == K.MASK_ALL_INTRA
+    costs = mvmath.mv_cost_grid(
+        mf.grid(mf.x), mf.grid(mf.y), p.blk_w, p.blk_h,
+        p.meta.width, p.meta.height, enc.prev_quant, 0)
     if enc.rc_mode == K.RC_ABR:
         maxpot = _mv_cost(mf, p, 0, 0, 64, 64, enc.prev_quant)
         maxpot += 12
         maxpot += 64
         maxpot = (maxpot * (nbh * nbv) + 1) >> 1
-        for j in range(nbv):
-            for i in range(nbh):
-                k = i + j * nbh
-                if not skip[k]:
-                    complexity += _mv_cost(mf, p, i, j, int(mf.x[k]),
-                                           int(mf.y[k]), enc.prev_quant)
-                    complexity += int(mf.err[k]) - int(enc.avg_err)
-                if intra[k]:
-                    complexity += 16 if mf.submask[k] == K.MASK_ALL_INTRA else 4
+        complexity = int(np.where(~skip, costs
+                                  + mf.grid(mf.err).astype(np.int64)
+                                  - enc.avg_err, 0).sum())
+        complexity += int(np.where(intra, np.where(allmask, 16, 4), 0).sum())
     elif enc.rc_mode == K.RC_CRF:
         maxpot = 70 * nbh * nbv
-        for j in range(nbv):
-            for i in range(nbh):
-                k = i + j * nbh
-                if skip[k]:
-                    complexity -= 100
-                else:
-                    complexity += _mv_cost(mf, p, i, j, int(mf.x[k]),
-                                           int(mf.y[k]), enc.prev_quant)
-                if intra[k]:
-                    complexity += (100 if mf.submask[k] == K.MASK_ALL_INTRA
-                                   else 40)
+        complexity = int(np.where(skip, -100, costs).sum())
+        complexity += int(np.where(intra, np.where(allmask, 100, 40),
+                                   0).sum())
     else:
         return 0
     if complexity <= 0:
@@ -131,26 +140,16 @@ def scene_change_detection(enc, d):
         return 1
     enc.curr_complexity = complexity
 
-    nintra = 0
-    skipn = 0
     skip = mf.bit(K.MV_BIT_SKIP)
-    for j in range(p.nbv):
-        for i in range(p.nbh):
-            idx = i + j * p.nbh
-            fl = int(mf.flags[idx])
-            enc.intra_map[idx] |= 1 if (fl & (1 << K.MV_BIT_INTRA)) else 0
-            if enc.intra_map[idx]:
-                if skip[idx] or (mf.x[idx] == 0 and mf.y[idx] == 0):
-                    if fl & (1 << K.MV_BIT_MAINTAIN):
-                        nintra += 3
-                        skipn += 2
-                    else:
-                        nintra += 1
-                        skipn += 1
-                elif ((fl & (1 << K.MV_BIT_NOXMITY))
-                      and (fl & (1 << K.MV_BIT_MAINTAIN))):
-                    nintra += 1
-            nintra += int(enc.intra_map[idx])
+    enc.intra_map |= mf.bit(K.MV_BIT_INTRA).astype(np.uint8)
+    imap = enc.intra_map.astype(bool)
+    zerov = skip | ((mf.x == 0) & (mf.y == 0))
+    maint = mf.bit(K.MV_BIT_MAINTAIN)
+    noxy = mf.bit(K.MV_BIT_NOXMITY)
+    nintra = int(np.where(imap & zerov, np.where(maint, 3, 1),
+                          np.where(imap & noxy & maint, 1, 0)).sum())
+    skipn = int(np.where(imap & zerov, np.where(maint, 2, 1), 0).sum())
+    nintra += int(enc.intra_map.sum())
     nblk = p.nbh * p.nbv
     nintra = nintra * 100 // nblk
     skipn = skipn * 100 // nblk

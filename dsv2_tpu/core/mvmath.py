@@ -80,3 +80,47 @@ def mv_cost(mvx, mvy, nbh, blk_w, blk_h, vid_w, vid_h, i, j, mx, my, q, sqr):
     if sqr:
         bits = _w32(bits * bits)
     return bits
+
+
+def seg_bits_grid(v):
+    """Vectorized seg_bits (ref: dsv.c:334-354)."""
+    a = np.abs(v.astype(np.int64)) + 1
+    nb = np.frexp(a.astype(np.float64))[1] - 1  # exact bit_length - 1
+    return nb * 2 + 2
+
+
+def movec_pred_grid(xg, yg):
+    """Vectorized median predictor over the whole (final) field."""
+    def shifted(a, dx, dy):
+        out = np.zeros_like(a)
+        if dx and dy:
+            out[1:, 1:] = a[:-1, :-1]
+        elif dx:
+            out[:, 1:] = a[:, :-1]
+        else:
+            out[1:, :] = a[:-1, :]
+        return out
+
+    def p3(left, top, topleft):
+        dif = left + top - topleft
+        return np.where(np.abs(dif - left) < np.abs(dif - top), left, top)
+
+    px = p3(shifted(xg, 1, 0), shifted(xg, 0, 1), shifted(xg, 1, 1))
+    py = p3(shifted(yg, 1, 0), shifted(yg, 0, 1), shifted(yg, 1, 1))
+    return px, py
+
+
+def mv_cost_grid(xg, yg, blk_w, blk_h, vid_w, vid_h, q, sqr):
+    """Vectorized mv_cost of each block's own vector against its median
+    prediction (int32 wrap like the C ints)."""
+    def w32(x):
+        x = np.asarray(x, dtype=np.int64)
+        return ((x + 0x80000000) & 0xFFFFFFFF) - 0x80000000
+
+    px, py = movec_pred_grid(xg.astype(np.int64), yg.astype(np.int64))
+    bits = seg_bits_grid(xg.astype(np.int64) - px) +         seg_bits_grid(yg.astype(np.int64) - py)
+    b2sr = (256 * ((q * q) >> K.MAX_QP_BITS) * blk_w * blk_h) // (vid_w * vid_h)
+    bits = w32(bits + (w32(bits * b2sr) >> 7))
+    if sqr:
+        bits = w32(bits * bits)
+    return bits

@@ -466,8 +466,10 @@ def _find_inliers(cands, ax, ay):
         return [], ax, ay, 0
     dist = [(c[0] - ax) ** 2 + (c[1] - ay) ** 2 for c in cands]
     avgd = sum(dist) // n
-    ssd = sum((d - avgd) ** 2 for d in dist)
-    thresh = avgd + im.iisqrt(ssd // n)
+    ssd = 0
+    for d in dist:
+        ssd = w32(ssd + w32((d - avgd) ** 2))
+    thresh = avgd + im.iisqrt(im.divt(ssd, n) & U32)
     newl = [c for c, d in zip(cands, dist) if d <= thresh]
     if not newl:
         return [], ax, ay, 0

@@ -334,3 +334,926 @@ def qpsad(srcsp, q, t0, t1, ew, tw, aw):
     acc = (((se * se) << ew) + (((ta - tb) ** 2) << tw)
            + (((s0 - s1) ** 2) << aw)).astype(jnp.uint32).sum()
     return metric_return(acc, 16, 16)
+
+
+# ---------------------------------------------------------------------------
+# err_intra (ref: hme.c:839-889) with exact unsigned wraparound
+# ---------------------------------------------------------------------------
+
+def err_intra(a, b, bw, bh, avg_sb, avg_src, ratio):
+    """psy = (0, 1, 2) as at the call site (ref: hme.c:917-919).
+    Returns (intra_sb, intra_src, inter) as uint32."""
+    a1, a2, a3, a4 = _quads(a)
+    b1, b2, b3, b4 = _quads(b)
+    qh, qw = a1.shape
+    qm = ((jnp.arange(qw)[None, :] < (bw // 2))
+          & (jnp.arange(qh)[:, None] < (bh // 2)))
+    ratio_u = ratio.astype(jnp.uint32)
+    s0 = _uavg4(a1, a2, a3, a4)
+    s1 = _uavg4(b1, b2, b3, b4)
+    ta = _uavg4(jnp.abs(a1 - a2), jnp.abs(a2 - a3), jnp.abs(a3 - a4),
+                jnp.abs(a4 - a1))
+    tb = _uavg4(jnp.abs(b1 - b2), jnp.abs(b2 - b3), jnp.abs(b3 - b4),
+                jnp.abs(b4 - b1))
+    ae = _uavg4(jnp.abs(a1 - b1), jnp.abs(a2 - b2), jnp.abs(a3 - b3),
+                jnp.abs(a4 - b4))
+    inter = (((ae * ae).astype(jnp.uint32) * ratio_u) >> 5)
+    inter = inter + (((ta - tb) ** 2) << 1).astype(jnp.uint32)
+    inter = inter + (((s0 - s1) ** 2) << 2).astype(jnp.uint32)
+    inter = jnp.where(qm, inter, 0).sum()
+
+    def intra_term(avgv):
+        aev = _uavg4(jnp.abs(a1 - avgv), jnp.abs(a2 - avgv),
+                     jnp.abs(a3 - avgv), jnp.abs(a4 - avgv))
+        t = ((aev * aev).astype(jnp.uint32)
+             + ((ta * ta) << 1).astype(jnp.uint32)
+             + (((s0 - avgv) ** 2) << 3).astype(jnp.uint32))
+        return jnp.where(qm, t, 0).sum()
+
+    return (intra_term(avg_sb), intra_term(avg_src),
+            (inter * ratio_u) >> 5)
+
+
+# ---------------------------------------------------------------------------
+# per-level wavefront search
+# ---------------------------------------------------------------------------
+
+class WaveCfg(NamedTuple):
+    nbh: int
+    nbv: int
+    blk_w: int
+    blk_h: int
+    vid_w: int
+    vid_h: int
+    subsamp: int
+    effort: int
+    lossless: bool
+    pyramid_levels: int
+    has_tmv: bool
+    skip_thresh_neg: bool   # skip_block_thresh < 0 (disables skip test)
+    dims: tuple             # per-level (w, h) of the luma planes
+
+    @property
+    def psyf_all(self):
+        import dsv2_tpu.ops.hzcc as hzcc
+        return hzcc.spatial_psy_factor(self, -1)
+
+
+_PTS = np.array([[0, 0], [-2, 0], [2, 0], [0, -2], [0, 2],
+                 [-2, -2], [2, 2], [2, -2], [-2, 2]], dtype=np.int32)
+
+
+def invalid_block(bx, by, bw, bh, pad, fw, fh):
+    """(ref: hme.c:426-434). fw/fh = frame dims at the level (static)."""
+    return ((bx - pad < -B) | (by - pad < -B)
+            | (bx + bw + pad >= fw + B) | (by + bh + pad >= fh + B))
+
+
+def _refine_loop(cfg, level, src_w, ref_pl, bx, by, bw, bh, psy,
+                 bestx, besty, best, qthresh, px, py, quant, fw, fh):
+    """Greedy walk with retry (ref: hme.c:1300-1370). psy = (ew, tw, aw)
+    traced scalars only via static closure... ew/tw/aw are traced int32."""
+    step = 1 << level
+    ew, tw, aw = psy
+
+    def metric(tvx, tvy):
+        rw = window(ref_pl, bx + tvx, by + tvy, cfg.blk_h, cfg.blk_w)
+        if level > 1:
+            return masked_sse(src_w, rw, bw, bh)
+        return masked_metr(src_w, rw, bw, bh, ew, tw, aw)
+
+    def cost(tvx, tvy):
+        return mv_cost(px, py, cfg.blk_w, cfg.blk_h, cfg.vid_w, cfg.vid_h,
+                       tvx * step * 4, tvy * step * 4, quant,
+                       1 if level > 1 else 0)
+
+    def body(st):
+        bestx, besty, best, metr, good, done = st
+        improved = jnp.bool_(False)
+        for k in range(5):
+            tvx = bestx + RECT[k][0]
+            tvy = besty + RECT[k][1]
+            inval = invalid_block(bx + tvx, by + tvy, bw, bh, 0, fw, fh)
+            do = (~improved) & (~inval)
+            sc_raw = metric(tvx, tvy)
+            if 1 <= k <= 4:
+                metr = metr.at[k - 1].set(jnp.where(do, sc_raw, metr[k - 1]))
+            if level == 0:
+                ge = do & (tvx == 0) & (tvy == 0) & (sc_raw <= qthresh)
+            else:
+                ge = jnp.bool_(False)
+            sc = sc_raw + cost(tvx, tvy)
+            better = do & (~ge) & (best > sc)
+            bestx = jnp.where(ge | better, tvx, bestx)
+            besty = jnp.where(ge | better, tvy, besty)
+            best = jnp.where(ge, sc_raw, jnp.where(better, sc, best))
+            good = good | ge
+            done = done | ge
+            improved = improved | better | ge
+        # diagonal probe only when the 5-point pass had no improvement
+        tvx = bestx + jnp.where(metr[0] <= metr[1], 1, -1)
+        tvy = besty + jnp.where(metr[2] <= metr[3], 1, -1)
+        inval = invalid_block(bx + tvx, by + tvy, bw, bh, 0, fw, fh)
+        do = (~improved) & (~done)
+        sc = metric(tvx, tvy) + cost(tvx, tvy)
+        better = do & (~inval) & (best > sc)
+        bestx = jnp.where(better, tvx, bestx)
+        besty = jnp.where(better, tvy, besty)
+        best = jnp.where(better, sc, best)
+        done = done | (do & ~better)
+        return bestx, besty, best, metr, good, done
+
+    def cond(st):
+        return ~st[5]
+
+    metr0 = jnp.full((4,), I32MAX, jnp.int32)
+    st = (bestx, besty, best, metr0, jnp.bool_(False), jnp.bool_(False))
+    st = jax.lax.while_loop(cond, lambda s: body(s), st)
+    return st[0], st[1], st[2], st[4]
+
+
+def _block_search(cfg, level, carry, parent_x, parent_y, srcl, refl, ogrl,
+                  tmv_x, tmv_y, gx, gy, quant, i, j, lane_valid):
+    """Candidate search + refine for one block (vmapped over a diagonal).
+    Returns a dict of per-block results (level-0 decisions happen in
+    _level0_graph). (ref: hme.c:1413-1630)."""
+    fx, fy, fskip = carry["fx"], carry["fy"], carry["fskip"]
+    step = 1 << level
+    fw, fh = cfg.dims[level]
+    y_w, y_h = cfg.blk_w, cfg.blk_h
+    bx = (i * y_w) >> level
+    by = (j * y_h) >> level
+    inb = (bx < fw) & (by < fh)
+    valid = lane_valid & inb
+    bw = jnp.clip(fw - bx, 0, y_w)
+    bh = jnp.clip(fh - by, 0, y_h)
+    src_w = window(srcl, bx, by, y_h, y_w)
+
+    # psy weights + motion bias (ref: hme.c:1424-1481)
+    motion_bias = jnp.int32(y_w * y_h)
+    var_src = jnp.int32(0)
+    avg_src = jnp.int32(0)
+    ew = jnp.int32(2)
+    tw = jnp.int32(1)
+    aw = jnp.int32(0)
+    if level <= 1:
+        detail, avg_src, _, _ = block_feat_detail(src_w, bw, bh)
+        var_src = detail.astype(jnp.int32)
+        tvar = var_src + ((var_src >> 10) ** 2)
+        tvar = jint.divt(8 * tvar * quant >> 9, bw * bh)
+        hvar = block_feat_hvar(src_w, bw, bh, avg_src).astype(jnp.int32)
+        qtex = block_feat_qtex(src_w, bw, bh).astype(jnp.int32)
+        npeaks = block_feat_peaks(src_w, bw, bh, avg_src).astype(jnp.int32)
+        motion_bias = jnp.where(
+            tvar != 0, motion_bias + tvar * (hvar - qtex) * npeaks,
+            motion_bias)
+        motion_bias = jnp.maximum(motion_bias, 0) // (
+            2 + jnp.abs(gx) + jnp.abs(gy))
+        smooth = var_src <= (8 * bw * bh * quant >> 9)
+        motion_bias = jnp.where(smooth, 0, motion_bias)
+        ew = jnp.where(smooth, 2, 1)
+        tw = jnp.where(smooth, 1, 2)
+        aw = jnp.where(smooth, 2, 1)
+        aw = jnp.where(var_src > 24 * bw * bh, 0, aw)
+
+    # ---- candidates (ref: hme.c:1443-1528) ----
+    cand_x = jnp.zeros((NC,), jnp.int32)
+    cand_y = jnp.zeros((NC,), jnp.int32)
+    cand_ok = jnp.zeros((NC,), bool).at[0].set(True)
+    lax_ = jnp.int32(0)
+    lay_ = jnp.int32(0)
+    if level < cfg.pyramid_levels:
+        pmask = ~((step << 1) - 1)
+        pi = i & pmask
+        pj = j & pmask
+        ptx = pi + _PTS[:, 0] * step
+        pty = pj + _PTS[:, 1] * step
+        pok = (ptx >= 0) & (ptx < cfg.nbh) & (pty >= 0) & (pty < cfg.nbv)
+        pxv = jnp.where(pok, parent_x[jnp.clip(pty, 0, cfg.nbv - 1),
+                                      jnp.clip(ptx, 0, cfg.nbh - 1)], 0)
+        pyv = jnp.where(pok, parent_y[jnp.clip(pty, 0, cfg.nbv - 1),
+                                      jnp.clip(ptx, 0, cfg.nbh - 1)], 0)
+        npar = pok.sum().astype(jnp.int32)
+        lax0 = jint.divt(jnp.where(pok, pxv, 0).sum(), jnp.maximum(npar, 1))
+        lay0 = jint.divt(jnp.where(pok, pyv, 0).sum(), jnp.maximum(npar, 1))
+        dist = jnp.where(pok, (pxv - lax0) ** 2 + (pyv - lay0) ** 2, 0)
+        avgd = dist.sum() // jnp.maximum(npar, 1)
+        ssd = jnp.where(pok, (dist - avgd) ** 2, 0).astype(jnp.int32).sum()
+        thresh = avgd + isqrt_u32(jint.divt(ssd, jnp.maximum(npar, 1)))
+        inl = pok & (dist <= thresh)
+        nl = inl.sum().astype(jnp.int32)
+        lax_ = jint.divt(jnp.where(inl, pxv, 0).sum(), jnp.maximum(nl, 1))
+        lay_ = jint.divt(jnp.where(inl, pyv, 0).sum(), jnp.maximum(nl, 1))
+        cand_x = cand_x.at[1].set(lax_)
+        cand_y = cand_y.at[1].set(lay_)
+        cand_ok = cand_ok.at[1].set(True)
+        if level == 0:
+            ppx, ppy = movec_pred(fx, fy, i, j)
+            cand_x = cand_x.at[2].set(sar_r(ppx, 2))
+            cand_y = cand_y.at[2].set(sar_r(ppy, 2))
+            cand_ok = cand_ok.at[2].set(True)
+        # spatial left/top/topleft at the level's stride
+        for si, (dx_, dy_) in enumerate(((-1, 0), (0, -1), (-1, -1))):
+            xi = i + dx_ * step
+            yj = j + dy_ * step
+            ok = (xi >= 0) & (yj >= 0)
+            vx = jnp.where(ok, fx[jnp.clip(yj, 0, cfg.nbv - 1),
+                                  jnp.clip(xi, 0, cfg.nbh - 1)], 0)
+            vy = jnp.where(ok, fy[jnp.clip(yj, 0, cfg.nbv - 1),
+                                  jnp.clip(xi, 0, cfg.nbh - 1)], 0)
+            cand_x = cand_x.at[3 + si].set(sar_r(vx, 2))
+            cand_y = cand_y.at[3 + si].set(sar_r(vy, 2))
+            cand_ok = cand_ok.at[3 + si].set(ok)
+        if cfg.has_tmv:
+            tx = i + RECT[:, 0] * step
+            ty = j + RECT[:, 1] * step
+            tok = (tx >= 0) & (tx < cfg.nbh) & (ty >= 0) & (ty < cfg.nbv)
+            tvx = jnp.where(tok, tmv_x[jnp.clip(ty, 0, cfg.nbv - 1),
+                                       jnp.clip(tx, 0, cfg.nbh - 1)], 0)
+            tvy = jnp.where(tok, tmv_y[jnp.clip(ty, 0, cfg.nbv - 1),
+                                       jnp.clip(tx, 0, cfg.nbh - 1)], 0)
+            cand_x = jax.lax.dynamic_update_slice(cand_x, sar_r(tvx, 2), (6,))
+            cand_y = jax.lax.dynamic_update_slice(cand_y, sar_r(tvy, 2), (6,))
+            cand_ok = jax.lax.dynamic_update_slice(cand_ok, tok, (6,))
+        cand_x = cand_x.at[15].set(gx)
+        cand_y = cand_y.at[15].set(gy)
+        cand_ok = cand_ok.at[15].set(True)
+        cand_x = jax.lax.dynamic_update_slice(cand_x, pxv, (16,))
+        cand_y = jax.lax.dynamic_update_slice(cand_y, pyv, (16,))
+        cand_ok = jax.lax.dynamic_update_slice(cand_ok, inl, (16,))
+    # scale to level resolution (ref: hme.c:1522-1526)
+    cand_x = sar(cand_x, level)
+    cand_y = sar(cand_y, level)
+
+    # ---- evaluate candidates ----
+    def eval_cand(dx, dy, ok):
+        inval = invalid_block(bx + dx, by + dy, bw, bh, 0, fw, fh)
+        rw = window(refl, bx + dx, by + dy, y_h, y_w)
+        if level > 1:
+            raw = masked_sse(src_w, rw, bw, bh)
+        else:
+            raw = masked_metr(src_w, rw, bw, bh, ew, tw, aw)
+        sc = raw + mv_cost(*movec_pred(fx, fy, i, j), y_w, y_h,
+                           cfg.vid_w, cfg.vid_h, dx * step * 4, dy * step * 4,
+                           quant, 1 if level > 1 else 0)
+        sc = jnp.where((dx == lax_) & (dy == lay_),
+                       jnp.maximum(sc - (motion_bias >> level), 0), sc)
+        use = ok & (~inval)
+        return jnp.where(use, sc, I32MAX), jnp.where(use, raw, I32MAX), use
+
+    scores, raws, uses = jax.vmap(eval_cand)(cand_x, cand_y, cand_ok)
+    best_k = jnp.argmin(scores)  # first minimum, like the serial strict <
+    best_score = scores[best_k]
+    best_score = jnp.where(uses.any(), best_score, I32MAX)
+    score_zero = jnp.where(uses[0], raws[0], I32MAX)
+    dx = cand_x[best_k]
+    dy = cand_y[best_k]
+
+    # ---- good-enough vs source reference (ref: hme.c:1569-1584) ----
+    qthresh = ((quant * bw * bh) >> 11)
+    qthresh = jnp.where((jnp.abs(dx) <= 1) & (jnp.abs(dy) <= 1),
+                        qthresh * 2, qthresh)
+    ogr_w = window(ogrl, bx, by, y_h, y_w)
+    zoscore = masked_metr(src_w, ogr_w, bw, bh, ew, tw, aw)
+    ge0 = zoscore < qthresh
+    best0 = jnp.where(ge0, jnp.where(level == 0, score_zero, 0), best_score)
+    dx = jnp.where(ge0, 0, dx)
+    dy = jnp.where(ge0, 0, dy)
+
+    # ---- greedy refine ----
+    px_, py_ = movec_pred(fx, fy, i, j)
+    rdx, rdy, rbest, rgood = _refine_loop(
+        cfg, level, src_w, refl, bx, by, bw, bh, (ew, tw, aw),
+        dx, dy, best0, qthresh, px_, py_, quant, fw, fh)
+    dx = jnp.where(ge0, 0, rdx)
+    dy = jnp.where(ge0, 0, rdy)
+    best = jnp.where(ge0, best0, rbest)
+    good = ge0 | (rgood & ~ge0)
+    return dict(valid=valid, i=i, j=j, bx=bx, by=by, bw=bw, bh=bh,
+                dx=dx, dy=dy, best=best, good=good, lax=lax_, lay=lay_,
+                motion_bias=motion_bias, var_src=var_src, avg_src=avg_src,
+                psy=(ew, tw, aw), src_w=src_w, score_zero=score_zero)
+
+
+def _lane_grid(cfg, level):
+    step = 1 << level
+    ca = (cfg.nbh + step - 1) // step
+    cb = (cfg.nbv + step - 1) // step
+    return step, ca, cb, min(ca, cb), ca + cb - 1
+
+
+def refine_level_graph(cfg, level, srcl, refl, ogrl, parent_x, parent_y,
+                       tmv_x, tmv_y, gx, gy, quant):
+    """Upper pyramid levels (no mode decisions): returns (fx, fy) int32
+    fields in full-resolution full-pel units (ref: hme.c:1594-1596)."""
+    step, ca, cb, lmax, nd = _lane_grid(cfg, level)
+    fx = jnp.zeros((cfg.nbv, cfg.nbh), jnp.int32)
+    fy = jnp.zeros((cfg.nbv, cfg.nbh), jnp.int32)
+    fskip = jnp.zeros((cfg.nbv, cfg.nbh), jnp.uint8)
+
+    def diag(d, st):
+        fx, fy = st
+        a0 = jnp.maximum(0, d - (cb - 1))
+        a = a0 + jnp.arange(lmax)
+        b = d - a
+        lane_ok = (a < ca) & (b >= 0) & (b < cb)
+        i = a * step
+        j = b * step
+        carry = dict(fx=fx, fy=fy, fskip=fskip)
+
+        def one(i_, j_, ok_):
+            r = _block_search(cfg, level, carry, parent_x, parent_y,
+                              srcl, refl, ogrl, tmv_x, tmv_y, gx, gy,
+                              quant, i_, j_, ok_)
+            return r["dx"] * step, r["dy"] * step, r["valid"]
+
+        ox, oy, ov = jax.vmap(one)(i, j, lane_ok)
+        jv = jnp.where(ov, j, cfg.nbv)
+        fx = fx.at[jv, i].set(ox, mode="drop")
+        fy = fy.at[jv, i].set(oy, mode="drop")
+        return fx, fy
+
+    fx, fy = jax.lax.fori_loop(0, nd, diag, (fx, fy))
+    return fx, fy
+
+
+def global_motion_graph(cfg, level, fx, fy):
+    """(ref: hme.c:1973-1999)."""
+    step, ca, cb, _, _ = _lane_grid(cfg, level)
+    sx = fx[0::step, 0::step].astype(jnp.int32).sum()
+    sy = fy[0::step, 0::step].astype(jnp.int32).sum()
+    n = ca * cb
+    return jint.divt(sx * 2, n), jint.divt(sy * 2, n)
+
+
+# ---------------------------------------------------------------------------
+# level-0: subpel + mode decisions (ref: hme.c:1051-1164, 1598-1821)
+# ---------------------------------------------------------------------------
+
+def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
+            px_, py_, quant, fw, fh):
+    """(ref: hme.c:1051-1164). Returns (best, sub_x, sub_y)."""
+    ew, tw, aw = psy
+    y_w, y_h = cfg.blk_w, cfg.blk_h
+    src_w = window(srcl, bx, by, y_h, y_w)
+    yarea = bw * bh
+    dx4 = (1, -1, 0, 0)
+    dy4 = (0, 0, 1, -1)
+    quad = []
+    for n in range(4):
+        rw = window(refl, bx + fpx + dx4[n], by + fpy + dy4[n], y_h, y_w)
+        quad.append(masked_sse(src_w, rw, bw, bh))
+    area_ratio = (8 * (16 * 16)) // jnp.maximum(yarea, 1)
+    iarea_ratio = (8 * yarea) // (16 * 16)
+    best = ((best_fp.astype(jnp.uint32) * area_ratio.astype(jnp.uint32))
+            >> 3).astype(jnp.int32)
+    xx = bx + ((bw >> 1) - 8)
+    yy = by + ((bh >> 1) - 8)
+    refwin = window(refl, xx + fpx - 2, yy + fpy - 2, 21, 21)
+    q = qpel_grid(refwin)
+    srcsp = window(srcl, xx, yy, 16, 16)
+    # primary/secondary direction pick (ref: hme.c:1108-1133)
+    prix = jnp.where(quad[3] >= quad[2], 0, 0)
+    priy = jnp.where(quad[3] >= quad[2], 1, -1)
+    secx = jnp.where(quad[1] >= quad[0], 1, -1)
+    secy = jnp.int32(0)
+    ms1 = jnp.where(quad[1] >= quad[0], quad[0], quad[1])
+    ms2 = jnp.where(quad[3] >= quad[2], quad[2], quad[3])
+    swap = ms2 > ms1
+    prix, secx = jnp.where(swap, secx, prix), jnp.where(swap, prix, secx)
+    priy, secy = jnp.where(swap, secy, priy), jnp.where(swap, priy, secy)
+    diagx = prix + secx
+    diagy = priy + secy
+    tv = [(prix, priy), (secx, secy), (diagx, diagy)]
+    bestvx = jnp.int32(0)
+    bestvy = jnp.int32(0)
+    for n in range(7):
+        if n == 6:
+            t0 = prix + diagx
+            t1 = priy + diagy
+        else:
+            hp = 0 if (n & 1) else 1
+            t0 = tv[n >> 1][0] << hp
+            t1 = tv[n >> 1][1] << hp
+        if cfg.effort < 8:
+            # skip quarter-pel probes at low effort (static for even n)
+            do_probe = ((t0 | t1) & 1) == 0
+        else:
+            do_probe = jnp.bool_(True)
+        score = qpsad(srcsp, q, t0, t1, ew, tw, aw)
+        score = score + mv_cost(px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
+                                fpx * 4 + t0, fpy * 4 + t1, quant, 0)
+        better = do_probe & (best > score)
+        best = jnp.where(better, score, best)
+        bestvx = jnp.where(better, t0, bestvx)
+        bestvy = jnp.where(better, t1, bestvy)
+    ret = ((best.astype(jnp.uint32) * iarea_ratio.astype(jnp.uint32))
+           >> 3).astype(jnp.int32)
+    zerofp = best_fp == 0
+    return (jnp.where(zerofp, best_fp, ret),
+            jnp.where(zerofp, 0, bestvx), jnp.where(zerofp, 0, bestvy))
+
+
+def _max_subblock_err(pl_a, pl_b, x0, y0, rx, ry, qw, qh, bw2, bh2, psy):
+    """One plane of yuv_max_subblock_err (ref: hme.c:369-409).
+    qw/qh: static quadrant window dims; bw2/bh2 dynamic."""
+    ew, tw, aw = psy
+    subs = []
+    for g in (0, 1):
+        for f in (0, 1):
+            a = window(pl_a, x0 + f * bw2, y0 + g * bh2, qh, qw)
+            b = window(pl_b, rx + f * bw2, ry + g * bh2, qh, qw)
+            subs.append(masked_metr_acc(a, b, bw2, bh2, ew, tw, aw))
+    return jnp.maximum(jnp.maximum(subs[0], subs[1]),
+                       jnp.maximum(subs[2], subs[3]))
+
+
+def _calc_eprm(src_w, ref_w, bw, bh, avg_src, avg_ref):
+    """(ref: hme.c:451-490)."""
+    h, w = src_w.shape
+    m = ((jnp.arange(w)[None, :] < bw) & (jnp.arange(h)[:, None] < bh))
+    s = src_w
+    clipr = (m & ((((s - ref_w) + 128) & ~0xFF) != 0)).any()
+    clipi = (m & (((s - (avg_ref - 128)) & ~0xFF) != 0)).any()
+    clipd = (m & (((s - (avg_src - 128)) & ~0xFF) != 0)).any()
+    return clipi, clipd, clipr
+
+
+def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
+                   ref_u, ref_v, tmv_x, tmv_y, quant, skip_thresh):
+    """Mode decisions at the base level (ref: hme.c:1598-1821). r = result
+    dict from _block_search. Returns per-block outputs + stat deltas."""
+    i, j = r["i"], r["j"]
+    bx, by, bw, bh = r["bx"], r["by"], r["bw"], r["bh"]
+    fw, fh = cfg.dims[0]
+    y_w, y_h = cfg.blk_w, cfg.blk_h
+    yarea = bw * bh
+    psy = r["psy"]
+    ew, tw, aw = psy
+    src_w = r["src_w"]
+    fx, fy, fskip = carry["fx"], carry["fy"], carry["fskip"]
+    quant_rd = (quant * quant).astype(jnp.uint32)
+    skipt = (quant_rd >> 19).astype(jnp.int32)
+    good = r["good"]
+    fpelx0, fpely0 = r["dx"], r["dy"]
+    best = jnp.where((fpelx0 == r["lax"]) & (fpely0 == r["lay"]),
+                     r["best"] + r["motion_bias"], r["best"])
+    best_fp = best
+    px_, py_ = movec_pred(fx, fy, i, j)
+
+    sub_x = jnp.int32(0)
+    sub_y = jnp.int32(0)
+    fpelx, fpely = fpelx0, fpely0
+    if cfg.effort >= 4:
+        cond1 = ~invalid_block(bx + r["lax"], by + r["lay"], bw, bh, 4,
+                               fw, fh)
+        ret1, sx1, sy1 = _subpel(cfg, srcl, refl, bx, by, bw, bh,
+                                 r["lax"], r["lay"], best_fp, psy,
+                                 px_, py_, quant, fw, fh)
+        found1 = cond1 & ((sx1 != 0) | (sy1 != 0))
+        best = jnp.where(cond1, ret1, best)
+        cond2 = ((~found1) & (~good)
+                 & ~invalid_block(bx + fpelx0, by + fpely0, bw, bh, 4,
+                                  fw, fh))
+        ret2, sx2, sy2 = _subpel(cfg, srcl, refl, bx, by, bw, bh,
+                                 fpelx0, fpely0, best_fp, psy,
+                                 px_, py_, quant, fw, fh)
+        best = jnp.where(cond2, ret2, best)
+        sub_x = jnp.where(cond2, sx2, jnp.where(found1, sx1, 0))
+        sub_y = jnp.where(cond2, sy2, jnp.where(found1, sy1, 0))
+        fpelx = jnp.where(found1, r["lax"], fpelx0)
+        fpely = jnp.where(found1, r["lay"], fpely0)
+    mvx = fpelx * 4 + sub_x
+    mvy = fpely * 4 + sub_y
+
+    # block metrics vs refs (ref: hme.c:1636-1692)
+    is_subpel = ((mvx | mvy) & 3) != 0
+    ratio = jnp.where(
+        is_subpel,
+        ((best.astype(jnp.uint32) << 5)
+         // jnp.maximum(best_fp, 1).astype(jnp.uint32)).astype(jnp.int32),
+        32)
+    ogr_w = window(ogrl, bx + fpelx, by + fpely, y_h, y_w)
+    ref_w = window(refl, bx + fpelx, by + fpely, y_h, y_w)
+    ogrerr = masked_metr(src_w, ogr_w, bw, bh, ew, tw, aw)
+    ogrmad = (ogrerr + jnp.maximum(yarea, 1) // 2) // jnp.maximum(yarea, 1)
+    ogrmad = ((ogrmad.astype(jnp.uint32) * ratio.astype(jnp.uint32)) >> 5
+              ).astype(jnp.int32)
+    mad = (best + jnp.maximum(yarea, 1) // 2) // jnp.maximum(yarea, 1)
+    var_ref, avg_ref, _, _ = block_feat_detail(ref_w, bw, bh)
+    var_src, avg_src = r["var_src"], r["avg_src"]
+    dv = jnp.minimum(ratio, 32)
+    ipolvar = (var_src * dv + var_ref.astype(jnp.int32) * (32 - dv)) >> 5
+    dv = jnp.abs(var_src - ipolvar)
+    maintain = (var_src > 16 * yarea) & (var_src < 32 * yarea)
+
+    hs_ = K.fmt_h_shift(cfg.subsamp)
+    vs_ = K.fmt_v_shift(cfg.subsamp)
+    cbx = i * (y_w >> hs_)
+    cby = j * (y_h >> vs_)
+    cbmx = cbx + sar(fpelx, hs_)
+    cbmy = cby + sar(fpely, vs_)
+    cbw = bw >> hs_
+    cbh = bh >> vs_
+    cw_max, ch_max = y_w >> hs_, y_h >> vs_
+    chroma_ratio = ((cbw * cbh) << 4) // jnp.maximum(yarea, 1)
+
+    uavg_src = masked_avg(window(src_u, cbx, cby, ch_max, cw_max), cbw, cbh)
+    vavg_src = masked_avg(window(src_v, cbx, cby, ch_max, cw_max), cbw, cbh)
+    uavg_ref = masked_avg(window(ref_u, cbmx, cbmy, ch_max, cw_max), cbw, cbh)
+    vavg_ref = masked_avg(window(ref_v, cbmx, cbmy, ch_max, cw_max), cbw, cbh)
+    greyish = (jnp.abs(uavg_src - 128) < 8) & (jnp.abs(vavg_src - 128) < 8)
+    avg_y_dif = jnp.abs(avg_src - avg_ref.astype(jnp.int32))
+    avg_c_dif = (jnp.abs(uavg_src - uavg_ref)
+                 + jnp.abs(vavg_src - vavg_ref) + 1) >> 1
+    eprmi, eprmd, eprmr = _calc_eprm(src_w, ref_w, bw, bh, avg_src,
+                                     avg_ref.astype(jnp.int32))
+    limx = ((cfg.nbh - 1) * y_w) - 1
+    limy = ((cfg.nbv - 1) * y_h) - 1
+    oobx = i * y_w + sar(mvx, 2)
+    ooby = j * y_h + sar(mvy, 2)
+    oob = (oobx < 0) | (ooby < 0) | (oobx >= limx) | (ooby >= limy)
+    nd0, nd1 = _neighbordif_self(fx, fy, fskip, i, j, mvx, mvy)
+    neidif = (nd0 + nd1) // 3
+
+    # ---- skip test (ref: hme.c:1694-1729) ----
+    if cfg.skip_thresh_neg or cfg.lossless:
+        skip = jnp.bool_(False)
+    else:
+        sth = (skipt * yarea + 4 * var_src
+               + yarea * skip_thresh).astype(jnp.uint32)
+        sth = jnp.where(quant < (1 << (K.MAX_QP_BITS - 2)),
+                        (sth * quant.astype(jnp.uint32))
+                        >> (K.MAX_QP_BITS - 2), sth)
+        sth = jnp.where(avg_y_dif <= 2,
+                        jnp.maximum(sth, (3 * (yarea + var_src))
+                                    .astype(jnp.uint32)), sth)
+        sth = jnp.maximum(sth, yarea.astype(jnp.uint32))
+        sth = jnp.where(good, sth * 2, sth)
+        z0 = _max_subblock_err(srcl, refl, bx, by, bx, by,
+                               y_w // 2, y_h // 2, bw // 2, bh // 2, psy)
+        z1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbx, cby,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
+        z2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbx, cby,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
+        ratio_u = ratio.astype(jnp.uint32)
+        cth = (chroma_ratio.astype(jnp.uint32) * sth
+               * jnp.maximum(skipt, 1).astype(jnp.uint32)) >> 5
+        z0s = ((z0 * ratio_u) >> 5) + (((avg_src - avg_ref.astype(jnp.int32))
+                                        ** 2) * yarea).astype(jnp.uint32)
+        z1s = (z1 * ratio_u) >> 5
+        z2s = (z2 * ratio_u) >> 5
+        cond_try = good | ((mvx == 0) & (mvy == 0))
+        skip = cond_try & (z0s <= sth) & (z1s <= cth) & (z2s <= cth)
+
+    # ---- no-residual decisions (ref: hme.c:1731-1777) ----
+    noxmity = jnp.bool_(False)
+    noxmitc = jnp.bool_(False)
+    simcmplx = jnp.bool_(False)
+    if not cfg.lossless:
+        y_prereq = avg_y_dif <= 2
+        c_prereq = (~greyish) & (avg_c_dif <= 2)
+        xth = (skipt * yarea).astype(jnp.int32)
+        carea = 4 * cbw * cbh
+        b0 = _max_subblock_err(srcl, refl, bx, by, bx + fpelx, by + fpely,
+                               y_w // 2, y_h // 2, bw // 2, bh // 2, psy)
+        b1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbmx, cbmy,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
+        b2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbmx, cbmy,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
+        xth = (xth.astype(jnp.uint32) + ipolvar.astype(jnp.uint32)
+               ).astype(jnp.int32)
+        xth = jnp.maximum(xth - yarea * neidif * 2, 0)
+        xth = ((xth.astype(jnp.uint32) * quant.astype(jnp.uint32))
+               >> K.MAX_QP_BITS).astype(jnp.int32)
+        xth = jnp.clip(xth, 32, yarea * 4)
+        ratio_u = ratio.astype(jnp.uint32)
+        b0s = (b0 * ratio_u) >> 5
+        b1s = (b1 * ratio_u) >> 5
+        b2s = (b2 * ratio_u) >> 5
+        _, _, _, utex = block_feat_detail(
+            window(src_u, cbx, cby, ch_max, cw_max), cbw, cbh)
+        _, _, _, vtex = block_feat_detail(
+            window(src_v, cbx, cby, ch_max, cw_max), cbw, cbh)
+        c_prereq = c_prereq & ((utex > carea) | (vtex > carea))
+        xthc = (chroma_ratio * xth) >> 4
+        pre = (~oob) & (y_prereq | c_prereq)
+        noxmity = pre & y_prereq & (b0s < (4 * xth).astype(jnp.uint32))
+        noxmitc = (pre & c_prereq & (b1s < xthc.astype(jnp.uint32))
+                   & (b2s < xthc.astype(jnp.uint32)))
+        simcmplx = (~oob) & (dv < var_src // 4)
+    return dict(mvx=mvx, mvy=mvy, fpelx=fpelx, fpely=fpely, best=best,
+                best_fp=best_fp, ratio=ratio,
+                skip=skip, noxmity=noxmity, noxmitc=noxmitc,
+                simcmplx=simcmplx, maintain=maintain, mad=mad, ogrmad=ogrmad,
+                ipolvar=ipolvar, avg_src=avg_src, avg_ref=avg_ref,
+                avg_c_dif=avg_c_dif, eprmi=eprmi, eprmd=eprmd, eprmr=eprmr,
+                neidif=neidif, cb=(cbx, cby, cbmx, cbmy, cbw, cbh))
+
+
+def _neighbordif_self(fx, fy, fskip, i, j, cmx, cmy):
+    """neighbordif2 with the current block's (not yet scattered) vector."""
+    def nb(x, y, ok):
+        yy = jnp.clip(y, 0, fx.shape[0] - 1)
+        xx = jnp.clip(x, 0, fx.shape[1] - 1)
+        vx, vy = fx[yy, xx], fy[yy, xx]
+        use = ok & ((vx != 0) | (vy != 0)) & (fskip[yy, xx] == 0)
+        return jnp.where(use, vx, cmx), jnp.where(use, vy, cmy)
+
+    vx0, vy0 = nb(i - 1, j, i > 0)
+    vx1, vy1 = nb(i, j - 1, j > 0)
+    d0 = jnp.abs(vx0 - cmx) + jnp.abs(vy0 - cmy)
+    d1 = jnp.abs(vx1 - cmx) + jnp.abs(vy1 - cmy)
+    small = (jnp.abs(cmx) < 2) & (jnp.abs(cmy) < 2)
+    return jnp.where(small, 0, d0), jnp.where(small, 0, d1)
+
+
+def _test_intra_y(cfg, d0, srcl, refl, bx, by, fpelx, fpely, bw, bh,
+                  refmv_x, refmv_y, psyscale):
+    """(ref: hme.c:891-985). Returns (submask, dc, intra)."""
+    mvx, mvy = d0["mvx"], d0["mvy"]
+    neidif = d0["neidif"]
+    ratio = d0["ratio"]
+    detail0 = d0["ipolvar"]
+    avg_src = d0["avg_src"]
+    y_w, y_h = cfg.blk_w, cfg.blk_h
+    sbw = bw // 2
+    sbh = bh // 2
+    skip_all = (((mvx != 0) | (mvy != 0)) & (neidif < 3)
+                & (jnp.abs(refmv_x - mvx) < 3) & (jnp.abs(refmv_y - mvy) < 3))
+    skip_all = skip_all | (sbw == 0) | (sbh == 0)
+    detail_src = detail0 + detail0 // jnp.maximum(neidif, 1)
+    submask = jnp.int32(0)
+    avg_tot = jnp.int32(0)
+    err_sub = jnp.uint32(0)
+    err_src = jnp.uint32(0)
+    nsub = jnp.int32(0)
+    qw, qh = y_w // 2, y_h // 2
+    ratio_u = ratio.astype(jnp.uint32)
+    bits = (K.MASK_INTRA00, K.MASK_INTRA01, K.MASK_INTRA10, K.MASK_INTRA11)
+    bit_index = 0
+    for g in (0, 1):
+        for f in (0, 1):
+            src_d = window(srcl, bx + f * sbw, by + g * sbh, qh, qw)
+            mvr_d = window(refl, bx + fpelx + f * sbw, by + fpely + g * sbh,
+                           qh, qw)
+            rdet, avg_sub, _, _ = block_feat_detail(mvr_d, sbw, sbh)
+            local_detail, avg_local, _, _ = block_feat_detail(src_d, sbw, sbh)
+            local_detail = local_detail.astype(jnp.int32)
+            dcd = jnp.abs(avg_local - avg_sub).astype(jnp.int32) + 2
+            too_detailed = local_detail.astype(jnp.uint32) > (
+                (dcd * dcd * bw * bh).astype(jnp.uint32) * ratio_u) >> 5
+            dc = (avg_local + avg_src * 3 + 2) >> 2
+            sub_err, src_err, inter_err = err_intra(
+                src_d, mvr_d, sbw, sbh, avg_sub.astype(jnp.int32),
+                dc.astype(jnp.int32), ratio)
+            lo = (detail_src + local_detail + 1) >> 1
+            hi = detail_src
+            lerp = (lo * (32 - psyscale) + hi * psyscale) >> 5
+            ld2 = jnp.maximum(lerp, lo).astype(jnp.uint32)
+            sub_better = (sub_err + ld2) < inter_err
+            src_better = (src_err + ld2) < inter_err
+            take = ((~skip_all) & (~too_detailed)
+                    & (sub_better | src_better))
+            submask = submask | jnp.where(take, bits[bit_index], 0)
+            err_src = err_src + jnp.where(take, src_err, 0)
+            err_sub = err_sub + jnp.where(take, sub_err, 0)
+            avg_tot = avg_tot + jnp.where(
+                take, jnp.where(sub_err < src_err, avg_sub.astype(jnp.int32),
+                                dc.astype(jnp.int32)), 0)
+            nsub = nsub + jnp.where(take, 1, 0)
+            detail_src = jnp.where(take, detail_src * 4 // 5, detail_src)
+            bit_index += 1
+    intra = submask != 0
+    dc_out = jnp.where(
+        intra & (err_src < err_sub),
+        (avg_tot // jnp.maximum(nsub, 1)) | K.SRC_DC_PRED, 0)
+    return submask, dc_out, intra
+
+
+def _test_intra_c(cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra):
+    """(ref: hme.c:987-1048)."""
+    if cfg.effort < 6:
+        return submask, intra
+    mvx, mvy = d0["mvx"], d0["mvy"]
+    cbx, cby, cbmx, cbmy, cbw, cbh = d0["cb"]
+    mad = d0["mad"]
+    detail_src = d0["ipolvar"] // jnp.maximum(d0["bwbh"], 1)
+    avg_src = d0["avg_src"]
+    sbw = cbw // 2
+    sbh = cbh // 2
+    hs_ = K.fmt_h_shift(cfg.subsamp)
+    vs_ = K.fmt_v_shift(cfg.subsamp)
+    qw = (cfg.blk_w >> hs_) // 2
+    qh = (cfg.blk_h >> vs_) // 2
+    thr = jnp.where(intra, detail_src, detail_src * detail_src)
+    small_mv = (jnp.abs(mvx) < 4) & (jnp.abs(mvy) < 4)
+    blocked = ((sbw == 0) | (sbh == 0)
+               | (mad.astype(jnp.uint32) <= thr.astype(jnp.uint32))
+               | (thr.astype(jnp.uint32) > 64) | small_mv)
+    avg_ramp = (avg_src * avg_src) >> 8
+    bits = (K.MASK_INTRA00, K.MASK_INTRA01, K.MASK_INTRA10, K.MASK_INTRA11)
+    bit_index = 0
+    for g in (0, 1):
+        for f in (0, 1):
+            already = (submask & bits[bit_index]) != 0
+            us = masked_avg(window(src_u, cbx + f * sbw, cby + g * sbh,
+                                   qh, qw), sbw, sbh)
+            vs_a = masked_avg(window(src_v, cbx + f * sbw, cby + g * sbh,
+                                     qh, qw), sbw, sbh)
+            ur = masked_avg(window(ref_u, cbmx + f * sbw, cbmy + g * sbh,
+                                   qh, qw), sbw, sbh)
+            vr = masked_avg(window(ref_v, cbmx + f * sbw, cbmy + g * sbh,
+                                   qh, qw), sbw, sbh)
+            dif = (((us - ur) ** 2 + (vs_a - vr) ** 2) * avg_ramp) >> 8
+            take = ((~blocked) & (~already)
+                    & (dif.astype(jnp.uint32) > thr.astype(jnp.uint32)))
+            submask = submask | jnp.where(take, bits[bit_index], 0)
+            bit_index += 1
+    return submask, submask != 0
+
+
+def refine_level0_graph(cfg, srcs, refs, ogrl, parent_x, parent_y,
+                        tmv_x, tmv_y, gx, gy, quant, skip_thresh):
+    """Base level: search + subpel + mode decisions (ref: hme.c:1372-1833).
+    srcs/refs = (luma, u, v) bordered planes. Returns the final field
+    arrays + frame statistics."""
+    level = 0
+    srcl, src_u, src_v = srcs
+    refl, ref_u, ref_v = refs
+    step, ca, cb, lmax, nd = _lane_grid(cfg, level)
+    z32 = jnp.zeros((cfg.nbv, cfg.nbh), jnp.int32)
+    state = dict(fx=z32, fy=z32, fskip=z32.astype(jnp.uint8),
+                 flags=z32, err=z32, dc=z32, submask=z32,
+                 terr=jnp.int32(0), ndiff=jnp.int32(0),
+                 nelig=jnp.int32(0), nintra=jnp.int32(0))
+
+    def diag(d, st):
+        carry = dict(fx=st["fx"], fy=st["fy"], fskip=st["fskip"])
+        a0 = jnp.maximum(0, d - (cb - 1))
+        a = a0 + jnp.arange(lmax)
+        b = d - a
+        lane_ok = (a < ca) & (b >= 0) & (b < cb)
+        i = a * step
+        j = b * step
+
+        def one(i_, j_, ok_):
+            r = _block_search(cfg, level, carry, parent_x, parent_y,
+                              srcl, refl, ogrl, tmv_x, tmv_y, gx, gy,
+                              quant, i_, j_, ok_)
+            d0 = _level0_decide(cfg, r, carry, srcl, refl, ogrl,
+                                src_u, src_v, ref_u, ref_v, tmv_x, tmv_y,
+                                quant, skip_thresh)
+            d0["bwbh"] = r["bw"] * r["bh"]
+            # intra tests (ref: hme.c:1779-1788)
+            if cfg.has_tmv:
+                rmx = tmv_x[jnp.clip(j_, 0, cfg.nbv - 1),
+                            jnp.clip(i_, 0, cfg.nbh - 1)]
+                rmy = tmv_y[jnp.clip(j_, 0, cfg.nbv - 1),
+                            jnp.clip(i_, 0, cfg.nbh - 1)]
+            else:
+                rmx, rmy = d0["mvx"], d0["mvy"]
+            fpelx = d0["fpelx"]
+            fpely = d0["fpely"]
+            submask, dc, intra = _test_intra_y(
+                cfg, d0, srcl, refl, r["bx"], r["by"],
+                fpelx, fpely, r["bw"], r["bh"], rmx, rmy, cfg.psyf_all)
+            submask, intra = _test_intra_c(
+                cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra)
+            # EPRM merge (ref: hme.c:1801-1820)
+            eprmi, eprmd, eprmr = d0["eprmi"], d0["eprmd"], d0["eprmr"]
+            m_intra = jnp.where((dc & K.SRC_DC_PRED) != 0, eprmd, eprmi)
+            m_intra = m_intra | ((submask != K.MASK_ALL_INTRA) & eprmr)
+            m_inter = eprmr | ((submask != 0) & eprmi)
+            eprm = jnp.where(intra, m_intra, m_inter)
+            mvx = jnp.where(intra, fpelx * 4, d0["mvx"])
+            mvy = jnp.where(intra, fpely * 4, d0["mvy"])
+            simc = d0["simcmplx"] & ~(intra | eprm)
+            skip = d0["skip"]
+            # skip overrides everything (ref: hme.c:1722-1728)
+            mvx = jnp.where(skip, 0, mvx)
+            mvy = jnp.where(skip, 0, mvy)
+            intra = intra & ~skip
+            eprm = eprm & ~skip
+            simc = simc & ~skip
+            noxy = d0["noxmity"] & ~skip
+            noxc = d0["noxmitc"] & ~skip
+            maint = d0["maintain"]  # set before the skip test, kept
+            err = jnp.where(skip | noxy, 0, d0["mad"]) & 0xFFFF
+            flags = (intra.astype(jnp.int32) << K.MV_BIT_INTRA
+                     | eprm.astype(jnp.int32) << K.MV_BIT_EPRM
+                     | maint.astype(jnp.int32) << K.MV_BIT_MAINTAIN
+                     | skip.astype(jnp.int32) << K.MV_BIT_SKIP
+                     | noxy.astype(jnp.int32) << K.MV_BIT_NOXMITY
+                     | noxc.astype(jnp.int32) << K.MV_BIT_NOXMITC
+                     | simc.astype(jnp.int32) << K.MV_BIT_SIMCMPLX)
+            # stats (ref: hme.c:1789-1799, 1825-1831)
+            v = r["valid"]
+            terr = jnp.where(v & ~skip & ~noxy, d0["mad"], 0)
+            ndiff = jnp.where(
+                v & ~skip, (d0["ogrmad"] > 11).astype(jnp.int32)
+                + (d0["avg_c_dif"] >= 32).astype(jnp.int32), 0)
+            nelig = jnp.where(v & (d0["best"] > 0), 1, 0)
+            nintra = jnp.where(v & intra, 1, 0)
+            return (mvx, mvy, flags, err, dc, submask,
+                    skip.astype(jnp.uint8), v, terr, ndiff, nelig, nintra)
+
+        (ox, oy, ofl, oerr, odc, osm, oskip, ov, terr, ndiff, nelig,
+         nintra) = jax.vmap(one)(i, j, lane_ok)
+        jv = jnp.where(ov, j, cfg.nbv)
+        st = dict(st)
+        st["fx"] = st["fx"].at[jv, i].set(ox, mode="drop")
+        st["fy"] = st["fy"].at[jv, i].set(oy, mode="drop")
+        st["flags"] = st["flags"].at[jv, i].set(ofl, mode="drop")
+        st["err"] = st["err"].at[jv, i].set(oerr, mode="drop")
+        st["dc"] = st["dc"].at[jv, i].set(odc, mode="drop")
+        st["submask"] = st["submask"].at[jv, i].set(osm, mode="drop")
+        st["fskip"] = st["fskip"].at[jv, i].set(oskip, mode="drop")
+        st["terr"] = st["terr"] + terr.sum()
+        st["ndiff"] = st["ndiff"] + ndiff.sum()
+        st["nelig"] = st["nelig"] + nelig.sum()
+        st["nintra"] = st["nintra"] + nintra.sum()
+        return st
+
+    st = jax.lax.fori_loop(0, nd, diag, state)
+    return st
+
+
+@functools.lru_cache(maxsize=None)
+def make_motion_est(cfg: "WaveCfg"):
+    """The full pyramid search as one jitted program (ref: hme.c:2001-2016).
+    Inputs: per-level (src, ref, ogr) luma planes, level-0 chroma planes,
+    previous-frame field, quant, skip threshold."""
+    pl = cfg.pyramid_levels
+
+    def f(src_planes, ref_planes, ogr_planes, src_u, src_v, ref_u, ref_v,
+          tmv_x, tmv_y, quant, skip_thresh):
+        gx = jnp.int32(0)
+        gy = jnp.int32(0)
+        parent_x = jnp.zeros((cfg.nbv, cfg.nbh), jnp.int32)
+        parent_y = jnp.zeros((cfg.nbv, cfg.nbh), jnp.int32)
+        for level in range(pl, 0, -1):
+            fx, fy = refine_level_graph(
+                cfg, level, src_planes[level], ref_planes[level],
+                ogr_planes[level], parent_x, parent_y, tmv_x, tmv_y,
+                gx, gy, quant)
+            gx, gy = global_motion_graph(cfg, level, fx, fy)
+            parent_x, parent_y = fx, fy
+        st = refine_level0_graph(
+            cfg, (src_planes[0], src_u, src_v),
+            (ref_planes[0], ref_u, ref_v), ogr_planes[0],
+            parent_x, parent_y, tmv_x, tmv_y, gx, gy, quant, skip_thresh)
+        return st
+
+    return jax.jit(f)
+
+
+def motion_est(enc, d):
+    """Drop-in replacement for ops.hme_search.motion_est running the whole
+    pyramid search as a single device dispatch."""
+    from ..codec.motion import MotionField
+
+    ref = d.refdata
+    p = d.params
+    recon_pyr = enc._mk_pyramid(ref.residual)
+    src = [d.padded] + list(d.pyramid)
+    refs = [ref.residual] + recon_pyr
+    ogrs = [ref.padded] + list(ref.pyramid)
+    has_tmv = ref.final_mvs is not None
+    cfg = WaveCfg(p.nbh, p.nbv, p.blk_w, p.blk_h,
+                  p.meta.width, p.meta.height, p.meta.subsamp, p.effort,
+                  p.lossless, enc.pyramid_levels, has_tmv,
+                  enc.skip_block_thresh < 0,
+                  tuple((f.width, f.height) for f in src))
+    if has_tmv:
+        tmvx = ref.final_mvs.grid(ref.final_mvs.x).astype(np.int32)
+        tmvy = ref.final_mvs.grid(ref.final_mvs.y).astype(np.int32)
+    else:
+        tmvx = np.zeros((p.nbv, p.nbh), np.int32)
+        tmvy = tmvx
+    fn = make_motion_est(cfg)
+    st = fn(tuple(f.planes[0] for f in src),
+            tuple(f.planes[0] for f in refs),
+            tuple(f.planes[0] for f in ogrs),
+            src[0].planes[1], src[0].planes[2],
+            refs[0].planes[1], refs[0].planes[2],
+            tmvx, tmvy, np.int32(enc.prev_quant),
+            np.int32(enc.skip_block_thresh))
+    st = {k: np.asarray(v) for k, v in st.items()}
+    mf = MotionField(p.nbh, p.nbv)
+    mf.x = st["fx"].reshape(-1).astype(np.int16)
+    mf.y = st["fy"].reshape(-1).astype(np.int16)
+    mf.flags = st["flags"].reshape(-1).astype(np.uint32)
+    mf.err = st["err"].reshape(-1).astype(np.uint16)
+    mf.dc = st["dc"].reshape(-1).astype(np.uint16)
+    mf.submask = st["submask"].reshape(-1).astype(np.uint8)
+    d.final_mvs = mf
+    nblk = p.nbh * p.nbv
+    nelig = max(int(st["nelig"]), 1)
+    enc.curr_scblocks = int(st["ndiff"]) * 100 // nelig
+    enc.avg_err = int(st["terr"]) // nblk
+    enc.curr_intra_pct = int(st["nintra"]) * 100 // nblk

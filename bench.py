@@ -77,6 +77,8 @@ def our_fps(src):
 
 
 def main():
+    import dsv2_tpu
+    dsv2_tpu.enable_compile_cache()
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,
                              check=True).stdout.strip()

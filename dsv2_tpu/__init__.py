@@ -15,3 +15,18 @@ from .core.constants import (  # noqa: F401
     SUBSAMP_444, SUBSAMP_422, SUBSAMP_UYVY, SUBSAMP_420, SUBSAMP_411,
     SUBSAMP_410,
 )
+
+
+def enable_compile_cache(path=None):
+    """Enable JAX's persistent compilation cache (the wavefront HME program
+    takes minutes to compile per resolution; the cache amortizes it across
+    runs)."""
+    import os
+    import jax
+    path = path or os.environ.get(
+        "DSV2_JAX_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -282,6 +282,8 @@ def main(argv=None):
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)
+    from . import enable_compile_cache
+    enable_compile_cache()
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] not in ("e", "d"):
         print("usage: dsv2_tpu <e|d> [options]")

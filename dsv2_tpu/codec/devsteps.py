@@ -2,8 +2,8 @@
 
 Fuses the per-plane prediction / residual / transform / quantization /
 reconstruction chain of a frame into a single jitted program, so a frame
-costs one host->device upload, one dispatch and one sparse download instead
-of ~15 round-trips (the axon tunnel charges ~6 ms per dispatch).
+costs one host->device upload, one dispatch and one packed sparse download
+instead of ~15 round-trips (the axon tunnel charges ~6 ms per dispatch).
 """
 import functools
 
@@ -16,18 +16,19 @@ from ..core.frame import B
 from ..ops import sbt, hzcc, mc
 from .decoder import _PCfg
 from ..utils.packet import VideoMeta
+from ..parallel import xfer
 
 
-def _sparse_pack(v):
-    nz = v != 0
-    order = jnp.argsort(~nz, stable=True).astype(jnp.int32)
-    vals_c = v[order]
-    nnz = nz.sum().astype(jnp.int32)
-    dpos = jnp.diff(order, prepend=0)
-    v_ovf = (jnp.abs(vals_c) > 32767).any()
-    p_ovf = ((dpos > 65535) | (dpos < 0)).any()
-    return (vals_c, order, nnz, vals_c.astype(jnp.int16),
-            dpos.astype(jnp.uint16), v_ovf, p_ovf)
+def _finish(recons, lls, packs):
+    """Merge the three planes' packed segments into one flat buffer +
+    a 12-int metadata vector (n, ll, used, fallback per plane)."""
+    buf, _ = xfer.merge_rows([pk[0][None] for pk in packs],
+                             [pk[1][None] for pk in packs])
+    smalls = jnp.stack(
+        [jnp.stack([pk[5], ll, pk[1], pk[2].astype(jnp.int32)])
+         for pk, ll in zip(packs, lls)]).reshape(-1)
+    fbarrs = [(pk[3], pk[4]) for pk in packs]
+    return recons, buf, smalls, fbarrs
 
 
 def _pcfg(w, h, subsamp, blk_w, blk_h, isP, lossless, do_psy):
@@ -63,8 +64,9 @@ def make_p_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy):
             rpx = jnp.clip(rpx + 128, 0, 255).astype(jnp.uint8)
             res2 = res.at[:ph, :pw].set(rpx[:ph, :pw])
             recon = mc.make_reconstruct(mcc)(res2, pred, flags)
-            outs.append((recon, coefs[0, 0]) + _sparse_pack(v))
-        return outs
+            outs.append((recon, coefs[0, 0], xfer.pack_segment(v)))
+        return _finish([o[0] for o in outs], [o[1] for o in outs],
+                       [o[2] for o in outs])
 
     return jax.jit(step)
 
@@ -89,8 +91,9 @@ def make_i_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
                 rpx = jnp.clip(rpx + 128, 0, 255).astype(jnp.uint8)
             else:
                 rpx = jnp.zeros((1, 1), jnp.uint8)
-            outs.append((rpx, coefs[0, 0]) + _sparse_pack(v))
-        return outs
+            outs.append((rpx, coefs[0, 0], xfer.pack_segment(v)))
+        return _finish([o[0] for o in outs], [o[1] for o in outs],
+                       [o[2] for o in outs])
 
     return jax.jit(step)
 
@@ -136,32 +139,28 @@ def make_p_decode_step(w, h, subsamp, blk_w, blk_h, lossless):
     return jax.jit(step)
 
 
-def fetch_sparse_outs(outs, nfr_axis=False):
-    """Host-side sparse fetch for the per-plane packs produced by the steps
-    above (single frame). Returns (vscans, lls)."""
-    from ..parallel.batch import _round_up
-    smalls = np.asarray(jnp.concatenate(
-        [jnp.stack([outs[c][4], outs[c][1].astype(jnp.int32),
-                    outs[c][7].astype(jnp.int32),
-                    outs[c][8].astype(jnp.int32)])
-         for c in range(3)]))
+def fetch_sparse_outs(step_out):
+    """Host-side fetch for (recons, buf, smalls, fbarrs) step outputs:
+    one metadata fetch + one packed-buffer fetch. Returns (vscans, lls)."""
+    from .. import native
+    recons, buf, smalls, fbarrs = step_out
+    sm = np.asarray(smalls).reshape(3, 4)
+    useds = sm[:, 2].astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(useds)[:-1]])
+    packed = xfer.fetch_packed(buf, int(useds.sum()))
     vscans = []
     lls = []
     for c in range(3):
-        nnz, ll, v_ovf, p_ovf = (int(x) for x in smalls[c * 4:(c + 1) * 4])
-        vals_c, order = outs[c][2], outs[c][3]
-        total = vals_c.shape[0]
-        k = min(_round_up(max(nnz, 1), 4096), total)
-        if v_ovf:
-            vals = np.asarray(vals_c[:k])
+        n, ll, used, fb = (int(x) for x in sm[c])
+        total = fbarrs[c][0].shape[0]
+        if fb:
+            vals = np.asarray(fbarrs[c][0])[:n]
+            pos = np.asarray(fbarrs[c][1])[:n]
+            v = np.zeros(total, dtype=np.int32)
+            v[pos] = vals
         else:
-            vals = np.asarray(outs[c][5][:k]).astype(np.int32)
-        if p_ovf:
-            pos = np.asarray(order[:k])
-        else:
-            pos = np.cumsum(np.asarray(outs[c][6][:k]).astype(np.int64))
-        v = np.zeros(total, dtype=np.int32)
-        v[pos[:nnz]] = vals[:nnz]
+            o = int(offs[c])
+            v = native.unpack_scan(packed[o:o + used], total)
         vscans.append(v)
         lls.append(ll)
     return vscans, lls

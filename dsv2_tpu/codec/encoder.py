@@ -56,12 +56,27 @@ class EncData:
     def __init__(self, fnum, padded):
         self.fnum = fnum
         self.padded = padded          # bordered+extended source Frame
-        self.pyramid = []
+        self._pyramid = []
+        self._pyramid_fn = None       # lazy builder (intra batches never
+                                      # search motion, but CRF dark-boost
+                                      # still reads the smallest level)
         self.residual = None          # becomes the reconstruction
         self.params = None
         self.quant = 0
         self.refdata = None
         self.final_mvs = None
+
+    @property
+    def pyramid(self):
+        if self._pyramid_fn is not None:
+            self._pyramid = self._pyramid_fn()
+            self._pyramid_fn = None
+        return self._pyramid
+
+    @pyramid.setter
+    def pyramid(self, v):
+        self._pyramid = v
+        self._pyramid_fn = None
 
 
 class Stats:
@@ -486,6 +501,7 @@ class Encoder:
                 xs.append(x)
             outs = step(tuple(xs), bd_grid, np.int32(d.quant))
         vscans, lls = devsteps.fetch_sparse_outs(outs)
+        recons = outs[0]
         for c in range(3):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
@@ -493,9 +509,9 @@ class Encoder:
             if p.has_ref:
                 mcc = pcfg.mc_cfg(c)
                 d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = (
-                    np.asarray(outs[c][0]))
+                    np.asarray(recons[c]))
             elif need_recon:
-                d.residual.view(c)[:, :] = np.asarray(outs[c][0])[:ph, :pw]
+                d.residual.view(c)[:, :] = np.asarray(recons[c])[:ph, :pw]
         if not p.has_ref:
             if need_recon:
                 apply_intra_filter(d.residual, bd_grid, pcfg, d.quant,

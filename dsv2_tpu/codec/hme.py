@@ -1,18 +1,23 @@
 """Hierarchical motion estimation dispatch.
 
-Backends: "wave" = single-dispatch TPU wavefront program (ops/hme_wave),
-"host" = python+native orchestration (ops/hme_search, the bit-exactness
-oracle). Both produce identical fields; "auto" picks wave on accelerators
-and host on CPU (where the wave program's compile time dominates).
+Backends:
+- "host": python orchestration over native metric primitives
+  (ops/hme_search) — the bit-exactness oracle and the current
+  single-stream default.
+- "wave": the whole pyramid search as one XLA program (ops/hme_wave),
+  byte-identical output. Pays off with frame-lockstep batching (multiple
+  GOP streams per dispatch); single-frame dispatch underutilizes the TPU,
+  so it is opt-in for now (enc.hme_backend = "wave" or DSV2_HME=wave).
 (ref: src/hme.c)
 """
-import jax
+import os
 
 
 def motion_est(enc, d):
-    backend = getattr(enc, "hme_backend", "auto")
+    backend = getattr(enc, "hme_backend", None) or os.environ.get(
+        "DSV2_HME", "host")
     if backend == "auto":
-        backend = ("host" if jax.default_backend() == "cpu" else "wave")
+        backend = "host"
     if backend == "wave":
         from ..ops import hme_wave
         hme_wave.motion_est(enc, d)

@@ -149,11 +149,10 @@ def decode_motion(r: BitReader, buf, nbh, nbv, stats, blockdata):
 def encode_stable_blocks(w: BitWriter, stable_bits, stats):
     """stable_bits: iterable of 0/1 per block (already decided)
     (ref: dsv_encoder.c:797-883 serialization part)."""
-    rle = ZBRLEWriter()
+    from .. import native
     inv = stats[K.STABLE_STAT] != K.ONE_MARKER
-    for s in stable_bits:
-        rle.put((s & 1) if not inv else 1 - (s & 1))
-    blob = rle.end()
+    blob = native.zbrle_encode(np.asarray(stable_bits, dtype=np.uint8) & 1,
+                               inv)
     w.align()
     w.put_ueg(len(blob))
     w.align()
@@ -162,13 +161,11 @@ def encode_stable_blocks(w: BitWriter, stable_bits, stats):
 
 def encode_intra_meta(w: BitWriter, ring_bits, maintain_bits, stats):
     """(ref: dsv_encoder.c:886-932)."""
+    from .. import native
     for bits, stat in ((ring_bits, K.RINGING_STAT),
                        (maintain_bits, K.MAINTAIN_STAT)):
-        rle = ZBRLEWriter()
         inv = stats[stat] != K.ONE_MARKER
-        for b in bits:
-            rle.put(int(b) if not inv else 1 - int(b))
-        blob = rle.end()
+        blob = native.zbrle_encode(np.asarray(bits, dtype=np.uint8) & 1, inv)
         w.align()
         w.put_ueg(len(blob))
         w.align()

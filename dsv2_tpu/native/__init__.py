@@ -40,6 +40,14 @@ def lib():
             L.dsvn_scan_dec.argtypes = [
                 C.POINTER(C.c_uint8), C.c_uint32, C.POINTER(C.c_int32),
                 C.POINTER(Seg), C.c_int]
+            L.dsvn_zbrle_enc.restype = C.c_int32
+            L.dsvn_zbrle_enc.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int32, C.c_int,
+                C.POINTER(C.c_uint8)]
+            L.dsvn_unpack_scan.restype = C.c_int32
+            L.dsvn_unpack_scan.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int32),
+                C.c_int64]
             _setup_hme(L)
             _lib = L
     return _lib
@@ -89,6 +97,27 @@ def scan_decode(buf, lim, total, segments):
     endbit = lib().dsvn_scan_dec(_u8p(b), lim, _i32p(v), _segarr(segments),
                                  len(segments))
     return v, endbit
+
+
+def zbrle_encode(bits, inv):
+    """ZBRLE-encode a 0/1 array (optionally inverted); returns the blob
+    bytes (ref: bs.c:284-318)."""
+    b = np.ascontiguousarray(bits, dtype=np.uint8)
+    out = np.zeros(4 * b.size + 64, dtype=np.uint8)
+    n = lib().dsvn_zbrle_enc(_u8p(b), b.size, int(inv), _u8p(out))
+    return out[:n].tobytes()
+
+
+def unpack_scan(seg, total):
+    """Expand a device-packed sparse-scan segment into the dense scan
+    array (int32). Raises on a malformed segment."""
+    s = np.ascontiguousarray(np.frombuffer(seg, dtype=np.uint8)
+                             if not isinstance(seg, np.ndarray) else seg)
+    v = np.zeros(total, dtype=np.int32)
+    r = lib().dsvn_unpack_scan(_u8p(s), s.size, _i32p(v), total)
+    if r != 0:
+        raise ValueError("malformed packed scan segment")
+    return v
 
 
 def post_process(plane):

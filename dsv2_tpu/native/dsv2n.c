@@ -1079,3 +1079,88 @@ API void dsvn_neighbordif2(const int16_t *mvx, const int16_t *mvy,
     out2[0] = iabs(vx0 - cmx) + iabs(vy0 - cmy);
     out2[1] = iabs(vx1 - cmx) + iabs(vy1 - cmy);
 }
+
+/* ---- ZBRLE encode (ref: bs.c:284-318): bits[i] in {0,1}, optionally
+ * inverted; returns blob byte length written to out. */
+API int32_t dsvn_zbrle_enc(const uint8_t *bits, int32_t n, int inv,
+                           uint8_t *out)
+{
+    BW w = { out, 0 };
+    int nz = 0;
+    int32_t i;
+    for (i = 0; i < n; i++) {
+        int b = bits[i] & 1;
+        if (inv) b = 1 - b;
+        if (b) {
+            bw_ueg(&w, (unsigned)nz);
+            nz = 0;
+        } else {
+            nz++;
+        }
+    }
+    bw_ueg(&w, (unsigned)nz);
+    bw_align(&w);
+    return (int32_t)(w.bit >> 3);
+}
+
+/* ---- Packed sparse-scan segment -> dense scan array.
+ * Layout (little-endian): u32 n, u16 nexc_v, u16 nexc_p,
+ * then n bytes of truncated values, n bytes of truncated position
+ * deltas, then at (8 + 2n rounded up to 4): nexc_v x {u32 idx, i32 val},
+ * nexc_p x {u32 idx, u32 delta}. Exceptions patch the truncated arrays
+ * by prefix index. v (length total) must be zero-filled by the caller.
+ * Returns 0 on success, -1 on a bounds violation. */
+API int32_t dsvn_unpack_scan(const uint8_t *seg, int64_t seglen,
+                             int32_t *v, int64_t total)
+{
+    uint32_t n, ev, ep, i;
+    const uint8_t *vals8, *dpos8, *exc;
+    int64_t acc = 0, excoff;
+    if (seglen < 8) return -1;
+    n = (uint32_t)seg[0] | ((uint32_t)seg[1] << 8)
+        | ((uint32_t)seg[2] << 16) | ((uint32_t)seg[3] << 24);
+    ev = (uint32_t)seg[4] | ((uint32_t)seg[5] << 8);
+    ep = (uint32_t)seg[6] | ((uint32_t)seg[7] << 8);
+    if ((int64_t)n > total) return -1;
+    excoff = (8 + 2 * (int64_t)n + 3) & ~(int64_t)3;
+    if (excoff + 8 * (int64_t)(ev + ep) > seglen) return -1;
+    vals8 = seg + 8;
+    dpos8 = seg + 8 + n;
+    exc = seg + excoff;
+    {
+        /* widen into scratch, patch exceptions, then scatter */
+        int64_t pos;
+        int32_t *wv = (int32_t *)malloc((size_t)n * sizeof(int32_t));
+        uint32_t *wd = (uint32_t *)malloc((size_t)n * sizeof(uint32_t));
+        if ((!wv || !wd) && n) { free(wv); free(wd); return -1; }
+        for (i = 0; i < n; i++) {
+            wv[i] = (int32_t)(int8_t)vals8[i];
+            wd[i] = dpos8[i];
+        }
+        for (i = 0; i < ev; i++, exc += 8) {
+            uint32_t idx = (uint32_t)exc[0] | ((uint32_t)exc[1] << 8)
+                | ((uint32_t)exc[2] << 16) | ((uint32_t)exc[3] << 24);
+            int32_t val = (int32_t)((uint32_t)exc[4] | ((uint32_t)exc[5] << 8)
+                | ((uint32_t)exc[6] << 16) | ((uint32_t)exc[7] << 24));
+            if (idx >= n) { free(wv); free(wd); return -1; }
+            wv[idx] = val;
+        }
+        for (i = 0; i < ep; i++, exc += 8) {
+            uint32_t idx = (uint32_t)exc[0] | ((uint32_t)exc[1] << 8)
+                | ((uint32_t)exc[2] << 16) | ((uint32_t)exc[3] << 24);
+            uint32_t dp = (uint32_t)exc[4] | ((uint32_t)exc[5] << 8)
+                | ((uint32_t)exc[6] << 16) | ((uint32_t)exc[7] << 24);
+            if (idx >= n) { free(wv); free(wd); return -1; }
+            wd[idx] = dp;
+        }
+        pos = 0;
+        for (i = 0; i < n; i++) {
+            pos += wd[i];
+            if (pos < 0 || pos >= total) { free(wv); free(wd); return -1; }
+            v[pos] = wv[i];
+        }
+        free(wv);
+        free(wd);
+    }
+    return 0;
+}

@@ -6,6 +6,14 @@ ref: dsv_encoder.c:1552-1570), so the entire device program — forward SBT,
 adaptive quantization, inverse SBT — runs as a single vmapped call over a
 frame batch, and the host then serializes each frame's scan values. Produces
 byte-identical streams to the sequential encoder.
+
+Transfer design (the axon tunnel is ~36 MB/s d2h with ~6 ms dispatch RTT):
+every frame/plane's sparse quantized coefficients are packed ON DEVICE into
+a compact byte segment — 8-bit truncated values + 8-bit position deltas with
+exception records patching the wide cases — and all segments are scattered
+into ONE flat buffer fetched with a single (bucketed-length) transfer. The
+native C runtime expands segments back to dense scan arrays for the serial
+entropy coder.
 """
 import functools
 
@@ -19,10 +27,11 @@ from ..core.frame import Frame, B
 from ..ops import sbt, hzcc, blockanalysis
 from ..utils import packet
 from ..bitstream import BitWriter
+from .. import native
 from ..codec import plane as planecode
 from ..codec import motion, rc
 from ..codec.decoder import _PCfg, apply_intra_filter
-
+from .xfer import pack_segment, merge_rows, fetch_packed
 
 @functools.lru_cache(maxsize=None)
 def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
@@ -50,60 +59,24 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
                 # gop=0 / non-reference frames: the reconstruction is dead
                 # work (ref keeps no chain; dsv_encoder.c:1296-1301)
                 px = jnp.zeros((1, 1), jnp.uint8)
-            # compact the (sparse) scan values on device: stable argsort
-            # puts nonzero scan positions first, in scan order — the host
-            # then fetches only the occupied prefix (tunnel bandwidth).
-            # Values/position-deltas are narrowed to 16 bits with an
-            # overflow flag for the (rare) wide cases.
-            nz = v != 0
-            order = jnp.argsort(~nz, stable=True).astype(jnp.int32)
-            vals_c = v[order]
-            nnz = nz.sum().astype(jnp.int32)
-            dpos = jnp.diff(order, prepend=0)
-            v_ovf = (jnp.abs(vals_c) > 32767).any()
-            p_ovf = ((dpos > 65535) | (dpos < 0)).any()
-            vals16 = vals_c.astype(jnp.int16)
-            dpos16 = dpos.astype(jnp.uint16)
-            return (px, vals_c, order, nnz, coefs[0, 0],
-                    vals16, dpos16, v_ovf, p_ovf)
+            row, used, fb, vals_c, pos_c, n = pack_segment(v)
+            return px, row, used, fb, vals_c, pos_c, n, coefs[0, 0]
         return f
 
-    fns = [one_plane(c) for c in range(3)]
-
     def batch(xs0, xs1, xs2, bds, qs):
-        outs = []
-        for c, xs in enumerate((xs0, xs1, xs2)):
-            outs.append(jax.vmap(fns[c])(xs, bds, qs))
-        return outs
+        outs = [jax.vmap(one_plane(c))(xs, bds, qs)
+                for c, xs in enumerate((xs0, xs1, xs2))]
+        buf, useds = merge_rows([o[1] for o in outs], [o[2] for o in outs])
+        # small per-segment metadata, one fetch: n, ll, used, fallback per
+        # plane (c-major), each (nfr,)
+        smalls = jnp.concatenate(
+            [jnp.concatenate([o[6], o[7], o[2], o[3].astype(jnp.int32)])
+             for o in outs])
+        pxs = [o[0] for o in outs]
+        fallbacks = [(o[4], o[5]) for o in outs]
+        return buf, smalls, pxs, fallbacks
 
     return jax.jit(batch)
-
-
-def _fetch_sparse(out_c, counts, v_ovf, p_ovf):
-    """Two-phase device->host fetch: merged counts/flags first, then only
-    the occupied prefix of the narrowed (value, position-delta) arrays;
-    falls back to the 32-bit arrays when a plane overflowed 16 bits."""
-    vals_c, pos_c, vals16, dpos16 = out_c
-    total = vals_c.shape[1]
-    k = int(counts.max(initial=0))
-    k = min(_round_up(max(k, 1), 4096), total)
-    if v_ovf:
-        vals = np.asarray(vals_c[:, :k])
-    else:
-        vals = np.asarray(vals16[:, :k]).astype(np.int32)
-    if p_ovf:
-        pos = np.asarray(pos_c[:, :k])
-    else:
-        pos = np.cumsum(np.asarray(dpos16[:, :k]).astype(np.int64), axis=1)
-    out = np.zeros((vals_c.shape[0], total), dtype=np.int32)
-    for i in range(vals_c.shape[0]):
-        n = int(counts[i])
-        out[i, pos[i, :n]] = vals[i, :n]
-    return out
-
-
-def _round_up(x, m):
-    return (x + m - 1) // m * m
 
 
 def encode_intra_batch(enc, frame_planes):
@@ -112,7 +85,6 @@ def encode_intra_batch(enc, frame_planes):
     calls, byte-for-byte)."""
     meta = enc.meta
     nfr = len(frame_planes)
-    first_fnum = enc.next_fnum
 
     # --- host: padded frames + per-frame params/analysis/quants -----------
     datas = []
@@ -126,7 +98,9 @@ def encode_intra_batch(enc, frame_planes):
         enc._setup_params(d)
         d.params.is_ref = 0
         d.params.has_ref = 0
-        d.pyramid = enc._mk_pyramid(padded)
+        # no motion search in an intra batch: build the pyramid lazily
+        # (only CRF dark-intra-boost rate control ever reads it)
+        d._pyramid_fn = (lambda padded=padded: enc._mk_pyramid(padded))
         datas.append(d)
 
     pcfg = _PCfg(meta, datas[0].params.blk_w, datas[0].params.blk_h,
@@ -201,26 +175,38 @@ def encode_intra_batch(enc, frame_planes):
     fn = _device_batch_fn(meta.width, meta.height, meta.subsamp,
                           p.blk_w, p.blk_h, p.lossless, p.do_psy,
                           need_recon)
-    outs = fn(xs[0], xs[1], xs[2], bds, qs)
-    # one small fetch for all counts + lls + flags
-    smalls = np.asarray(jnp.concatenate(
-        [jnp.concatenate([outs[c][3], outs[c][4],
-                          outs[c][7].astype(jnp.int32),
-                          outs[c][8].astype(jnp.int32)])
-         for c in range(3)]))
+    buf, smalls, pxs_dev, fb_dev = fn(xs[0], xs[1], xs[2], bds, qs)
+    smalls = np.asarray(smalls)  # one small fetch: n/ll/used/fallback
     per = nfr * 4
-    vscans = []
-    lls = []
+    ns, lls, useds, fbs = [], [], [], []
     for c in range(3):
         seg = smalls[c * per:(c + 1) * per]
-        counts, ll = seg[:nfr], seg[nfr:2 * nfr]
-        v_ovf = bool(seg[2 * nfr:3 * nfr].any())
-        p_ovf = bool(seg[3 * nfr:4 * nfr].any())
-        vscans.append(_fetch_sparse(
-            (outs[c][1], outs[c][2], outs[c][5], outs[c][6]),
-            counts, v_ovf, p_ovf))
-        lls.append(ll)
-    pxs = [np.asarray(outs[c][0]) for c in range(3)] if need_recon else None
+        ns.append(seg[:nfr])
+        lls.append(seg[nfr:2 * nfr])
+        useds.append(seg[2 * nfr:3 * nfr])
+        fbs.append(seg[3 * nfr:4 * nfr])
+    used_flat = np.concatenate(useds).astype(np.int64)
+    offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
+    packed = fetch_packed(buf, int(used_flat.sum()))
+
+    vscans = []
+    for c in range(3):
+        total_c = pcfg.cdims[c][0] * pcfg.cdims[c][1]
+        out = np.zeros((nfr, total_c), dtype=np.int32)
+        for fi in range(nfr):
+            if fbs[c][fi]:
+                # >4096 exception records (extreme content): fetch the
+                # 32-bit compacted arrays for this plane-frame only
+                n = int(ns[c][fi])
+                vals = np.asarray(fb_dev[c][0][fi])[:n]
+                pos = np.asarray(fb_dev[c][1][fi])[:n]
+                out[fi, pos] = vals
+            else:
+                o = int(offs_flat[c * nfr + fi])
+                u = int(used_flat[c * nfr + fi])
+                out[fi] = native.unpack_scan(packed[o:o + u], total_c)
+        vscans.append(out)
+    pxs = [np.asarray(o) for o in pxs_dev] if need_recon else None
 
     # --- host: serialize ----------------------------------------------------
     chunks = []

@@ -6,8 +6,10 @@ Prints ONE JSON line:
 
 vs_baseline = our fps / single-threaded C reference fps measured on this
 host in the same run (the reference publishes no numbers; BASELINE.md).
-Config: CIF 352x288 4:2:0 intra encode, qp=60 (round-1 scope: the P-frame
-search is still host-bound; see PROGRESS.jsonl).
+Config: CIF 352x288 4:2:0 intra encode, 128 frames, qp=60 (round-1 scope:
+the P-frame search is still host-bound; see PROGRESS.jsonl). Both sides
+encode the same clip; chunked device batches overlap host serialization
+with device compute.
 """
 import json
 import os
@@ -18,7 +20,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-W, H, NFRAMES = 352, 288, 32
+W, H, NFRAMES = 352, 288, 128
 ARGS = ["-qp=60", "-gop=0"]
 
 
@@ -26,7 +28,7 @@ def ensure_inputs():
     import numpy as np
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import mkfixtures
-    path = "/tmp/dsv2_bench_cif.y4m"
+    path = f"/tmp/dsv2_bench_cif{NFRAMES}.y4m"
     if not os.path.exists(path):
         mkfixtures.write_y4m(path, W, H, NFRAMES)
     return path

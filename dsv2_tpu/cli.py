@@ -75,8 +75,11 @@ def parse_args(argv, table):
         if arg == "-v":
             io["verbose"] = True
             continue
-        if arg == "-y" or (arg.startswith("-l") and "=" not in arg
-                           and arg[2:].isdigit()):
+        if arg == "-y":
+            continue
+        if (arg.startswith("-l") and "=" not in arg and arg[2:].isdigit()):
+            from .utils import log
+            log.set_level(int(arg[2:]))
             continue
         if not arg.startswith("-") or "=" not in arg:
             raise SystemExit("strange argument: %s" % arg)
@@ -93,29 +96,15 @@ def parse_args(argv, table):
     return opts, io
 
 
-def cmd_encode(argv):
+def make_encoder(meta, opts):
+    """Build a fully configured Encoder from a CLI option dict (exactly the
+    reference driver's parameter plumbing, dsv_main.c:555-735). Library
+    callers can use this with `opts = {k: v[0] for k, v in
+    ENC_PARAMS.items()}` overridden as needed."""
     from .codec.encoder import Encoder
     from .codec import rc
 
-    opts, io = parse_args(argv, ENC_PARAMS)
-    inp = sys.stdin.buffer if io["inp"] == "-" else open(io["inp"], "rb")
-    meta = VideoMeta(width=opts["w"], height=opts["h"], subsamp=opts["fmt"],
-                     fps_num=opts["fps_num"], fps_den=opts["fps_den"],
-                     aspect_num=opts["aspect_num"],
-                     aspect_den=opts["aspect_den"],
-                     inter_sharpen=opts["psharp"])
-    if opts["y4m"]:
-        rdr = y4m.Y4MReader(inp)
-        meta.width, meta.height = rdr.w, rdr.h
-        meta.subsamp = rdr.subsamp
-        meta.fps_num, meta.fps_den = rdr.fps
-        meta.aspect_num, meta.aspect_den = rdr.aspect
-    else:
-        rdr = y4m.RawYUVReader(inp, meta.width, meta.height, meta.subsamp)
-    if meta.width % 2 or meta.height % 2:
-        raise SystemExit("DSV2 does not support odd dimensions")
     fps = (meta.fps_num + meta.fps_den // 2) // meta.fps_den
-
     enc = Encoder()
     enc.set_metadata(meta)
     enc.gop = opts["gop"] if opts["gop"] >= 0 else fps
@@ -170,6 +159,39 @@ def cmd_encode(argv):
     enc.do_intra_filter = opts["ifilter"]
     enc.do_inter_filter = opts["pfilter"]
     enc.start()
+    return enc
+
+
+def default_enc_opts(**overrides):
+    """CLI-default encoder options (the -flag defaults), overridable."""
+    opts = {k: v[0] for k, v in ENC_PARAMS.items()}
+    for k, v in overrides.items():
+        default, lo, hi, conv = ENC_PARAMS[k]
+        v = max(lo, min(hi, int(v)))
+        opts[k] = conv(v) if conv else v
+    return opts
+
+
+def cmd_encode(argv):
+    opts, io = parse_args(argv, ENC_PARAMS)
+    inp = sys.stdin.buffer if io["inp"] == "-" else open(io["inp"], "rb")
+    meta = VideoMeta(width=opts["w"], height=opts["h"], subsamp=opts["fmt"],
+                     fps_num=opts["fps_num"], fps_den=opts["fps_den"],
+                     aspect_num=opts["aspect_num"],
+                     aspect_den=opts["aspect_den"],
+                     inter_sharpen=opts["psharp"])
+    if opts["y4m"]:
+        rdr = y4m.Y4MReader(inp)
+        meta.width, meta.height = rdr.w, rdr.h
+        meta.subsamp = rdr.subsamp
+        meta.fps_num, meta.fps_den = rdr.fps
+        meta.aspect_num, meta.aspect_den = rdr.aspect
+    else:
+        rdr = y4m.RawYUVReader(inp, meta.width, meta.height, meta.subsamp)
+    if meta.width % 2 or meta.height % 2:
+        raise SystemExit("DSV2 does not support odd dimensions")
+    fps = (meta.fps_num + meta.fps_den // 2) // meta.fps_den
+    enc = make_encoder(meta, opts)
 
     frno = opts["sfr"]
     nfr = opts["nfr"]
@@ -197,6 +219,11 @@ def cmd_encode(argv):
         out.close()
     if io["verbose"]:
         print_stats(enc, len(data), frno - opts["sfr"], fps)
+        from .utils import log
+        if log.get_level() >= log.LEVEL_INFO:
+            n, nbytes = log.mem_report()
+            log.info("device buffers live: %d (%.1f MiB)", n,
+                     nbytes / 1048576)
     return 0
 
 

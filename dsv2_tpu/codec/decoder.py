@@ -15,6 +15,7 @@ from ..core import intmath as im
 from ..core.frame import Frame, plane_dims, coef_dims, B
 from ..ops import sbt, hzcc, mc
 from ..utils import packet
+from ..utils import log
 from . import plane as planecode
 from . import motion
 
@@ -181,6 +182,7 @@ class Decoder:
             ok, ll, v = planecode.decode_plane(r, cw, ch)
             if not ok:
                 bad_planes.append(c)  # decode continues like the reference
+                log.warning("corrupt plane %d (bad EOP)", c)
             vs.append(v)
             lls.append(np.int32(ll))
         out = Frame(meta.subsamp, meta.width, meta.height, border=True)

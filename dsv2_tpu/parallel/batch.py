@@ -31,7 +31,7 @@ from .. import native
 from ..codec import plane as planecode
 from ..codec import motion, rc
 from ..codec.decoder import _PCfg, apply_intra_filter
-from .xfer import pack_segment, merge_rows, fetch_packed
+from .xfer import pack_segment, merge_rows, fetch_packed, slice_packed
 
 @functools.lru_cache(maxsize=None)
 def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
@@ -79,14 +79,36 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
     return jax.jit(batch)
 
 
-def encode_intra_batch(enc, frame_planes):
-    """Encode a list of (y, u, v) frames with gop=0 semantics in one device
-    batch. Returns the packet byte chunks (same as sequential encode_frame
+def encode_intra_batch(enc, frame_planes, chunk=16):
+    """Encode a list of (y, u, v) frames with gop=0 semantics in chunked
+    device batches, overlapping each chunk's host serialization with the
+    next chunk's device compute (jax dispatch is async; only the fetches
+    block). Returns the packet byte chunks (same as sequential encode_frame
     calls, byte-for-byte)."""
-    meta = enc.meta
-    nfr = len(frame_planes)
+    out = []
+    pending = None
+    for lo in range(0, len(frame_planes), chunk):
+        ctx = _prep_chunk(enc, frame_planes[lo:lo + chunk])
+        if pending is not None:
+            # start the previous chunk's d2h copies BEFORE enqueueing this
+            # chunk's compute: device work runs in-order, so a fetch issued
+            # after dispatch would stall behind the next chunk
+            _start_fetch(pending)
+        _dispatch_chunk(enc, ctx)
+        if pending is not None:
+            out.extend(_serialize_chunk(enc, pending))
+        pending = ctx
+    if pending is not None:
+        _start_fetch(pending)
+        out.extend(_serialize_chunk(enc, pending))
+    return out
 
-    # --- host: padded frames + per-frame params/analysis/quants -----------
+
+def _prep_chunk(enc, frame_planes):
+    """Host-side per-frame prep: padding, params, rate control, intra
+    analysis, stable decisions, header stats."""
+    meta = enc.meta
+
     datas = []
     for planes in frame_planes:
         padded = Frame(meta.subsamp, meta.width, meta.height, border=True)
@@ -107,7 +129,6 @@ def encode_intra_batch(enc, frame_planes):
                  False, datas[0].params.lossless, datas[0].params.do_psy)
     p = datas[0].params
     nblk = p.nbh * p.nbv
-
     gop_starts = []
     rc_quals = []
     quants = []
@@ -158,7 +179,19 @@ def encode_intra_batch(enc, frame_planes):
                 enc.total_P_frame_q = enc.total_P_frame_q // enc.rf_reset
                 enc.rf_reset = 1
 
-    # --- device: one batched dispatch --------------------------------------
+    return dict(datas=datas, pcfg=pcfg, p=p, gop_starts=gop_starts,
+                rc_quals=rc_quals, quants=quants, intramvs=intramvs,
+                blockdatas=blockdatas, stable_bits_all=stable_bits_all,
+                stats_all=stats_all)
+
+
+def _dispatch_chunk(enc, ctx):
+    """Upload + one async device dispatch for the chunk; starts the
+    metadata d2h copy immediately (compute overlaps the caller's
+    serialization of the previous chunk)."""
+    meta = enc.meta
+    datas, pcfg, p = ctx["datas"], ctx["pcfg"], ctx["p"]
+    nfr = len(datas)
     xs = [[], [], []]
     for d in datas:
         for c in range(3):
@@ -169,25 +202,53 @@ def encode_intra_batch(enc, frame_planes):
             x[:ph, :] = arr[B:B + ph, B:B + cw]
             xs[c].append(x)
     xs = [np.stack(a) for a in xs]
-    bds = np.stack(blockdatas)
-    qs = np.asarray(quants, dtype=np.int32)
+    bds = np.stack(ctx["blockdatas"])
+    qs = np.asarray(ctx["quants"], dtype=np.int32)
     need_recon = enc.gop != K.GOP_INTRA
     fn = _device_batch_fn(meta.width, meta.height, meta.subsamp,
                           p.blk_w, p.blk_h, p.lossless, p.do_psy,
                           need_recon)
     buf, smalls, pxs_dev, fb_dev = fn(xs[0], xs[1], xs[2], bds, qs)
-    smalls = np.asarray(smalls)  # one small fetch: n/ll/used/fallback
+    smalls.copy_to_host_async()
+    ctx["dev"] = (buf, smalls, pxs_dev, fb_dev, need_recon)
+
+
+def _start_fetch(ctx):
+    """Blocking metadata read (chunk compute has overlapped host prep),
+    then enqueue the packed-buffer slice + async d2h copy."""
+    buf, smalls, pxs_dev, fb_dev, need_recon = ctx["dev"]
+    sm = np.asarray(smalls)
+    nfr = len(ctx["datas"])
     per = nfr * 4
     ns, lls, useds, fbs = [], [], [], []
     for c in range(3):
-        seg = smalls[c * per:(c + 1) * per]
+        seg = sm[c * per:(c + 1) * per]
         ns.append(seg[:nfr])
         lls.append(seg[nfr:2 * nfr])
         useds.append(seg[2 * nfr:3 * nfr])
         fbs.append(seg[3 * nfr:4 * nfr])
     used_flat = np.concatenate(useds).astype(np.int64)
+    packed_dev = slice_packed(buf, int(used_flat.sum()))
+    packed_dev.copy_to_host_async()
+    if need_recon:
+        for px in pxs_dev:
+            px.copy_to_host_async()
+    ctx["fetch"] = (ns, lls, used_flat, fbs, packed_dev)
+
+
+def _serialize_chunk(enc, ctx):
+    """Blocking fetches + host serialization for a dispatched chunk."""
+    meta = enc.meta
+    datas, pcfg, p = ctx["datas"], ctx["pcfg"], ctx["p"]
+    nfr = len(datas)
+    buf, smalls, pxs_dev, fb_dev, need_recon = ctx["dev"]
+    (gop_starts, rc_quals, intramvs, blockdatas, stable_bits_all,
+     stats_all) = (ctx["gop_starts"], ctx["rc_quals"], ctx["intramvs"],
+                   ctx["blockdatas"], ctx["stable_bits_all"],
+                   ctx["stats_all"])
+    ns, lls, used_flat, fbs, packed_dev = ctx["fetch"]
     offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
-    packed = fetch_packed(buf, int(used_flat.sum()))
+    packed = np.asarray(packed_dev)  # copy started in _start_fetch
 
     vscans = []
     for c in range(3):

@@ -106,9 +106,14 @@ def merge_rows(rows_list, useds_list):
     return buf, useds
 
 
-def fetch_packed(buf, total_bytes):
-    """One d2h transfer of the occupied prefix (bucketed length so the
-    device-side slice stays jit-cached)."""
+def slice_packed(buf, total_bytes):
+    """Device-side slice of the occupied prefix (bucketed length so the
+    slice program stays jit-cached); pair with .copy_to_host_async()."""
     k = min(-(-max(int(total_bytes), 1) // _FETCH_BUCKET) * _FETCH_BUCKET,
             buf.shape[0])
-    return np.asarray(buf[:k])
+    return buf[:k]
+
+
+def fetch_packed(buf, total_bytes):
+    """One blocking d2h transfer of the occupied prefix."""
+    return np.asarray(slice_packed(buf, total_bytes))

@@ -1,0 +1,45 @@
+"""GOP-parallel encoding: threaded chunks byte-equal the reference's
+parallel_encode.sh workflow (chunked -sfr/-nfr -noeos + concatenation;
+ref: parallel_encode.sh:35-75)."""
+import os
+import subprocess
+
+from dsv2_tpu.utils import y4m
+from dsv2_tpu.utils.packet import VideoMeta
+from dsv2_tpu.parallel.gop import encode_gops_parallel
+
+from test_batch import load
+
+
+def test_threaded_gop_encode_matches_reference(fixtures_dir, ref_build,
+                                               tmp_path):
+    name = "tiny64x48_420_6f.y4m"
+    rdr, frames = load(fixtures_dir, name)
+    gop = 2
+
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+
+    def factory():
+        from dsv2_tpu.cli import make_encoder, default_enc_opts
+        return make_encoder(meta, default_enc_opts(qp=60, gop=gop))
+
+    ours1 = encode_gops_parallel(frames, None, gop, factory, workers=1)
+    ours4 = encode_gops_parallel(frames, None, gop, factory, workers=4)
+    assert ours1 == ours4
+
+    # reference driven exactly like parallel_encode.sh
+    src = os.path.join(fixtures_dir, name)
+    parts = []
+    for k, s in enumerate(range(0, len(frames), gop)):
+        o = tmp_path / ("chunk%d.dsv" % k)
+        subprocess.run(
+            [os.path.join(ref_build, "dsv2"), "e", "-y", "-inp=" + src,
+             "-out=" + str(o), "-y4m=1", "-qp=60", "-gop=%d" % gop,
+             "-sfr=%d" % s, "-nfr=%d" % gop, "-noeos=1"],
+            check=True, capture_output=True)
+        parts.append(o.read_bytes())
+    from dsv2_tpu.utils.packet import encode_eos
+    ref = b"".join(parts) + encode_eos()
+    assert ours4 == ref

@@ -149,6 +149,8 @@ class Encoder:
         self.prev_gop = -1
         self.prev_quant = 0
         self.stats = Stats()
+        self.dev_submit = None        # lockstep batcher hook
+        self.hme_backend = None       # None = DSV2_HME env or "host"
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -471,26 +473,30 @@ class Encoder:
                                    & (np.abs(mf.y.astype(np.int32)) < 32)))
         need_recon = bool(p.is_ref and self.gop != K.GOP_INTRA)
         if p.has_ref:
-            step = devsteps.make_p_encode_step(
-                meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
-                p.lossless, p.do_psy)
+            cfg = (meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
+                   p.lossless, p.do_psy)
             srcs = []
             for c in range(3):
                 mcc = pcfg.mc_cfg(c)
                 srcs.append(d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw])
             refs = [d.refdata.residual.planes[c] for c in range(3)]
-            outs = step(tuple(srcs), tuple(refs),
-                        mf.grid(mf.x).astype(np.int32),
-                        mf.grid(mf.y).astype(np.int32),
-                        mf.grid(mf.flags).astype(np.int32),
-                        mf.grid(mf.submask).astype(np.int32),
-                        mf.grid(mf.dc).astype(np.int32),
-                        bd_grid, eprm_m, mlt_m, np.int32(d.quant),
-                        np.int32(p.temporal_mc))
+            args = (tuple(srcs), tuple(refs),
+                    mf.grid(mf.x).astype(np.int32),
+                    mf.grid(mf.y).astype(np.int32),
+                    mf.grid(mf.flags).astype(np.int32),
+                    mf.grid(mf.submask).astype(np.int32),
+                    mf.grid(mf.dc).astype(np.int32),
+                    bd_grid, eprm_m, mlt_m, np.int32(d.quant),
+                    np.int32(p.temporal_mc))
+            if self.dev_submit is not None:
+                outs = self.dev_submit(
+                    ("p_step", cfg),
+                    lambda c: devsteps.make_p_encode_step(*c), args)
+            else:
+                outs = devsteps.make_p_encode_step(*cfg)(*args)
         else:
-            step = devsteps.make_i_encode_step(
-                meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
-                p.lossless, p.do_psy, need_recon)
+            cfg = (meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
+                   p.lossless, p.do_psy, need_recon)
             xs = []
             for c in range(3):
                 cw, ch = pcfg.cdims[c]
@@ -499,7 +505,13 @@ class Encoder:
                 x = np.full((ch, cw), 128, dtype=np.uint8)
                 x[:ph, :] = arr[B:B + ph, B:B + cw]
                 xs.append(x)
-            outs = step(tuple(xs), bd_grid, np.int32(d.quant))
+            args = (tuple(xs), bd_grid, np.int32(d.quant))
+            if self.dev_submit is not None:
+                outs = self.dev_submit(
+                    ("i_step", cfg),
+                    lambda c: devsteps.make_i_encode_step(*c), args)
+            else:
+                outs = devsteps.make_i_encode_step(*cfg)(*args)
         vscans, lls = devsteps.fetch_sparse_outs(outs)
         recons = outs[0]
         for c in range(3):

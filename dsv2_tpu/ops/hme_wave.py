@@ -1212,11 +1212,10 @@ def make_motion_est(cfg: "WaveCfg"):
     return jax.jit(f)
 
 
-def motion_est(enc, d):
-    """Drop-in replacement for ops.hme_search.motion_est running the whole
-    pyramid search as a single device dispatch."""
-    from ..codec.motion import MotionField
-
+def prepare_motion_est(enc, d):
+    """Build (cfg, inputs) for the whole-pyramid search program. Split out
+    so a lockstep batcher can stack inputs from many streams and run one
+    vmapped dispatch (same cfg across streams)."""
     ref = d.refdata
     p = d.params
     recon_pyr = enc._mk_pyramid(ref.residual)
@@ -1235,14 +1234,21 @@ def motion_est(enc, d):
     else:
         tmvx = np.zeros((p.nbv, p.nbh), np.int32)
         tmvy = tmvx
-    fn = make_motion_est(cfg)
-    st = fn(tuple(f.planes[0] for f in src),
-            tuple(f.planes[0] for f in refs),
-            tuple(f.planes[0] for f in ogrs),
-            src[0].planes[1], src[0].planes[2],
-            refs[0].planes[1], refs[0].planes[2],
-            tmvx, tmvy, np.int32(enc.prev_quant),
-            np.int32(enc.skip_block_thresh))
+    inputs = (tuple(f.planes[0] for f in src),
+              tuple(f.planes[0] for f in refs),
+              tuple(f.planes[0] for f in ogrs),
+              src[0].planes[1], src[0].planes[2],
+              refs[0].planes[1], refs[0].planes[2],
+              tmvx, tmvy, np.int32(enc.prev_quant),
+              np.int32(enc.skip_block_thresh))
+    return cfg, inputs
+
+
+def apply_motion_est(enc, d, st):
+    """Unpack the search program's output dict into the encoder state."""
+    from ..codec.motion import MotionField
+
+    p = d.params
     st = {k: np.asarray(v) for k, v in st.items()}
     mf = MotionField(p.nbh, p.nbv)
     mf.x = st["fx"].reshape(-1).astype(np.int16)
@@ -1257,3 +1263,15 @@ def motion_est(enc, d):
     enc.curr_scblocks = int(st["ndiff"]) * 100 // nelig
     enc.avg_err = int(st["terr"]) // nblk
     enc.curr_intra_pct = int(st["nintra"]) * 100 // nblk
+
+
+def motion_est(enc, d):
+    """Drop-in replacement for ops.hme_search.motion_est running the whole
+    pyramid search as a single device dispatch."""
+    cfg, inputs = prepare_motion_est(enc, d)
+    submit = getattr(enc, "dev_submit", None)
+    if submit is not None:
+        st = submit(("hme", cfg), make_motion_est, inputs)
+    else:
+        st = make_motion_est(cfg)(*inputs)
+    apply_motion_est(enc, d, st)

@@ -1,0 +1,117 @@
+"""Dynamic device-call batching for lockstep multi-stream encoding.
+
+N per-GOP encoder threads run the unmodified per-frame pipeline; whenever a
+thread reaches a device dispatch (motion search, frame encode step) it
+submits (key, builder, args) here and blocks. When every running thread is
+blocked on a submission, the last one to block becomes the flusher: for each
+distinct key it stacks the queued argument trees (padding with copies of
+lane 0 up to the fixed batch width so each program compiles exactly once),
+runs ONE vmapped dispatch, and hands each thread its lane of the output.
+
+This turns the reference's process-per-GOP parallelism
+(parallel_encode.sh:35-75) into single-process, single-device lockstep
+batching: the host logic stays byte-exact per stream while the device sees
+full-width batches. Results are bit-identical to sequential encoding
+because vmap only adds a batch axis to the integer programs.
+"""
+import threading
+
+import numpy as np
+import jax
+
+
+class LockstepBatcher:
+    def __init__(self, width):
+        self.width = width            # padded batch width
+        self._cond = threading.Condition()
+        self._active = 0
+        self._blocked = 0
+        self._queues = {}             # key -> list of [args, out, done]
+        self._fns = {}                # key -> vmapped program
+
+    def thread_begin(self):
+        with self._cond:
+            self._active += 1
+
+    def thread_done(self):
+        with self._cond:
+            self._active -= 1
+            if self._blocked and self._blocked >= self._active:
+                self._flush_locked()
+
+    def submit(self, key, builder, args):
+        """Queue one lane; returns this lane's slice of the batched output.
+        key = (kind, cfg) — cfg must be hashable and identical for lanes
+        batched together. builder(cfg) -> single-example callable."""
+        entry = [args, None, False]
+        with self._cond:
+            self._queues.setdefault(key, []).append((entry, builder))
+            self._blocked += 1
+            if self._blocked >= self._active:
+                self._flush_locked()
+            else:
+                while not entry[2]:
+                    self._cond.wait()
+        if isinstance(entry[1], BaseException):
+            raise entry[1]
+        return entry[1]
+
+    def _flush_locked(self):
+        """Dispatch every pending queue (caller holds the lock and is one of
+        the blocked threads)."""
+        queues, self._queues = self._queues, {}
+        n = sum(len(v) for v in queues.values())
+        self._blocked -= n
+        for key, pending in queues.items():
+            try:
+                fn = self._fns.get(key)
+                if fn is None:
+                    fn = jax.vmap(pending[0][1](key[1]))
+                    self._fns[key] = fn
+                lanes = [e[0] for e, _ in pending]
+                lanes += [lanes[0]] * (self.width - len(lanes))
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *lanes)
+                out = fn(*stacked)
+                for i, (e, _) in enumerate(pending):
+                    e[1] = jax.tree_util.tree_map(lambda a, i=i: a[i], out)
+                    e[2] = True
+            except BaseException as exc:  # propagate to every waiter
+                for e, _ in pending:
+                    e[1] = exc
+                    e[2] = True
+        self._cond.notify_all()
+
+
+def encode_streams_lockstep(stream_frames, enc_factory, width=None):
+    """Encode independent GOP streams concurrently with lockstep device
+    batching; returns the per-stream byte chunks in order. Byte-identical
+    to encoding each stream sequentially."""
+    n = len(stream_frames)
+    width = width or n
+    batcher = LockstepBatcher(width)
+    results = [None] * n
+    errors = []
+
+    def run(i):
+        batcher.thread_begin()
+        try:
+            enc = enc_factory()
+            enc.dev_submit = batcher.submit
+            chunks = []
+            for fr in stream_frames[i]:
+                chunks.extend(enc.encode_frame(fr))
+            results[i] = b"".join(chunks)
+        except BaseException as exc:
+            errors.append(exc)
+        finally:
+            batcher.thread_done()
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results

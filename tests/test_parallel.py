@@ -43,3 +43,38 @@ def test_threaded_gop_encode_matches_reference(fixtures_dir, ref_build,
     from dsv2_tpu.utils.packet import encode_eos
     ref = b"".join(parts) + encode_eos()
     assert ours4 == ref
+
+
+def test_lockstep_streams_match_sequential(fixtures_dir):
+    """Lockstep-batched streams (vmapped wave HME + frame steps) must be
+    byte-identical to sequential per-stream encoding."""
+    from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
+
+    name = "tiny64x48_420_6f.y4m"
+    rdr, frames = load(fixtures_dir, name)
+    gop = 2
+    streams = [frames[i:i + gop] for i in range(0, len(frames), gop)]
+
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+
+    def factory():
+        from dsv2_tpu.cli import make_encoder, default_enc_opts
+        enc = make_encoder(meta, default_enc_opts(qp=60, gop=gop))
+        enc.hme_backend = "wave"
+        return enc
+
+    # sequential oracle (host HME backend -> also cross-checks wave)
+    seq = []
+    for st in streams:
+        enc = factory()
+        enc.hme_backend = "host"
+        chunks = []
+        for fr in st:
+            chunks.extend(enc.encode_frame(fr))
+        seq.append(b"".join(chunks))
+
+    lock = encode_streams_lockstep(streams, factory)
+    assert [len(x) for x in lock] == [len(x) for x in seq]
+    assert lock == seq

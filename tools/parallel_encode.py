@@ -1,9 +1,18 @@
 #!/usr/bin/env python
 """GOP-chunked parallel encode (the reference's parallel_encode.sh as a
-first-class tool): shards a Y4M input into closed GOPs, encodes chunks with
--noeos semantics in worker processes, byte-concatenates the outputs.
+first-class tool): shards a Y4M input into closed GOPs and either
 
-usage: parallel_encode.py input.y4m output.dsv [workers] [extra -flags...]
+  - runs worker processes with -noeos semantics (like the reference), or
+  - with --lockstep, encodes all GOP streams in ONE process with lockstep
+    device batching: every motion search / frame transform dispatch carries
+    a full batch of streams (the TPU path; a device tunnel admits only one
+    client process).
+
+Outputs are byte-concatenated; both modes produce the exact bytes of a
+chunked sequential encode.
+
+usage: parallel_encode.py input.y4m output.dsv [workers] [--lockstep]
+                          [extra -flags...]
 """
 import os
 import subprocess
@@ -11,10 +20,63 @@ import sys
 import tempfile
 
 
+def lockstep_main(src, out, width, extra):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    plat = os.environ.get("DSV2_JAX_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    from dsv2_tpu import enable_compile_cache
+    enable_compile_cache()
+    from dsv2_tpu.utils import y4m
+    from dsv2_tpu.utils.packet import VideoMeta, encode_eos
+    from dsv2_tpu.cli import parse_args, ENC_PARAMS
+    from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
+
+    opts, _ = parse_args(["-inp=x", "-out=x"] + extra, ENC_PARAMS)
+    gop = opts["gop"] if opts["gop"] > 0 else 48
+    with open(src, "rb") as f:
+        rdr = y4m.Y4MReader(f)
+        frames = []
+        while True:
+            p = rdr.read_frame()
+            if p is None:
+                break
+            frames.append(p)
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+    streams = [frames[i:i + gop] for i in range(0, len(frames), gop)]
+
+    def factory():
+        from dsv2_tpu.cli import make_encoder
+        o = dict(opts)
+        o["gop"] = gop
+        enc = make_encoder(meta, o)
+        enc.hme_backend = "wave"
+        return enc
+
+    parts = encode_streams_lockstep(streams, factory, width=width)
+    with open(out, "wb") as f:
+        for p in parts:
+            f.write(p)
+        f.write(encode_eos())
+    print(out)
+
+
 def main():
     src, out = sys.argv[1], sys.argv[2]
-    workers = int(sys.argv[3]) if len(sys.argv) > 3 else os.cpu_count()
-    extra = sys.argv[4:]
+    rest = sys.argv[3:]
+    lockstep = "--lockstep" in rest
+    rest = [a for a in rest if a != "--lockstep"]
+    workers = None
+    if rest and not rest[0].startswith("-"):
+        workers = int(rest[0])
+        rest = rest[1:]
+    extra = rest
+    if lockstep:
+        return lockstep_main(src, out, workers, extra)
+    workers = workers or os.cpu_count()
     gop = 48
     for a in extra:
         if a.startswith("-gop="):

@@ -327,16 +327,14 @@ class Encoder:
             stats[K.RINGING_STAT] += 2 * ring - nblk
             stats[K.STABLE_STAT] += 2 * int(stable.sum()) - nblk
             return
-        for i in range(nblk):
-            fl = int(d.final_mvs.flags[i])
-            if fl & (1 << K.MV_BIT_INTRA):
-                stable = 0
-            else:
-                stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
-            if not (fl & (1 << K.MV_BIT_SKIP)):
-                stats[K.MODE_STAT] += 1 if (fl & (1 << K.MV_BIT_INTRA)) else -1
-                stats[K.EPRM_STAT] += 1 if (fl & (1 << K.MV_BIT_EPRM)) else -1
-            stats[K.STABLE_STAT] += 1 if (stable & 1) else -1
+        fl = d.final_mvs.flags.astype(np.uint32)
+        intra = ((fl >> K.MV_BIT_INTRA) & 1).astype(bool)
+        skip = ((fl >> K.MV_BIT_SKIP) & 1).astype(bool)
+        eprm = ((fl >> K.MV_BIT_EPRM) & 1).astype(bool)
+        ns = int((~skip).sum())
+        stats[K.MODE_STAT] += 2 * int((intra & ~skip).sum()) - ns
+        stats[K.EPRM_STAT] += 2 * int((eprm & ~skip).sum()) - ns
+        stats[K.STABLE_STAT] += 2 * int(((~intra) & skip).sum()) - nblk
 
     def _stable_decisions(self, d, intramv):
         """Stable/skip bits + blockdata init + stability accumulation
@@ -366,39 +364,23 @@ class Encoder:
             stable = stable | ((fl & (1 << K.MV_BIT_SKIP)) != 0)
             self.blockdata[:] = stable.astype(np.uint8) << K.STABLE_BIT
             return stable.astype(np.uint8)
-        bits = np.zeros(nblk, dtype=np.uint8)
-        for i in range(nblk):
-            stable = 0
-            if p.has_ref:
-                mf = d.final_mvs
-                fl = int(mf.flags[i])
-                self.blockdata[i] = 0
-                if fl & (1 << K.MV_BIT_SKIP):
-                    mf.x[i] = mf.y[i] = 0
-                if fl & (1 << K.MV_BIT_INTRA):
-                    stable = 0
-                    self.blockdata[i] |= K.IS_INTRA
-                else:
-                    stable = 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
-                    if not stable:
-                        self.stability[i, 0] += abs(int(mf.x[i])) >> dsf
-                        self.stability[i, 1] += abs(int(mf.y[i])) >> dsf
-                    else:
-                        mf.x[i] = mf.y[i] = 0
-                self.blockdata[i] |= stable << K.SKIP_BIT
-                simc = 1 if (fl & (1 << K.MV_BIT_SIMCMPLX)) else 0
-                self.blockdata[i] |= simc << K.SIMCMPLX_BIT
-            else:
-                fl = int(intramv.flags[i])
-                stable = 0
-                if d.fnum > 0 and self.do_temporal_aq:
-                    ax = self.stability[i, 0] // avgdiv
-                    ay = self.stability[i, 1] // avgdiv
-                    stable = 1 if (ax == 0 and ay == 0) else 0
-                stable |= 1 if (fl & (1 << K.MV_BIT_SKIP)) else 0
-                self.blockdata[i] = stable << K.STABLE_BIT
-            bits[i] = stable & 1
-        return bits
+        mf = d.final_mvs
+        fl = mf.flags.astype(np.uint32)
+        skip = ((fl >> K.MV_BIT_SKIP) & 1).astype(bool)
+        intra = ((fl >> K.MV_BIT_INTRA) & 1).astype(bool)
+        simc = ((fl >> K.MV_BIT_SIMCMPLX) & 1).astype(np.uint8)
+        stable = (~intra) & skip
+        acc = (~intra) & (~skip)  # moving inter blocks accumulate motion
+        self.stability[:, 0] += np.where(
+            acc, np.abs(mf.x.astype(np.int64)) >> dsf, 0)
+        self.stability[:, 1] += np.where(
+            acc, np.abs(mf.y.astype(np.int64)) >> dsf, 0)
+        mf.x[skip] = 0
+        mf.y[skip] = 0
+        self.blockdata[:] = (np.where(intra, K.IS_INTRA, 0).astype(np.uint8)
+                             | (stable.astype(np.uint8) << K.SKIP_BIT)
+                             | (simc << K.SIMCMPLX_BIT))
+        return stable.astype(np.uint8)
 
     def _encode_picture(self, d):
         """(ref: encode_picture, dsv_encoder.c:1039-1173)."""

@@ -175,56 +175,61 @@ def encode_intra_meta(w: BitWriter, ring_bits, maintain_bits, stats):
 def encode_motion(w: BitWriter, mf: MotionField, stats, blockdata):
     """Serialize the five motion subsections (ref: dsv_encoder.c:692-794).
     NOTE: mutates intra MVs to their transmitted full-pel precision and
-    updates blockdata's EPRM/STABLE bits exactly like the reference (the
-    STABLE decision reads already-rescaled raster neighbors)."""
+    updates blockdata's EPRM/STABLE bits exactly like the reference. The
+    raster STABLE decision reads already-rescaled neighbors, but since
+    left/top/topleft always precede the current block, every value it reads
+    is final — so the whole pass vectorizes; the serial bit layout runs in
+    the native runtime."""
+    from .. import native
+    from ..codec import scd
+
     nbh, nbv = mf.nbh, mf.nbv
-    mode_rle, eprm_rle = ZBRLEWriter(), ZBRLEWriter()
-    wx, wy, wsb = BitWriter(256), BitWriter(256), BitWriter(256)
     inv_mode = stats[K.MODE_STAT] != K.ONE_MARKER
     inv_eprm = stats[K.EPRM_STAT] != K.ONE_MARKER
     skipf = mf.bit(K.MV_BIT_SKIP)
-    for j in range(nbv):
-        for i in range(nbh):
-            idx = i + j * nbh
-            blockdata[idx] |= (1 if (mf.flags[idx] & (1 << K.MV_BIT_EPRM))
-                               else 0) << K.EPRM_BIT
-            if skipf[idx]:
-                blockdata[idx] |= 1 << K.STABLE_BIT
-                continue
-            intra = bool(mf.flags[idx] & (1 << K.MV_BIT_INTRA))
-            eprm = 1 if (mf.flags[idx] & (1 << K.MV_BIT_EPRM)) else 0
-            px, py = mvmath.movec_pred(mf.x, mf.y, nbh, i, j)
-            if intra:
-                px = im.sar_r(px, 2)
-                py = im.sar_r(py, 2)
-                cvx = im.sar(int(mf.x[idx]), 2)
-                cvy = im.sar(int(mf.y[idx]), 2)
-                mf.x[idx] = cvx * 4
-                mf.y[idx] = cvy * 4
-                if mf.submask[idx] == K.MASK_ALL_INTRA:
-                    wsb.put_bit(1)
-                else:
-                    wsb.put_bit(0)
-                    wsb.put_bits(4, int(mf.submask[idx]))
-                if mf.dc[idx] & K.SRC_DC_PRED:
-                    wsb.put_bit(1)
-                    wsb.put_bits(8, int(mf.dc[idx]) & 0xFF)
-                else:
-                    wsb.put_bit(0)
-            else:
-                cvx, cvy = int(mf.x[idx]), int(mf.y[idx])
-            wx.put_seg(cvx - px)
-            wy.put_seg(cvy - py)
-            if mvmath.neighbordif(mf.x, mf.y, skipf, nbh, i, j) > K.NDIF_THRESH:
-                blockdata[idx] |= 1 << K.STABLE_BIT
-            mode_rle.put(int(intra) if not inv_mode else 1 - int(intra))
-            eprm_rle.put(eprm if not inv_eprm else 1 - eprm)
+    act = ~skipf
+    fl = mf.flags.astype(np.uint32)
+    eprm = ((fl >> K.MV_BIT_EPRM) & 1).astype(np.uint8)
+    intra = ((fl >> K.MV_BIT_INTRA) & 1).astype(bool)
+    blockdata |= eprm << K.EPRM_BIT
+    blockdata |= skipf.astype(np.uint8) << K.STABLE_BIT
+
+    # transmitted values: intra MVs collapse to full-pel then scale back
+    x0 = mf.x.astype(np.int64)
+    y0 = mf.y.astype(np.int64)
+    cvx = np.where(intra, x0 >> 2, x0)
+    cvy = np.where(intra, y0 >> 2, y0)
+    fin = intra & act
+    mf.x[:] = np.where(fin, (x0 >> 2) * 4, x0).astype(np.int16)
+    mf.y[:] = np.where(fin, (y0 >> 2) * 4, y0).astype(np.int16)
+
+    xg = mf.x.astype(np.int64).reshape(nbv, nbh)
+    yg = mf.y.astype(np.int64).reshape(nbv, nbh)
+    px, py = mvmath.movec_pred_grid(xg, yg)
+    px = px.reshape(-1)
+    py = py.reshape(-1)
+    px = np.where(intra, (px + 2) >> 2, px)
+    py = np.where(intra, (py + 2) >> 2, py)
+
+    class _P:
+        pass
+    _p = _P()
+    _p.nbh, _p.nbv = nbh, nbv
+    d0, d1 = scd.neighbordif2_grid(mf, _p)
+    nd = (d0.reshape(-1) + d1.reshape(-1)) // 3
+    blockdata |= ((act & (nd > K.NDIF_THRESH)).astype(np.uint8)
+                  << K.STABLE_BIT)
+
+    idxs = np.flatnonzero(act)
     blobs = [None] * K.SUB_NSUB
-    blobs[K.SUB_MODE] = mode_rle.end()
-    blobs[K.SUB_EPRM] = eprm_rle.end()
-    blobs[K.SUB_MV_X] = wx.data()
-    blobs[K.SUB_MV_Y] = wy.data()
-    blobs[K.SUB_SBIM] = wsb.data()
+    blobs[K.SUB_MODE] = native.zbrle_encode(intra[idxs].astype(np.uint8),
+                                            inv_mode)
+    blobs[K.SUB_EPRM] = native.zbrle_encode(eprm[idxs], inv_eprm)
+    blobs[K.SUB_MV_X] = native.seg_blob((cvx - px)[idxs])
+    blobs[K.SUB_MV_Y] = native.seg_blob((cvy - py)[idxs])
+    sb = idxs[intra[idxs]]
+    blobs[K.SUB_SBIM] = native.sbim_blob(mf.submask[sb], mf.dc[sb],
+                                         K.MASK_ALL_INTRA, K.SRC_DC_PRED)
     for blob in blobs:
         w.align()
         w.put_ueg(len(blob))

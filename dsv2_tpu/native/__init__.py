@@ -48,6 +48,13 @@ def lib():
             L.dsvn_unpack_scan.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int32),
                 C.c_int64]
+            L.dsvn_seg_blob.restype = C.c_int32
+            L.dsvn_seg_blob.argtypes = [
+                C.POINTER(C.c_int32), C.c_int32, C.POINTER(C.c_uint8)]
+            L.dsvn_sbim_blob.restype = C.c_int32
+            L.dsvn_sbim_blob.argtypes = [
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint16), C.c_int32,
+                C.c_int32, C.c_int32, C.POINTER(C.c_uint8)]
             _setup_hme(L)
             _lib = L
     return _lib
@@ -118,6 +125,29 @@ def unpack_scan(seg, total):
     if r != 0:
         raise ValueError("malformed packed scan segment")
     return v
+
+
+def seg_blob(vals):
+    """Serialize an int32 array as consecutive SEG codes, byte-aligned
+    (ref: bs.c:173-189)."""
+    v = np.ascontiguousarray(vals, dtype=np.int32)
+    out = np.zeros(8 * v.size + 64, dtype=np.uint8)
+    n = lib().dsvn_seg_blob(_i32p(v), v.size, _u8p(out))
+    return out[:n].tobytes()
+
+
+def _u16p(a):
+    return a.ctypes.data_as(C.POINTER(C.c_uint16))
+
+
+def sbim_blob(submask, dc, mask_all, dc_pred_bit):
+    """Sub-block intra mask + DC section (ref: dsv_encoder.c:732-760)."""
+    sm = np.ascontiguousarray(submask, dtype=np.uint8)
+    d = np.ascontiguousarray(dc, dtype=np.uint16)
+    out = np.zeros(3 * sm.size + 64, dtype=np.uint8)
+    n = lib().dsvn_sbim_blob(_u8p(sm), _u16p(d), sm.size, int(mask_all),
+                             int(dc_pred_bit), _u8p(out))
+    return out[:n].tobytes()
 
 
 def post_process(plane):

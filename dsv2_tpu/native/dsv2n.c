@@ -1164,3 +1164,49 @@ API int32_t dsvn_unpack_scan(const uint8_t *seg, int64_t seglen,
     }
     return 0;
 }
+
+/* ---- Motion-field sub-section blob writers (ref: dsv_encoder.c:692-794
+ * serialization): values are precomputed by the (vectorized) host; these
+ * just run the serial bit layout. */
+API int32_t dsvn_seg_blob(const int32_t *vals, int32_t n, uint8_t *out)
+{
+    BW w = { out, 0 };
+    int32_t i;
+    for (i = 0; i < n; i++) {
+        int32_t v = vals[i];
+        int s = 0;
+        unsigned x;
+        if (v < 0) { s = 1; v = -v; }
+        bw_ueg(&w, (unsigned)v);
+        if (v) bw_bit(&w, s);
+        (void)x;
+    }
+    bw_align(&w);
+    return (int32_t)(w.bit >> 3);
+}
+
+/* Sub-block intra masks + DC section: for each listed intra block,
+ * 1 bit all-intra else 4-bit submask, then 1 bit dc-present + 8-bit dc. */
+API int32_t dsvn_sbim_blob(const uint8_t *submask, const uint16_t *dc,
+                           int32_t n, int32_t mask_all, int32_t dc_pred_bit,
+                           uint8_t *out)
+{
+    BW w = { out, 0 };
+    int32_t i;
+    for (i = 0; i < n; i++) {
+        if (submask[i] == (uint8_t)mask_all) {
+            bw_bit(&w, 1);
+        } else {
+            bw_bit(&w, 0);
+            bw_bits(&w, 4, submask[i]);
+        }
+        if (dc[i] & (uint16_t)dc_pred_bit) {
+            bw_bit(&w, 1);
+            bw_bits(&w, 8, dc[i] & 0xFF);
+        } else {
+            bw_bit(&w, 0);
+        }
+    }
+    bw_align(&w);
+    return (int32_t)(w.bit >> 3);
+}

@@ -73,6 +73,12 @@ class LockstepBatcher:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *lanes)
                 out = fn(*stacked)
+                # bulk-fetch small leaves once per flush (a device tunnel
+                # charges per-transfer RTT); big buffers stay on device and
+                # are prefix-sliced per lane by the consumer
+                out = jax.tree_util.tree_map(
+                    lambda a: np.asarray(a)
+                    if getattr(a, "nbytes", 0) <= (16 << 20) else a, out)
                 for i, (e, _) in enumerate(pending):
                     e[1] = jax.tree_util.tree_map(lambda a, i=i: a[i], out)
                     e[2] = True

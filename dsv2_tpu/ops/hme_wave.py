@@ -427,22 +427,30 @@ def _refine_loop(cfg, level, src_w, ref_pl, bx, by, bw, bh, psy,
                        tvx * step * 4, tvy * step * 4, quant,
                        1 if level > 1 else 0)
 
+    rectx = jnp.array([RECT[k][0] for k in range(5)], jnp.int32)
+    recty = jnp.array([RECT[k][1] for k in range(5)], jnp.int32)
+
     def body(st):
         bestx, besty, best, metr, good, done = st
+        # the 5 probe metrics share (bestx, besty) -> one vmapped metric;
+        # only the strictly-sequential improvement gating stays unrolled
+        # (tiny scalar ops)
+        tvxs = bestx + rectx
+        tvys = besty + recty
+        sc_raws = jax.vmap(metric)(tvxs, tvys)
+        scs = sc_raws + jax.vmap(cost)(tvxs, tvys)
         improved = jnp.bool_(False)
         for k in range(5):
-            tvx = bestx + RECT[k][0]
-            tvy = besty + RECT[k][1]
+            tvx, tvy = tvxs[k], tvys[k]
+            sc_raw, sc = sc_raws[k], scs[k]
             inval = invalid_block(bx + tvx, by + tvy, bw, bh, 0, fw, fh)
             do = (~improved) & (~inval)
-            sc_raw = metric(tvx, tvy)
             if 1 <= k <= 4:
                 metr = metr.at[k - 1].set(jnp.where(do, sc_raw, metr[k - 1]))
             if level == 0:
                 ge = do & (tvx == 0) & (tvy == 0) & (sc_raw <= qthresh)
             else:
                 ge = jnp.bool_(False)
-            sc = sc_raw + cost(tvx, tvy)
             better = do & (~ge) & (best > sc)
             bestx = jnp.where(ge | better, tvx, bestx)
             besty = jnp.where(ge | better, tvy, besty)
@@ -724,29 +732,29 @@ def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
     priy, secy = jnp.where(swap, secy, priy), jnp.where(swap, priy, secy)
     diagx = prix + secx
     diagy = priy + secy
-    tv = [(prix, priy), (secx, secy), (diagx, diagy)]
-    bestvx = jnp.int32(0)
-    bestvy = jnp.int32(0)
-    for n in range(7):
-        if n == 6:
-            t0 = prix + diagx
-            t1 = priy + diagy
-        else:
-            hp = 0 if (n & 1) else 1
-            t0 = tv[n >> 1][0] << hp
-            t1 = tv[n >> 1][1] << hp
-        if cfg.effort < 8:
-            # skip quarter-pel probes at low effort (static for even n)
-            do_probe = ((t0 | t1) & 1) == 0
-        else:
-            do_probe = jnp.bool_(True)
-        score = qpsad(srcsp, q, t0, t1, ew, tw, aw)
-        score = score + mv_cost(px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
-                                fpx * 4 + t0, fpy * 4 + t1, quant, 0)
-        better = do_probe & (best > score)
-        best = jnp.where(better, score, best)
-        bestvx = jnp.where(better, t0, bestvx)
-        bestvy = jnp.where(better, t1, bestvy)
+    # all 7 probes as one vmapped metric; the reference's sequential
+    # strict-improvement update is equivalent to picking the FIRST probe
+    # attaining the masked minimum (jnp.argmin returns the first)
+    t0s = jnp.stack([prix << 1, prix, secx << 1, secx, diagx << 1, diagx,
+                     prix + diagx])
+    t1s = jnp.stack([priy << 1, priy, secy << 1, secy, diagy << 1, diagy,
+                     priy + diagy])
+    if cfg.effort < 8:
+        do_probe = ((t0s | t1s) & 1) == 0  # half-pel only at low effort
+    else:
+        do_probe = jnp.ones(7, bool)
+
+    def probe(t0, t1):
+        sc = qpsad(srcsp, q, t0, t1, ew, tw, aw)
+        return sc + mv_cost(px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
+                            fpx * 4 + t0, fpy * 4 + t1, quant, 0)
+
+    scores = jnp.where(do_probe, jax.vmap(probe)(t0s, t1s), I32MAX)
+    k = jnp.argmin(scores)
+    better = scores[k] < best
+    bestvx = jnp.where(better, t0s[k], 0)
+    bestvy = jnp.where(better, t1s[k], 0)
+    best = jnp.minimum(best, scores[k])
     ret = ((best.astype(jnp.uint32) * iarea_ratio.astype(jnp.uint32))
            >> 3).astype(jnp.int32)
     zerofp = best_fp == 0
@@ -756,16 +764,18 @@ def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
 
 def _max_subblock_err(pl_a, pl_b, x0, y0, rx, ry, qw, qh, bw2, bh2, psy):
     """One plane of yuv_max_subblock_err (ref: hme.c:369-409).
-    qw/qh: static quadrant window dims; bw2/bh2 dynamic."""
+    qw/qh: static quadrant window dims; bw2/bh2 dynamic. The four quadrants
+    are one vmapped metric (4x fewer, 4x wider ops than unrolling)."""
     ew, tw, aw = psy
-    subs = []
-    for g in (0, 1):
-        for f in (0, 1):
-            a = window(pl_a, x0 + f * bw2, y0 + g * bh2, qh, qw)
-            b = window(pl_b, rx + f * bw2, ry + g * bh2, qh, qw)
-            subs.append(masked_metr_acc(a, b, bw2, bh2, ew, tw, aw))
-    return jnp.maximum(jnp.maximum(subs[0], subs[1]),
-                       jnp.maximum(subs[2], subs[3]))
+    fo = jnp.array([0, 1, 0, 1], jnp.int32)
+    go = jnp.array([0, 0, 1, 1], jnp.int32)
+
+    def quad(f, g):
+        a = window(pl_a, x0 + f * bw2, y0 + g * bh2, qh, qw)
+        b = window(pl_b, rx + f * bw2, ry + g * bh2, qh, qw)
+        return masked_metr_acc(a, b, bw2, bh2, ew, tw, aw)
+
+    return jax.vmap(quad)(fo, go).max()
 
 
 def _calc_eprm(src_w, ref_w, bw, bh, avg_src, avg_ref):
@@ -994,40 +1004,50 @@ def _test_intra_y(cfg, d0, srcl, refl, bx, by, fpelx, fpely, bw, bh,
     nsub = jnp.int32(0)
     qw, qh = y_w // 2, y_h // 2
     ratio_u = ratio.astype(jnp.uint32)
-    bits = (K.MASK_INTRA00, K.MASK_INTRA01, K.MASK_INTRA10, K.MASK_INTRA11)
-    bit_index = 0
-    for g in (0, 1):
-        for f in (0, 1):
-            src_d = window(srcl, bx + f * sbw, by + g * sbh, qh, qw)
-            mvr_d = window(refl, bx + fpelx + f * sbw, by + fpely + g * sbh,
-                           qh, qw)
-            rdet, avg_sub, _, _ = block_feat_detail(mvr_d, sbw, sbh)
-            local_detail, avg_local, _, _ = block_feat_detail(src_d, sbw, sbh)
-            local_detail = local_detail.astype(jnp.int32)
-            dcd = jnp.abs(avg_local - avg_sub).astype(jnp.int32) + 2
-            too_detailed = local_detail.astype(jnp.uint32) > (
-                (dcd * dcd * bw * bh).astype(jnp.uint32) * ratio_u) >> 5
-            dc = (avg_local + avg_src * 3 + 2) >> 2
-            sub_err, src_err, inter_err = err_intra(
-                src_d, mvr_d, sbw, sbh, avg_sub.astype(jnp.int32),
-                dc.astype(jnp.int32), ratio)
-            lo = (detail_src + local_detail + 1) >> 1
-            hi = detail_src
-            lerp = (lo * (32 - psyscale) + hi * psyscale) >> 5
-            ld2 = jnp.maximum(lerp, lo).astype(jnp.uint32)
-            sub_better = (sub_err + ld2) < inter_err
-            src_better = (src_err + ld2) < inter_err
-            take = ((~skip_all) & (~too_detailed)
-                    & (sub_better | src_better))
-            submask = submask | jnp.where(take, bits[bit_index], 0)
-            err_src = err_src + jnp.where(take, src_err, 0)
-            err_sub = err_sub + jnp.where(take, sub_err, 0)
-            avg_tot = avg_tot + jnp.where(
-                take, jnp.where(sub_err < src_err, avg_sub.astype(jnp.int32),
-                                dc.astype(jnp.int32)), 0)
-            nsub = nsub + jnp.where(take, 1, 0)
-            detail_src = jnp.where(take, detail_src * 4 // 5, detail_src)
-            bit_index += 1
+    bits = jnp.array([K.MASK_INTRA00, K.MASK_INTRA01,
+                      K.MASK_INTRA10, K.MASK_INTRA11], jnp.int32)
+    fo = jnp.array([0, 1, 0, 1], jnp.int32)
+    go = jnp.array([0, 0, 1, 1], jnp.int32)
+
+    # detail_src decays when a sub-block is taken, so the 4 sub-blocks are
+    # a 4-step scan (one graph instance), not an unroll
+    def sub(carry, xs):
+        submask, avg_tot, err_sub, err_src, nsub, detail_src = carry
+        f, g, bit = xs
+        src_d = window(srcl, bx + f * sbw, by + g * sbh, qh, qw)
+        mvr_d = window(refl, bx + fpelx + f * sbw, by + fpely + g * sbh,
+                       qh, qw)
+        rdet, avg_sub, _, _ = block_feat_detail(mvr_d, sbw, sbh)
+        local_detail, avg_local, _, _ = block_feat_detail(src_d, sbw, sbh)
+        local_detail = local_detail.astype(jnp.int32)
+        dcd = jnp.abs(avg_local - avg_sub).astype(jnp.int32) + 2
+        too_detailed = local_detail.astype(jnp.uint32) > (
+            (dcd * dcd * bw * bh).astype(jnp.uint32) * ratio_u) >> 5
+        dc = (avg_local + avg_src * 3 + 2) >> 2
+        sub_err, src_err, inter_err = err_intra(
+            src_d, mvr_d, sbw, sbh, avg_sub.astype(jnp.int32),
+            dc.astype(jnp.int32), ratio)
+        lo = (detail_src + local_detail + 1) >> 1
+        hi = detail_src
+        lerp = (lo * (32 - psyscale) + hi * psyscale) >> 5
+        ld2 = jnp.maximum(lerp, lo).astype(jnp.uint32)
+        sub_better = (sub_err + ld2) < inter_err
+        src_better = (src_err + ld2) < inter_err
+        take = ((~skip_all) & (~too_detailed)
+                & (sub_better | src_better))
+        submask = submask | jnp.where(take, bit, 0)
+        err_src = err_src + jnp.where(take, src_err, 0)
+        err_sub = err_sub + jnp.where(take, sub_err, 0)
+        avg_tot = avg_tot + jnp.where(
+            take, jnp.where(sub_err < src_err, avg_sub.astype(jnp.int32),
+                            dc.astype(jnp.int32)), 0)
+        nsub = nsub + jnp.where(take, 1, 0)
+        detail_src = jnp.where(take, detail_src * 4 // 5, detail_src)
+        return (submask, avg_tot, err_sub, err_src, nsub, detail_src), None
+
+    (submask, avg_tot, err_sub, err_src, nsub, detail_src), _ = \
+        jax.lax.scan(sub, (submask, avg_tot, err_sub, err_src, nsub,
+                           detail_src + jnp.int32(0)), (fo, go, bits))
     intra = submask != 0
     dc_out = jnp.where(
         intra & (err_src < err_sub),
@@ -1056,24 +1076,29 @@ def _test_intra_c(cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra):
                | (mad.astype(jnp.uint32) <= thr.astype(jnp.uint32))
                | (thr.astype(jnp.uint32) > 64) | small_mv)
     avg_ramp = (avg_src * avg_src) >> 8
-    bits = (K.MASK_INTRA00, K.MASK_INTRA01, K.MASK_INTRA10, K.MASK_INTRA11)
-    bit_index = 0
-    for g in (0, 1):
-        for f in (0, 1):
-            already = (submask & bits[bit_index]) != 0
-            us = masked_avg(window(src_u, cbx + f * sbw, cby + g * sbh,
-                                   qh, qw), sbw, sbh)
-            vs_a = masked_avg(window(src_v, cbx + f * sbw, cby + g * sbh,
-                                     qh, qw), sbw, sbh)
-            ur = masked_avg(window(ref_u, cbmx + f * sbw, cbmy + g * sbh,
-                                   qh, qw), sbw, sbh)
-            vr = masked_avg(window(ref_v, cbmx + f * sbw, cbmy + g * sbh,
-                                   qh, qw), sbw, sbh)
-            dif = (((us - ur) ** 2 + (vs_a - vr) ** 2) * avg_ramp) >> 8
-            take = ((~blocked) & (~already)
-                    & (dif.astype(jnp.uint32) > thr.astype(jnp.uint32)))
-            submask = submask | jnp.where(take, bits[bit_index], 0)
-            bit_index += 1
+    bits = jnp.array([K.MASK_INTRA00, K.MASK_INTRA01,
+                      K.MASK_INTRA10, K.MASK_INTRA11], jnp.int32)
+    fo = jnp.array([0, 1, 0, 1], jnp.int32)
+    go = jnp.array([0, 0, 1, 1], jnp.int32)
+
+    # each sub-block only reads the INITIAL submask bit -> independent,
+    # one vmapped instance
+    def sub(f, g, bit):
+        already = (submask & bit) != 0
+        us = masked_avg(window(src_u, cbx + f * sbw, cby + g * sbh,
+                               qh, qw), sbw, sbh)
+        vs_a = masked_avg(window(src_v, cbx + f * sbw, cby + g * sbh,
+                                 qh, qw), sbw, sbh)
+        ur = masked_avg(window(ref_u, cbmx + f * sbw, cbmy + g * sbh,
+                               qh, qw), sbw, sbh)
+        vr = masked_avg(window(ref_v, cbmx + f * sbw, cbmy + g * sbh,
+                               qh, qw), sbw, sbh)
+        dif = (((us - ur) ** 2 + (vs_a - vr) ** 2) * avg_ramp) >> 8
+        take = ((~blocked) & (~already)
+                & (dif.astype(jnp.uint32) > thr.astype(jnp.uint32)))
+        return jnp.where(take, bit, 0)
+
+    submask = submask | jax.vmap(sub)(fo, go, bits).sum()
     return submask, submask != 0
 
 

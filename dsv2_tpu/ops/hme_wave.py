@@ -778,6 +778,15 @@ def _max_subblock_err(pl_a, pl_b, x0, y0, rx, ry, qw, qh, bw2, bh2, psy):
     return jax.vmap(quad)(fo, go).max()
 
 
+def _max_subblock_err_multi(pl_a, pl_b, x0, y0, rxs, rys, qw, qh, bw2, bh2,
+                            psy):
+    """_max_subblock_err at several reference origins as ONE vmapped op
+    (the skip test probes (x0,y0) and the noxmit test the motion-compensated
+    origin; both share source and planes)."""
+    return jax.vmap(lambda rx, ry: _max_subblock_err(
+        pl_a, pl_b, x0, y0, rx, ry, qw, qh, bw2, bh2, psy))(rxs, rys)
+
+
 def _calc_eprm(src_w, ref_w, bw, bh, avg_src, avg_ref):
     """(ref: hme.c:451-490)."""
     h, w = src_w.shape
@@ -887,7 +896,24 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
     neidif = (nd0 + nd1) // 3
 
     # ---- skip test (ref: hme.c:1694-1729) ----
-    if cfg.skip_thresh_neg or cfg.lossless:
+    do_skip = not (cfg.skip_thresh_neg or cfg.lossless)
+    do_nox = not cfg.lossless
+    if do_skip and do_nox:
+        # both tests need max-subblock errors on all 3 planes; batch the
+        # two reference origins per plane into one op
+        zy = _max_subblock_err_multi(
+            srcl, refl, bx, by, jnp.stack([bx, bx + fpelx]),
+            jnp.stack([by, by + fpely]), y_w // 2, y_h // 2,
+            bw // 2, bh // 2, psy)
+        zu = _max_subblock_err_multi(
+            src_u, ref_u, cbx, cby, jnp.stack([cbx, cbmx]),
+            jnp.stack([cby, cbmy]), cw_max // 2, ch_max // 2,
+            cbw // 2, cbh // 2, psy)
+        zv = _max_subblock_err_multi(
+            src_v, ref_v, cbx, cby, jnp.stack([cbx, cbmx]),
+            jnp.stack([cby, cbmy]), cw_max // 2, ch_max // 2,
+            cbw // 2, cbh // 2, psy)
+    if not do_skip:
         skip = jnp.bool_(False)
     else:
         sth = (skipt * yarea + 4 * var_src
@@ -900,14 +926,17 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
                                     .astype(jnp.uint32)), sth)
         sth = jnp.maximum(sth, yarea.astype(jnp.uint32))
         sth = jnp.where(good, sth * 2, sth)
-        z0 = _max_subblock_err(srcl, refl, bx, by, bx, by,
-                               y_w // 2, y_h // 2, bw // 2, bh // 2, psy)
-        z1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbx, cby,
-                               cw_max // 2, ch_max // 2,
-                               cbw // 2, cbh // 2, psy)
-        z2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbx, cby,
-                               cw_max // 2, ch_max // 2,
-                               cbw // 2, cbh // 2, psy)
+        if do_nox:
+            z0, z1, z2 = zy[0], zu[0], zv[0]
+        else:
+            z0 = _max_subblock_err(srcl, refl, bx, by, bx, by,
+                                   y_w // 2, y_h // 2, bw // 2, bh // 2, psy)
+            z1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbx, cby,
+                                   cw_max // 2, ch_max // 2,
+                                   cbw // 2, cbh // 2, psy)
+            z2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbx, cby,
+                                   cw_max // 2, ch_max // 2,
+                                   cbw // 2, cbh // 2, psy)
         ratio_u = ratio.astype(jnp.uint32)
         cth = (chroma_ratio.astype(jnp.uint32) * sth
                * jnp.maximum(skipt, 1).astype(jnp.uint32)) >> 5
@@ -927,14 +956,18 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
         c_prereq = (~greyish) & (avg_c_dif <= 2)
         xth = (skipt * yarea).astype(jnp.int32)
         carea = 4 * cbw * cbh
-        b0 = _max_subblock_err(srcl, refl, bx, by, bx + fpelx, by + fpely,
-                               y_w // 2, y_h // 2, bw // 2, bh // 2, psy)
-        b1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbmx, cbmy,
-                               cw_max // 2, ch_max // 2,
-                               cbw // 2, cbh // 2, psy)
-        b2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbmx, cbmy,
-                               cw_max // 2, ch_max // 2,
-                               cbw // 2, cbh // 2, psy)
+        if do_skip:
+            b0, b1, b2 = zy[1], zu[1], zv[1]
+        else:
+            b0 = _max_subblock_err(srcl, refl, bx, by, bx + fpelx,
+                                   by + fpely, y_w // 2, y_h // 2,
+                                   bw // 2, bh // 2, psy)
+            b1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbmx, cbmy,
+                                   cw_max // 2, ch_max // 2,
+                                   cbw // 2, cbh // 2, psy)
+            b2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbmx, cbmy,
+                                   cw_max // 2, ch_max // 2,
+                                   cbw // 2, cbh // 2, psy)
         xth = (xth.astype(jnp.uint32) + ipolvar.astype(jnp.uint32)
                ).astype(jnp.int32)
         xth = jnp.maximum(xth - yarea * neidif * 2, 0)

@@ -50,6 +50,10 @@ class _PCfg:
         self.cdims = coef_dims(meta.subsamp, meta.width, meta.height)
         self.pdims = plane_dims(meta.subsamp, meta.width, meta.height)
 
+    @property
+    def psyf_all(self):
+        return hzcc.spatial_psy_factor(self, -1)
+
     def hzcc_cfg(self, c):
         cw, ch = self.cdims[c]
         return hzcc.HzccCfg(cw, ch, c == 0, self.isP, self.lossless,

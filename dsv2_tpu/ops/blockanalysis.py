@@ -340,3 +340,141 @@ def _intra_analysis_scalar(frame, params):
             mf.set_bit(idx, K.MV_BIT_MAINTAIN, int(bool(maintain)))
             mf.set_bit(idx, K.MV_BIT_SKIP, int(bool(keep_hf)))
     return mf
+
+
+# ---------------------------------------------------------------------------
+# device (jnp) intra analysis — same math as _intra_analysis_fast, runs
+# inside the batched intra program so the host never touches pixels
+# (ref: hme.c:1835-1971). Requires the fast-path preconditions (dims
+# divisible by the block size, chroma blocks >= 2).
+# ---------------------------------------------------------------------------
+
+def device_intra_flags(pcfg):
+    """Returns f(y, u, v) -> (ringing, maintain, keep_hf) bool grids
+    (nbv, nbh); y/u/v are the interior planes handed to the batched intra
+    step (uint8, chroma dims from pcfg)."""
+    import jax
+    import jax.numpy as jnp
+    from .hme_wave import isqrt_u32
+
+    p = pcfg
+    meta = p.meta
+    bw, bh = p.blk_w, p.blk_h
+    nbh, nbv = p.nbh, p.nbv
+    hs, vs = K.fmt_h_shift(meta.subsamp), K.fmt_v_shift(meta.subsamp)
+    cbw, cbh = bw >> hs, bh >> vs
+    scale = 2 * p.psyf_all
+    do_psy = p.do_psy
+    n = nbh * nbv
+    area = bw * bh
+
+    def features(blocks):
+        pix = blocks.astype(jnp.int32)
+        s = pix.sum(axis=(1, 2))
+        sh = jnp.abs(pix[:, :, 1:] - pix[:, :, :-1]).sum(axis=(1, 2))
+        sv = jnp.abs(pix[:, 1:, :] - pix[:, :-1, :]).sum(axis=(1, 2))
+        avg = s // area
+        var = jnp.abs(pix - avg[:, None, None]).sum(axis=(1, 2))
+        dvar = var >> 1
+        tex = jnp.maximum(sh, sv) - dvar
+        detail = dvar + jnp.maximum(tex, 0)
+        q4 = pix >> 4
+        dh = q4[:, :, :-1] - q4[:, :, 1:]
+        sh2 = (dh * dh).sum(axis=(1, 2))
+        dv = q4[:, 1:, :] - q4[:, :-1, :]
+        sv2 = (dv * dv).sum(axis=(1, 2))
+        qtex = isqrt_u32(jnp.maximum(sh2, sv2)) // avg2(bw, bh)
+        havg = jnp.maximum(avg, 1)
+        quant16 = ((1 << (HISTBITS - 1)) << 16) // havg
+        hi = jnp.clip((pix * quant16[:, None, None]) >> 16, 0, NHIST - 1)
+        hist = (hi[..., None] == jnp.arange(NHIST)).sum(
+            axis=(1, 2)).astype(jnp.int32)
+        hm = hist.sum(axis=1) // NHIST
+        hvar_raw = ((hist - hm[:, None]) ** 2).sum(axis=1)
+        hvar = (hvar_raw * 256) // (NHIST * area * area)
+        w2, h2 = bw // 2, bh // 2
+        ds = (pix[:, 0:2 * h2:2, 0:2 * w2:2] + pix[:, 0:2 * h2:2, 1:2 * w2:2]
+              + pix[:, 1:2 * h2:2, 0:2 * w2:2]
+              + pix[:, 1:2 * h2:2, 1:2 * w2:2] + 2) >> 2
+        hi2 = jnp.minimum((ds * quant16[:, None, None]) >> 16, NHIST - 1)
+        ph = (hi2[..., None] == jnp.arange(NHIST)).sum(
+            axis=(1, 2)).astype(jnp.int32)
+        pavg = ph.sum(axis=1) // NHIST
+        maxv = ph.max(axis=1) >> 2
+        left = jnp.concatenate(
+            [jnp.full((n, 1), -1, ph.dtype), ph[:, :-1]], axis=1)
+        right = jnp.concatenate(
+            [ph[:, 1:], jnp.full((n, 1), -1, ph.dtype)], axis=1)
+        is_peak = ((ph > left) & (ph > right)
+                   & ((ph > maxv[:, None]) | (ph > pavg[:, None])))
+        return dict(detail=detail, avg=avg, var=var,
+                    tex=jnp.maximum(sh, sv), qtex=qtex, hvar=hvar,
+                    npeaks=is_peak.sum(axis=1))
+
+    def f(y, u, v):
+        blocks = (y[:nbv * bh, :nbh * bw]
+                  .reshape(nbv, bh, nbh, bw).transpose(0, 2, 1, 3)
+                  .reshape(n, bh, bw))
+        ft = features(blocks)
+        detail, avg = ft["detail"], ft["avg"]
+        ringing = jnp.zeros(n, bool)
+        foliage = jnp.zeros(n, bool)
+        is_text = jnp.zeros(n, bool)
+        var_t = jnp.full(n, 16, jnp.int32)
+        if do_psy & (K.PSY_ADAPTIVE_RINGING | K.PSY_CONTENT_ANALYSIS):
+            hvar, qtex, npeaks = ft["hvar"], ft["qtex"], ft["npeaks"]
+            luma_var = ft["var"] // area
+            luma_tex = ft["tex"] // area
+            is_text = jnp.abs(npeaks - 2) <= 1
+            tf2 = (((qtex == 1) | (qtex == 2)) & (hvar <= 3)
+                   & (luma_tex >= 10) & (luma_var >= luma_tex))
+            tf = (((qtex == 2) | (qtex == 3)) & (luma_tex >= 8)
+                  & (luma_var >= 2 * luma_tex) & (jnp.abs(hvar - 5) <= 3))
+            is_text &= (tf | tf2)
+            carea = cbw * cbh
+            ub = u[:nbv * cbh, :nbh * cbw].astype(jnp.int32)
+            vb = v[:nbv * cbh, :nbh * cbw].astype(jnp.int32)
+            uavg = (ub.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+                    // carea).reshape(-1)
+            vavg = (vb.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+                    // carea).reshape(-1)
+            nature = (uavg < 128) & (vavg < 160)
+            greyish = (jnp.abs(uavg - 128) < 8) & (jnp.abs(vavg - 128) < 8)
+            skinnish = ((avg > 80) & (avg < 230) & (jnp.abs(uavg - 108) < 24)
+                        & (jnp.abs(vavg - 148) < 24))
+            hifreq = (uavg > 160) & ~greyish & ~skinnish
+            foliage = nature & (avg < 160) & (detail
+                                              > (36 * area) // max(scale, 1))
+            is_text &= ~foliage
+            ring_cond = foliage | ((hvar <= jnp.minimum(qtex - 3, 2) * 16)
+                                   & (qtex > 1))
+            if do_psy & K.PSY_ADAPTIVE_RINGING:
+                ringing = ~hifreq & ring_cond
+            var_t = jnp.where(nature | greyish | skinnish, 20,
+                              jnp.where(~hifreq, 16, 8))
+        maintain = jnp.ones(n, bool)
+        keep_hf = jnp.ones(n, bool)
+        if do_psy & (K.PSY_CONTENT_ANALYSIS | K.PSY_ADAPTIVE_QUANT):
+            d = detail // area
+            keep_hf &= d < 48
+            maintain = d < var_t * 4
+        if do_psy & K.PSY_CONTENT_ANALYSIS:
+            keep_hf = jnp.where(foliage, False,
+                                jnp.where(is_text, True, keep_hf))
+            maintain = jnp.where(foliage, True,
+                                 jnp.where(is_text, False, maintain))
+        if do_psy & K.PSY_ADAPTIVE_RINGING:
+            ringing |= avg < 24
+        grid = lambda a: a.reshape(nbv, nbh)
+        return grid(ringing), grid(maintain), grid(keep_hf)
+
+    return f
+
+
+def device_analysis_ok(pcfg):
+    """True when the device fast path applies (same preconditions as
+    _intra_analysis_fast)."""
+    p = pcfg
+    return (p.meta.width % p.blk_w == 0 and p.meta.height % p.blk_h == 0
+            and (p.blk_w >> K.fmt_h_shift(p.meta.subsamp)) >= 2
+            and (p.blk_h >> K.fmt_v_shift(p.meta.subsamp)) >= 2)

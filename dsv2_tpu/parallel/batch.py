@@ -35,10 +35,11 @@ from .xfer import pack_segment, merge_rows, fetch_packed, slice_packed
 
 @functools.lru_cache(maxsize=None)
 def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
-                     need_recon):
+                     need_recon, analyze=False):
     from ..utils.packet import VideoMeta
     pcfg = _PCfg(VideoMeta(width=w_, height=h_, subsamp=subsamp),
                  blk_w, blk_h, False, lossless, do_psy)
+    flags_fn = blockanalysis.device_intra_flags(pcfg) if analyze else None
 
     def one_plane(c):
         scfg = pcfg.sbt_cfg(c)
@@ -64,7 +65,23 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
         return f
 
     def batch(xs0, xs1, xs2, bds, qs):
-        outs = [jax.vmap(one_plane(c))(xs, bds, qs)
+        if analyze:
+            # bds carries only the host temporal-stability part; the HVS
+            # analysis (ring/maintain/keep-HF) runs here, in-graph, and
+            # blockdata is derived exactly as _stable_decisions would
+            # (ref: hme.c:1835-1971, dsv_encoder.c:797-883)
+            ring, maint, keep = jax.vmap(flags_fn)(xs0, xs1, xs2)
+            stable = (bds != 0) | keep
+            bd = (stable.astype(jnp.uint8) << K.STABLE_BIT
+                  | ring.astype(jnp.uint8) << K.RINGING_BIT
+                  | maint.astype(jnp.uint8) << K.MAINTAIN_BIT)
+            fl = (ring.astype(jnp.uint8)
+                  | (maint.astype(jnp.uint8) << 1)
+                  | (keep.astype(jnp.uint8) << 2))
+        else:
+            bd = bds
+            fl = jnp.zeros_like(bds)
+        outs = [jax.vmap(one_plane(c))(xs, bd, qs)
                 for c, xs in enumerate((xs0, xs1, xs2))]
         buf, useds = merge_rows([o[1] for o in outs], [o[2] for o in outs])
         # small per-segment metadata, one fetch: n, ll, used, fallback per
@@ -74,7 +91,7 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
              for o in outs])
         pxs = [o[0] for o in outs]
         fallbacks = [(o[4], o[5]) for o in outs]
-        return buf, smalls, pxs, fallbacks
+        return buf, smalls, pxs, fallbacks, (fl, bd)
 
     return jax.jit(batch)
 
@@ -129,6 +146,7 @@ def _prep_chunk(enc, frame_planes):
                  False, datas[0].params.lossless, datas[0].params.do_psy)
     p = datas[0].params
     nblk = p.nbh * p.nbv
+    analyze = blockanalysis.device_analysis_ok(pcfg)
     gop_starts = []
     rc_quals = []
     quants = []
@@ -149,25 +167,45 @@ def _prep_chunk(enc, frame_planes):
         d.quant = rc.quality2quant(enc, d, enc.prev_gop, 0)
         enc._compute_auto_filter(d)
         quants.append(d.quant)
-        intramv = blockanalysis.intra_analysis(d.padded, d.params)
-        intramvs.append(intramv)
-        stats = [K.ONE_MARKER] * K.MAX_STAT
-        if enc.effort >= 7:
-            enc._gather_stats(d, intramv, stats)
-            stats = [(K.ZERO_MARKER if s > 0 else K.ONE_MARKER)
-                     for s in stats]
+        if analyze:
+            # HVS analysis runs on device; prep provides only the host
+            # temporal-stability part (in intra-only batches the stability
+            # accumulators never move, so this is state-safe under chunk
+            # pipelining)
+            if enc.refresh_ctr >= enc.stable_refresh:
+                enc.refresh_ctr = 0
+                enc.stability[:] = 0
+            avgdiv = max(enc.refresh_ctr, 1)
+            if d.fnum > 0 and enc.do_temporal_aq:
+                hs_part = ((enc.stability[:, 0] // avgdiv == 0)
+                           & (enc.stability[:, 1] // avgdiv == 0))
+            else:
+                hs_part = np.zeros(nblk, dtype=bool)
+            intramvs.append(None)
+            stats_all.append(None)
+            stable_bits_all.append(hs_part)
+            blockdatas.append(
+                hs_part.reshape(p.nbv, p.nbh).astype(np.uint8))
         else:
-            stats[K.MAINTAIN_STAT] = K.ZERO_MARKER
-            stats[K.RINGING_STAT] = K.ZERO_MARKER
-        stats_all.append(stats)
-        stable_bits = enc._stable_decisions(d, intramv)
-        stable_bits_all.append(stable_bits)
-        fl = intramv.flags
-        enc.blockdata |= (((fl >> K.MV_BIT_RINGING) & 1) << K.RINGING_BIT
-                          ).astype(np.uint8)
-        enc.blockdata |= (((fl >> K.MV_BIT_MAINTAIN) & 1) << K.MAINTAIN_BIT
-                          ).astype(np.uint8)
-        blockdatas.append(enc.blockdata.reshape(p.nbv, p.nbh).copy())
+            intramv = blockanalysis.intra_analysis(d.padded, d.params)
+            intramvs.append(intramv)
+            stats = [K.ONE_MARKER] * K.MAX_STAT
+            if enc.effort >= 7:
+                enc._gather_stats(d, intramv, stats)
+                stats = [(K.ZERO_MARKER if s > 0 else K.ONE_MARKER)
+                         for s in stats]
+            else:
+                stats[K.MAINTAIN_STAT] = K.ZERO_MARKER
+                stats[K.RINGING_STAT] = K.ZERO_MARKER
+            stats_all.append(stats)
+            stable_bits = enc._stable_decisions(d, intramv)
+            stable_bits_all.append(stable_bits)
+            fl = intramv.flags
+            enc.blockdata |= (((fl >> K.MV_BIT_RINGING) & 1) << K.RINGING_BIT
+                              ).astype(np.uint8)
+            enc.blockdata |= (((fl >> K.MV_BIT_MAINTAIN) & 1)
+                              << K.MAINTAIN_BIT).astype(np.uint8)
+            blockdatas.append(enc.blockdata.reshape(p.nbv, p.nbh).copy())
         rc_quals.append(enc.rc_qual)
         # per-frame RC stats (CRF/CQP only; size-independent)
         if enc.rc_mode == K.RC_CRF:
@@ -182,7 +220,7 @@ def _prep_chunk(enc, frame_planes):
     return dict(datas=datas, pcfg=pcfg, p=p, gop_starts=gop_starts,
                 rc_quals=rc_quals, quants=quants, intramvs=intramvs,
                 blockdatas=blockdatas, stable_bits_all=stable_bits_all,
-                stats_all=stats_all)
+                stats_all=stats_all, analyze=analyze)
 
 
 def _dispatch_chunk(enc, ctx):
@@ -207,16 +245,18 @@ def _dispatch_chunk(enc, ctx):
     need_recon = enc.gop != K.GOP_INTRA
     fn = _device_batch_fn(meta.width, meta.height, meta.subsamp,
                           p.blk_w, p.blk_h, p.lossless, p.do_psy,
-                          need_recon)
-    buf, smalls, pxs_dev, fb_dev = fn(xs[0], xs[1], xs[2], bds, qs)
+                          need_recon, ctx["analyze"])
+    buf, smalls, pxs_dev, fb_dev, flbd = fn(xs[0], xs[1], xs[2], bds, qs)
     smalls.copy_to_host_async()
-    ctx["dev"] = (buf, smalls, pxs_dev, fb_dev, need_recon)
+    if ctx["analyze"]:
+        flbd[0].copy_to_host_async()
+    ctx["dev"] = (buf, smalls, pxs_dev, fb_dev, need_recon, flbd)
 
 
 def _start_fetch(ctx):
     """Blocking metadata read (chunk compute has overlapped host prep),
     then enqueue the packed-buffer slice + async d2h copy."""
-    buf, smalls, pxs_dev, fb_dev, need_recon = ctx["dev"]
+    buf, smalls, pxs_dev, fb_dev, need_recon, flbd = ctx["dev"]
     sm = np.asarray(smalls)
     nfr = len(ctx["datas"])
     per = nfr * 4
@@ -241,11 +281,39 @@ def _serialize_chunk(enc, ctx):
     meta = enc.meta
     datas, pcfg, p = ctx["datas"], ctx["pcfg"], ctx["p"]
     nfr = len(datas)
-    buf, smalls, pxs_dev, fb_dev, need_recon = ctx["dev"]
+    buf, smalls, pxs_dev, fb_dev, need_recon, flbd = ctx["dev"]
     (gop_starts, rc_quals, intramvs, blockdatas, stable_bits_all,
      stats_all) = (ctx["gop_starts"], ctx["rc_quals"], ctx["intramvs"],
                    ctx["blockdatas"], ctx["stable_bits_all"],
                    ctx["stats_all"])
+    if ctx["analyze"]:
+        from ..codec.motion import MotionField
+        fls = np.asarray(flbd[0])  # (nfr, nbv, nbh): ring|maint<<1|keep<<2
+        for fi, d in enumerate(datas):
+            flr = fls[fi].reshape(-1)
+            ring = (flr & 1).astype(np.uint32)
+            maint = ((flr >> 1) & 1).astype(np.uint32)
+            keep = ((flr >> 2) & 1).astype(np.uint32)
+            imv = MotionField(p.nbh, p.nbv)
+            imv.flags = ((ring << K.MV_BIT_RINGING)
+                         | (maint << K.MV_BIT_MAINTAIN)
+                         | (keep << K.MV_BIT_SKIP))
+            intramvs[fi] = imv
+            stats = [K.ONE_MARKER] * K.MAX_STAT
+            if enc.effort >= 7:
+                enc._gather_stats(d, imv, stats)
+                stats = [(K.ZERO_MARKER if st > 0 else K.ONE_MARKER)
+                         for st in stats]
+            else:
+                stats[K.MAINTAIN_STAT] = K.ZERO_MARKER
+                stats[K.RINGING_STAT] = K.ZERO_MARKER
+            stats_all[fi] = stats
+            stable = stable_bits_all[fi] | keep.astype(bool)
+            stable_bits_all[fi] = stable.astype(np.uint8)
+            enc.blockdata[:] = ((stable.astype(np.uint8) << K.STABLE_BIT)
+                                | (ring << K.RINGING_BIT).astype(np.uint8)
+                                | (maint << K.MAINTAIN_BIT).astype(np.uint8))
+            blockdatas[fi] = enc.blockdata.reshape(p.nbv, p.nbh).copy()
     ns, lls, used_flat, fbs, packed_dev = ctx["fetch"]
     offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
     packed = np.asarray(packed_dev)  # copy started in _start_fetch

@@ -11,7 +11,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core import constants as K
 from ..core.frame import B
 from ..ops import sbt, hzcc, mc
 from .decoder import _PCfg

@@ -8,7 +8,7 @@ loop over the (small) block grid.
 """
 import numpy as np
 
-from ..bitstream import BitWriter, BitReader, ZBRLEWriter, ZBRLEReader
+from ..bitstream import BitWriter, BitReader, ZBRLEReader
 from ..core import constants as K
 from ..core import intmath as im
 from ..core import mvmath

@@ -84,15 +84,28 @@ def _segarr(segments):
     return arr
 
 
+_scan_bufs = threading.local()
+
+
 def scan_encode(values, segments):
     """Serialize quantized coefficients (scan order) into the HZCC
-    bit layout. segments: list of (count, damp) with damp < 0 = NEG-coded."""
+    bit layout. segments: list of (count, damp) with damp < 0 = NEG-coded.
+    Reuses a per-thread output buffer (the bit writer ORs into bytes, so
+    only the previously-used prefix needs re-zeroing)."""
     v = np.ascontiguousarray(values, dtype=np.int32)
     cap = 16 * v.size + 4096
-    out = np.zeros(cap, dtype=np.uint8)
+    st = _scan_bufs
+    buf = getattr(st, "buf", None)
+    if buf is None or buf.size < cap:
+        buf = np.zeros(cap, dtype=np.uint8)
+        st.buf = buf
+        st.used = 0
+    else:
+        buf[:min(st.used + 8, buf.size)] = 0
     n = lib().dsvn_scan_enc(_i32p(v), v.size, _segarr(segments),
-                            len(segments), _u8p(out))
-    return out[:n].tobytes()
+                            len(segments), _u8p(buf))
+    st.used = n
+    return buf[:n].tobytes()
 
 
 def scan_decode(buf, lim, total, segments):

@@ -31,7 +31,7 @@ from .. import native
 from ..codec import plane as planecode
 from ..codec import motion, rc
 from ..codec.decoder import _PCfg, apply_intra_filter
-from .xfer import pack_segment, merge_rows, fetch_packed, slice_packed
+from .xfer import pack_segment, merge_rows, slice_packed
 
 @functools.lru_cache(maxsize=None)
 def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,

@@ -78,8 +78,32 @@ def our_fps(src):
     return NFRAMES / dt
 
 
+def _pick_platform():
+    """The axon TPU tunnel can hang jax initialization when it is down;
+    probe it in a disposable subprocess and fall back to CPU so the bench
+    always reports a number."""
+    if os.environ.get("DSV2_JAX_PLATFORM"):
+        return os.environ["DSV2_JAX_PLATFORM"]
+    probe = subprocess.run(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        capture_output=True, timeout=180)
+    if probe.returncode != 0:
+        return "cpu"
+    return None
+
+
 def main():
     import dsv2_tpu
+    try:
+        plat = _pick_platform()
+    except subprocess.TimeoutExpired:
+        plat = "cpu"
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+        if plat == "cpu":
+            print("# WARNING: TPU tunnel unreachable, benching on CPU",
+                  file=sys.stderr)
     dsv2_tpu.enable_compile_cache()
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,

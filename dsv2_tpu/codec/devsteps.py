@@ -138,6 +138,20 @@ def make_p_decode_step(w, h, subsamp, blk_w, blk_h, lossless):
     return jax.jit(step)
 
 
+def prefetch_step_lanes(out):
+    """Batched-step postprocess for the lockstep batcher: ONE bucketed
+    transfer of every lane's packed-buffer prefix instead of a per-lane
+    slice+fetch (the tunnel charges RTT per transfer)."""
+    recons, buf, smalls, fbarrs = out
+    if not isinstance(buf, np.ndarray):
+        sm = smalls if isinstance(smalls, np.ndarray) else np.asarray(smalls)
+        useds = sm.reshape(sm.shape[0], 3, 4)[:, :, 2].astype(np.int64)
+        k = int(useds.sum(axis=1).max())
+        kb = min(-(-max(k, 1) // (1 << 17)) * (1 << 17), buf.shape[1])
+        buf = np.asarray(buf[:, :kb])
+    return recons, buf, smalls, fbarrs
+
+
 def fetch_sparse_outs(step_out):
     """Host-side fetch for (recons, buf, smalls, fbarrs) step outputs:
     one metadata fetch + one packed-buffer fetch. Returns (vscans, lls)."""

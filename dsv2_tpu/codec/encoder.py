@@ -473,7 +473,8 @@ class Encoder:
             if self.dev_submit is not None:
                 outs = self.dev_submit(
                     ("p_step", cfg),
-                    lambda c: devsteps.make_p_encode_step(*c), args)
+                    lambda c: devsteps.make_p_encode_step(*c), args,
+                    post=devsteps.prefetch_step_lanes)
             else:
                 outs = devsteps.make_p_encode_step(*cfg)(*args)
         else:
@@ -491,7 +492,8 @@ class Encoder:
             if self.dev_submit is not None:
                 outs = self.dev_submit(
                     ("i_step", cfg),
-                    lambda c: devsteps.make_i_encode_step(*c), args)
+                    lambda c: devsteps.make_i_encode_step(*c), args,
+                    post=devsteps.prefetch_step_lanes)
             else:
                 outs = devsteps.make_i_encode_step(*cfg)(*args)
         vscans, lls = devsteps.fetch_sparse_outs(outs)

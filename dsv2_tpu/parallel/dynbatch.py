@@ -39,13 +39,15 @@ class LockstepBatcher:
             if self._blocked and self._blocked >= self._active:
                 self._flush_locked()
 
-    def submit(self, key, builder, args):
+    def submit(self, key, builder, args, post=None):
         """Queue one lane; returns this lane's slice of the batched output.
         key = (kind, cfg) — cfg must be hashable and identical for lanes
-        batched together. builder(cfg) -> single-example callable."""
+        batched together. builder(cfg) -> single-example callable.
+        post(batched_out) -> batched_out runs once per flushed batch (e.g.
+        merged prefix fetches of big device outputs)."""
         entry = [args, None, False]
         with self._cond:
-            self._queues.setdefault(key, []).append((entry, builder))
+            self._queues.setdefault(key, []).append((entry, builder, post))
             self._blocked += 1
             if self._blocked >= self._active:
                 self._flush_locked()
@@ -68,7 +70,7 @@ class LockstepBatcher:
                 if fn is None:
                     fn = jax.vmap(pending[0][1](key[1]))
                     self._fns[key] = fn
-                lanes = [e[0] for e, _ in pending]
+                lanes = [e[0] for e, _, _ in pending]
                 lanes += [lanes[0]] * (self.width - len(lanes))
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *lanes)
@@ -79,11 +81,14 @@ class LockstepBatcher:
                 out = jax.tree_util.tree_map(
                     lambda a: np.asarray(a)
                     if getattr(a, "nbytes", 0) <= (16 << 20) else a, out)
-                for i, (e, _) in enumerate(pending):
+                post = pending[0][2]
+                if post is not None:
+                    out = post(out)
+                for i, (e, _, _) in enumerate(pending):
                     e[1] = jax.tree_util.tree_map(lambda a, i=i: a[i], out)
                     e[2] = True
             except BaseException as exc:  # propagate to every waiter
-                for e, _ in pending:
+                for e, _, _ in pending:
                     e[1] = exc
                     e[2] = True
         self._cond.notify_all()

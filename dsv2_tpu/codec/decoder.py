@@ -119,6 +119,7 @@ class Decoder:
         self.ref = None           # Frame
         self.postsharp = postsharp
         self.draw_info = draw_info
+        self.dev_submit = None    # lockstep batcher hook
 
     def decode_packet(self, buf):
         """Decode one packet buffer. Returns (code, Frame|None, fno)."""
@@ -194,17 +195,22 @@ class Decoder:
             if self.ref is None:
                 return DEC_ERROR, None, -1
             tmc = K.temporal_mc(fno)
-            step = devsteps.make_p_decode_step(
-                meta.width, meta.height, meta.subsamp, blk_w, blk_h,
-                lossless)
+            cfg = (meta.width, meta.height, meta.subsamp, blk_w, blk_h,
+                   lossless)
             refs = [self.ref.planes[c] for c in range(3)]
-            recons = step(tuple(vs), bd_grid, np.int32(quant), tuple(lls),
-                          tuple(refs),
-                          mf.grid(mf.x).astype(np.int32),
-                          mf.grid(mf.y).astype(np.int32),
-                          mf.grid(mf.flags).astype(np.int32),
-                          mf.grid(mf.submask).astype(np.int32),
-                          mf.grid(mf.dc).astype(np.int32), np.int32(tmc))
+            dargs = (tuple(vs), bd_grid, np.int32(quant), tuple(lls),
+                     tuple(refs),
+                     mf.grid(mf.x).astype(np.int32),
+                     mf.grid(mf.y).astype(np.int32),
+                     mf.grid(mf.flags).astype(np.int32),
+                     mf.grid(mf.submask).astype(np.int32),
+                     mf.grid(mf.dc).astype(np.int32), np.int32(tmc))
+            if self.dev_submit is not None:
+                recons = self.dev_submit(
+                    ("pd_step", cfg),
+                    lambda c: devsteps.make_p_decode_step(*c), dargs)
+            else:
+                recons = devsteps.make_p_decode_step(*cfg)(*dargs)
             for c in range(3):
                 mcc = pcfg.mc_cfg(c)
                 if c in bad_planes:
@@ -227,10 +233,15 @@ class Decoder:
                         np.asarray(recons[c]))
             apply_inloop_filters(out, mf, pcfg, quant, do_filter, tmc)
         else:
-            step = devsteps.make_i_decode_step(
-                meta.width, meta.height, meta.subsamp, blk_w, blk_h,
-                lossless)
-            pxs = step(tuple(vs), bd_grid, np.int32(quant), tuple(lls))
+            cfg = (meta.width, meta.height, meta.subsamp, blk_w, blk_h,
+                   lossless)
+            dargs = (tuple(vs), bd_grid, np.int32(quant), tuple(lls))
+            if self.dev_submit is not None:
+                pxs = self.dev_submit(
+                    ("id_step", cfg),
+                    lambda c: devsteps.make_i_decode_step(*c), dargs)
+            else:
+                pxs = devsteps.make_i_decode_step(*cfg)(*dargs)
             residual = Frame(meta.subsamp, meta.width, meta.height,
                              border=True)
             for c in range(3):

@@ -128,3 +128,66 @@ def encode_gops_parallel(frames, meta, gop, enc_factory, workers=None):
             parts = list(ex.map(encode_range, ranges))
     eos = enc_factory().end_of_stream()
     return b"".join(parts) + b"".join(eos)
+
+
+def split_gop_packets(stream):
+    """Group a .dsv stream's packets into independently-decodable GOP
+    chunks (every closed GOP starts with its own metadata packet;
+    ref: dsv_encoder.c:469-491)."""
+    from ..utils import packet
+    chunks = []
+    cur = None
+    for t, buf in packet.iter_packets(stream):
+        if t == K.PT_EOS:
+            break
+        if t == K.PT_META or cur is None:
+            cur = []
+            chunks.append(cur)
+        cur.append((t, buf))
+    return chunks
+
+
+def decode_gops_parallel(stream, width=None, postsharp=False):
+    """Decode independent GOP chunks concurrently with lockstep device
+    batching (the decode analog of encode_streams_lockstep; the reference
+    has no parallel decode). Returns frames in stream order — byte-equal
+    to sequential decoding."""
+    import threading
+    from ..codec.decoder import Decoder, DEC_EOS
+    from .dynbatch import LockstepBatcher
+
+    chunks = split_gop_packets(stream)
+    n = len(chunks)
+    if n == 0:
+        return []
+    width = width or n
+    batcher = LockstepBatcher(width)
+    results = [None] * n
+    errors = []
+
+    def run(i):
+        batcher.thread_begin()
+        try:
+            dec = Decoder(postsharp=postsharp)
+            dec.dev_submit = batcher.submit
+            frames = []
+            for t, buf in chunks[i]:
+                code, frame, fno = dec.decode_packet(buf)
+                if code == DEC_EOS:
+                    break
+                if frame is not None:
+                    frames.append(frame)
+            results[i] = frames
+        except BaseException as exc:
+            errors.append(exc)
+        finally:
+            batcher.thread_done()
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return [f for fs in results for f in fs]

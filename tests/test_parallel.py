@@ -78,3 +78,33 @@ def test_lockstep_streams_match_sequential(fixtures_dir):
     lock = encode_streams_lockstep(streams, factory)
     assert [len(x) for x in lock] == [len(x) for x in seq]
     assert lock == seq
+
+
+def test_parallel_decode_matches_sequential(fixtures_dir):
+    """Lockstep GOP-parallel decode == sequential decode, frame for frame."""
+    import io
+    import numpy as np
+    from dsv2_tpu.codec.decoder import decode_stream
+    from dsv2_tpu.parallel.gop import decode_gops_parallel
+
+    rdr, frames = load(fixtures_dir, "tiny64x48_420_6f.y4m")
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1])
+
+    def factory():
+        from dsv2_tpu.cli import make_encoder, default_enc_opts
+        return make_encoder(meta, default_enc_opts(qp=60, gop=2))
+
+    enc = factory()
+    chunks = []
+    for fr in frames:
+        chunks.extend(enc.encode_frame(fr))
+    chunks.extend(enc.end_of_stream())
+    data = b"".join(chunks)
+
+    seq = [f for _, f in decode_stream(io.BytesIO(data))]
+    par = decode_gops_parallel(io.BytesIO(data))
+    assert len(par) == len(seq) == 6
+    for a, b in zip(par, seq):
+        for c in range(3):
+            assert np.array_equal(a.view(c), b.view(c))

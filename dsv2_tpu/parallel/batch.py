@@ -126,11 +126,39 @@ def _prep_chunk(enc, frame_planes):
     analysis, stable decisions, header stats."""
     meta = enc.meta
 
+    # The border apron is only consumed by motion search/MC (never run in
+    # an intra batch) and by odd-dimension pyramid downsampling; when every
+    # pyramid level stays even (ds2x reads no border then, frame.py:136),
+    # the per-frame extend() calls are dead work.
+    need_borders = False
+    w_, h_ = meta.width, meta.height
+    for _ in range(K.MAX_PYRAMID_LEVELS + 1):
+        if w_ % 2 or h_ % 2:
+            need_borders = True
+            break
+        w_, h_ = im.round_shift(w_, 1), im.round_shift(h_, 1)
+
+    def _pyr(padded):
+        if need_borders:
+            return enc._mk_pyramid(padded)
+        from ..core.frame import ds2x_luma
+        pyr = []
+        prev = padded
+        w2, h2 = padded.width, padded.height
+        for i in range(enc.pyramid_levels):
+            f = Frame(padded.subsamp, im.round_shift(w2, i + 1),
+                      im.round_shift(h2, i + 1), border=True)
+            ds2x_luma(f, prev)
+            pyr.append(f)
+            prev = f
+        return pyr
+
     datas = []
     for planes in frame_planes:
         padded = Frame(meta.subsamp, meta.width, meta.height, border=True)
         padded.load(planes)
-        padded.extend()
+        if need_borders:
+            padded.extend()
         from ..codec.encoder import EncData
         d = EncData(enc.next_fnum, padded)
         enc.next_fnum += 1
@@ -139,7 +167,7 @@ def _prep_chunk(enc, frame_planes):
         d.params.has_ref = 0
         # no motion search in an intra batch: build the pyramid lazily
         # (only CRF dark-intra-boost rate control ever reads it)
-        d._pyramid_fn = (lambda padded=padded: enc._mk_pyramid(padded))
+        d._pyramid_fn = (lambda padded=padded: _pyr(padded))
         datas.append(d)
 
     pcfg = _PCfg(meta, datas[0].params.blk_w, datas[0].params.blk_h,

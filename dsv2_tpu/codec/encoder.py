@@ -184,7 +184,9 @@ class Encoder:
         d = EncData(self.next_fnum, padded)
         self.next_fnum += 1
 
-        gop_start, outbuf = self._encode_one(d)
+        from ..utils.trace import stage
+        with stage("encode_frame"):
+            gop_start, outbuf = self._encode_one(d)
         bufs = []
         if gop_start:
             mbuf = bytearray(packet.encode_metadata(meta))

@@ -3,6 +3,7 @@ and the native entropy scan (ref: src/hzcc.c:585-649)."""
 import numpy as np
 
 from .. import native
+from ..utils import log
 from ..bitstream import BitWriter, BitReader
 from ..ops import hzcc
 
@@ -23,6 +24,8 @@ def encode_plane(w: BitWriter, coefs_deq, v_scan, ll_value, cw, ch):
     w.align()
     endp = w.byte_pos
     w.patch_bits(startp * 8, 32, (endp - startp) - 4)
+    if log.get_level() >= log.LEVEL_INFO:
+        log.info("encoded plane of size %d bytes", endp - startp)
 
 
 def decode_plane(r: BitReader, cw, ch):

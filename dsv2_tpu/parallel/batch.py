@@ -32,6 +32,7 @@ from ..codec import plane as planecode
 from ..codec import motion, rc
 from ..codec.decoder import _PCfg, apply_intra_filter
 from .xfer import pack_segment, merge_rows, slice_packed
+from ..utils.trace import stage as _stage
 
 @functools.lru_cache(maxsize=None)
 def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
@@ -105,19 +106,25 @@ def encode_intra_batch(enc, frame_planes, chunk=16):
     out = []
     pending = None
     for lo in range(0, len(frame_planes), chunk):
-        ctx = _prep_chunk(enc, frame_planes[lo:lo + chunk])
+        with _stage("batch.prep"):
+            ctx = _prep_chunk(enc, frame_planes[lo:lo + chunk])
         if pending is not None:
             # start the previous chunk's d2h copies BEFORE enqueueing this
             # chunk's compute: device work runs in-order, so a fetch issued
             # after dispatch would stall behind the next chunk
-            _start_fetch(pending)
-        _dispatch_chunk(enc, ctx)
+            with _stage("batch.fetch"):
+                _start_fetch(pending)
+        with _stage("batch.dispatch"):
+            _dispatch_chunk(enc, ctx)
         if pending is not None:
-            out.extend(_serialize_chunk(enc, pending))
+            with _stage("batch.serialize"):
+                out.extend(_serialize_chunk(enc, pending))
         pending = ctx
     if pending is not None:
-        _start_fetch(pending)
-        out.extend(_serialize_chunk(enc, pending))
+        with _stage("batch.fetch"):
+            _start_fetch(pending)
+        with _stage("batch.serialize"):
+            out.extend(_serialize_chunk(enc, pending))
     return out
 
 

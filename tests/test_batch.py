@@ -48,3 +48,28 @@ def test_batch_matches_sequential(fixtures_dir):
 def test_split_gops():
     assert split_gops(10, 4) == [(0, 4), (4, 8), (8, 10)]
     assert split_gops(5, 0) == [(0, 5)]
+
+
+def test_packed_fallback_path(fixtures_dir, monkeypatch):
+    """Force the >EXC exception-record overflow so the 32-bit fallback
+    fetch path is exercised (normally only extreme lossless content)."""
+    from dsv2_tpu.parallel import xfer, batch as bmod
+
+    monkeypatch.setattr(xfer, "EXC", 4)
+    bmod._device_batch_fn.cache_clear()
+    try:
+        rdr, frames = load(fixtures_dir, "tiny64x48_422_4f.y4m")
+        e1 = mk_enc(rdr)
+        e1.quality = 400  # lossless (RC_QUAL_MAX) -> plenty of wide values
+        seq = []
+        for fr in frames:
+            seq.extend(e1.encode_frame(fr))
+        seq.extend(e1.end_of_stream())
+
+        e2 = mk_enc(rdr)
+        e2.quality = 400
+        out = encode_intra_batch(e2, frames)
+        out.extend(e2.end_of_stream())
+        assert b"".join(out) == b"".join(seq)
+    finally:
+        bmod._device_batch_fn.cache_clear()

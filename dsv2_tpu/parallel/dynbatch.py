@@ -21,8 +21,18 @@ import jax
 
 
 class LockstepBatcher:
-    def __init__(self, width):
+    def __init__(self, width, mesh=None):
+        """width: padded batch width. mesh: optional jax.sharding.Mesh with
+        a leading "gop" axis — lanes (streams) shard across its devices, so
+        N chips each run their own streams' search/transform inside ONE
+        SPMD program (the multi-chip form of the reference's process-per-GOP
+        parallelism)."""
         self.width = width            # padded batch width
+        self.mesh = mesh
+        self._sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._sharding = NamedSharding(mesh, PartitionSpec("gop"))
         self._cond = threading.Condition()
         self._active = 0
         self._blocked = 0
@@ -74,6 +84,9 @@ class LockstepBatcher:
                 lanes += [lanes[0]] * (self.width - len(lanes))
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *lanes)
+                if self._sharding is not None:
+                    stacked = jax.tree_util.tree_map(
+                        lambda a: jax.device_put(a, self._sharding), stacked)
                 out = fn(*stacked)
                 # bulk-fetch small leaves once per flush (a device tunnel
                 # charges per-transfer RTT); big buffers stay on device and
@@ -94,13 +107,15 @@ class LockstepBatcher:
         self._cond.notify_all()
 
 
-def encode_streams_lockstep(stream_frames, enc_factory, width=None):
+def encode_streams_lockstep(stream_frames, enc_factory, width=None,
+                            mesh=None):
     """Encode independent GOP streams concurrently with lockstep device
     batching; returns the per-stream byte chunks in order. Byte-identical
-    to encoding each stream sequentially."""
+    to encoding each stream sequentially. With a mesh, lanes shard across
+    its "gop" axis devices."""
     n = len(stream_frames)
     width = width or n
-    batcher = LockstepBatcher(width)
+    batcher = LockstepBatcher(width, mesh=mesh)
     results = [None] * n
     errors = []
 

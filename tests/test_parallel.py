@@ -108,3 +108,35 @@ def test_parallel_decode_matches_sequential(fixtures_dir):
     for a, b in zip(par, seq):
         for c in range(3):
             assert np.array_equal(a.view(c), b.view(c))
+
+
+def test_lockstep_mesh_sharded(fixtures_dir):
+    """Lockstep streams sharded over an 8-device mesh: still byte-equal."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+    from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        import pytest
+        pytest.skip("needs multi-device mesh")
+    mesh = Mesh(np.array(devs[:4]), ("gop",))
+
+    rdr, frames = load(fixtures_dir, "tiny64x48_420_6f.y4m")
+    gop = 3
+    streams = [frames[i:i + gop] for i in range(0, len(frames), gop)]
+
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+
+    def factory():
+        from dsv2_tpu.cli import make_encoder, default_enc_opts
+        enc = make_encoder(meta, default_enc_opts(qp=60, gop=gop))
+        enc.hme_backend = "wave"
+        return enc
+
+    plain = encode_streams_lockstep(streams, factory, width=4)
+    sharded = encode_streams_lockstep(streams, factory, width=4, mesh=mesh)
+    assert plain == sharded

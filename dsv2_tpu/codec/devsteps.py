@@ -154,8 +154,9 @@ def prefetch_step_lanes(out):
 
 def fetch_sparse_outs(step_out):
     """Host-side fetch for (recons, buf, smalls, fbarrs) step outputs:
-    one metadata fetch + one packed-buffer fetch. Returns (vscans, lls)."""
-    from .. import native
+    one metadata fetch + one packed-buffer fetch. Returns (vscans, lls)
+    where each vscan is ("packed", segment bytes) — consumed directly by
+    the native entropy coder — or ("dense", array) on exception overflow."""
     recons, buf, smalls, fbarrs = step_out
     sm = np.asarray(smalls).reshape(3, 4)
     useds = sm[:, 2].astype(np.int64)
@@ -171,9 +172,9 @@ def fetch_sparse_outs(step_out):
             pos = np.asarray(fbarrs[c][1])[:n]
             v = np.zeros(total, dtype=np.int32)
             v[pos] = vals
+            vscans.append(("dense", v))
         else:
             o = int(offs[c])
-            v = native.unpack_scan(packed[o:o + used], total)
-        vscans.append(v)
+            vscans.append(("packed", packed[o:o + used]))
         lls.append(ll)
     return vscans, lls

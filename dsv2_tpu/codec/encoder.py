@@ -503,7 +503,12 @@ class Encoder:
         for c in range(3):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
-            planecode.encode_plane(w, None, vscans[c], lls[c], cw, ch)
+            kind, payload = vscans[c]
+            if kind == "packed":
+                planecode.encode_plane_packed(w, payload, cw * ch, lls[c],
+                                              cw, ch)
+            else:
+                planecode.encode_plane(w, None, payload, lls[c], cw, ch)
             if p.has_ref:
                 mcc = pcfg.mc_cfg(c)
                 d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = (

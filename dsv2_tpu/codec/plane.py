@@ -28,6 +28,28 @@ def encode_plane(w: BitWriter, coefs_deq, v_scan, ll_value, cw, ch):
         log.info("encoded plane of size %d bytes", endp - startp)
 
 
+def encode_plane_packed(w: BitWriter, seg, total, ll_value, cw, ch):
+    """encode_plane, but entropy-coding straight from a device-packed
+    sparse segment (no dense expansion). The scan is LONGER than cw*ch at
+    non-multiple-of-16 dims (overlapping subband regions), so the length
+    comes from the segment table, not the plane area."""
+    w.align()
+    startp = w.byte_pos
+    w.put_bits(32, 0)
+    w.put_seg(int(ll_value))
+    w.align()
+    segments = hzcc.scan_segments(cw, ch)
+    scan_len = sum(c for c, _ in segments)
+    blob = native.scan_encode_packed(seg, scan_len, segments)
+    w.concat_bytes(blob)
+    w.put_bits(8, EOP_SYMBOL)
+    w.align()
+    endp = w.byte_pos
+    w.patch_bits(startp * 8, 32, (endp - startp) - 4)
+    if log.get_level() >= log.LEVEL_INFO:
+        log.info("encoded plane of size %d bytes", endp - startp)
+
+
 def decode_plane(r: BitReader, cw, ch):
     """Returns (ok, ll_value, v_scan). Mirrors dsv_decode_plane's framing,
     error detection and skip-by-length behavior."""

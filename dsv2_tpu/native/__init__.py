@@ -48,6 +48,10 @@ def lib():
             L.dsvn_unpack_scan.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int32),
                 C.c_int64]
+            L.dsvn_scan_enc_packed.restype = C.c_int32
+            L.dsvn_scan_enc_packed.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int64, C.c_int64, C.POINTER(Seg),
+                C.c_int, C.POINTER(C.c_uint8)]
             L.dsvn_seg_blob.restype = C.c_int32
             L.dsvn_seg_blob.argtypes = [
                 C.POINTER(C.c_int32), C.c_int32, C.POINTER(C.c_uint8)]
@@ -93,7 +97,7 @@ def scan_encode(values, segments):
     Reuses a per-thread output buffer (the bit writer ORs into bytes, so
     only the previously-used prefix needs re-zeroing)."""
     v = np.ascontiguousarray(values, dtype=np.int32)
-    cap = 16 * v.size + 4096
+    cap = 64 * v.size + (1 << 16)
     st = _scan_bufs
     buf = getattr(st, "buf", None)
     if buf is None or buf.size < cap:
@@ -126,6 +130,29 @@ def zbrle_encode(bits, inv):
     out = np.zeros(4 * b.size + 64, dtype=np.uint8)
     n = lib().dsvn_zbrle_enc(_u8p(b), b.size, int(inv), _u8p(out))
     return out[:n].tobytes()
+
+
+def scan_encode_packed(seg, total, segments):
+    """HZCC scan blob straight from a packed sparse segment (walks only
+    the nonzeros). Bit-identical to unpack_scan + scan_encode."""
+    b = np.ascontiguousarray(np.frombuffer(seg, dtype=np.uint8)
+                             if not isinstance(seg, np.ndarray) else seg)
+    st = _scan_bufs
+    cap = 64 * total + (1 << 16)
+    buf = getattr(st, "buf", None)
+    if buf is None or buf.size < cap:
+        buf = np.zeros(cap, dtype=np.uint8)
+        st.buf = buf
+        st.used = 0
+    else:
+        buf[:min(st.used + 8, buf.size)] = 0
+    n = lib().dsvn_scan_enc_packed(_u8p(b), b.size, total,
+                                   _segarr(segments), len(segments),
+                                   _u8p(buf))
+    if n < 0:
+        raise ValueError("malformed packed scan segment")
+    st.used = n
+    return buf[:n].tobytes()
 
 
 def unpack_scan(seg, total):

@@ -1210,3 +1210,85 @@ API int32_t dsvn_sbim_blob(const uint8_t *submask, const uint16_t *dc,
     bw_align(&w);
     return (int32_t)(w.bit >> 3);
 }
+
+/* ---- HZCC scan encode straight from a packed sparse segment (the format
+ * dsvn_unpack_scan reads): walks only the nonzero coefficients, with run
+ * lengths derived from the position deltas. Bit-identical to expanding the
+ * segment and running dsvn_scan_enc on the dense array. */
+API int32_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
+                                 int64_t total, const DSVN_SEG *segs,
+                                 int nsegs, uint8_t *out)
+{
+    uint32_t n, ev, ep, i;
+    const uint8_t *vals8, *dpos8, *exc;
+    int64_t excoff;
+    int32_t *wv;
+    uint32_t *wd;
+    BW w = { out, 0 };
+    int vk = 0, nruns = 0, s = 0;
+    int64_t pos = 0, prev = -1, seg_end;
+    uint32_t endbit;
+
+    if (seglen < 8) return -1;
+    n = (uint32_t)seg[0] | ((uint32_t)seg[1] << 8)
+        | ((uint32_t)seg[2] << 16) | ((uint32_t)seg[3] << 24);
+    ev = (uint32_t)seg[4] | ((uint32_t)seg[5] << 8);
+    ep = (uint32_t)seg[6] | ((uint32_t)seg[7] << 8);
+    if ((int64_t)n > total) return -1;
+    excoff = (8 + 2 * (int64_t)n + 3) & ~(int64_t)3;
+    if (excoff + 8 * (int64_t)(ev + ep) > seglen) return -1;
+    vals8 = seg + 8;
+    dpos8 = seg + 8 + n;
+    exc = seg + excoff;
+    wv = (int32_t *)malloc((size_t)n * sizeof(int32_t));
+    wd = (uint32_t *)malloc((size_t)n * sizeof(uint32_t));
+    if ((!wv || !wd) && n) { free(wv); free(wd); return -1; }
+    for (i = 0; i < n; i++) {
+        wv[i] = (int32_t)(int8_t)vals8[i];
+        wd[i] = dpos8[i];
+    }
+    for (i = 0; i < ev; i++, exc += 8) {
+        uint32_t idx = (uint32_t)exc[0] | ((uint32_t)exc[1] << 8)
+            | ((uint32_t)exc[2] << 16) | ((uint32_t)exc[3] << 24);
+        int32_t val = (int32_t)((uint32_t)exc[4] | ((uint32_t)exc[5] << 8)
+            | ((uint32_t)exc[6] << 16) | ((uint32_t)exc[7] << 24));
+        if (idx >= n) { free(wv); free(wd); return -1; }
+        wv[idx] = val;
+    }
+    for (i = 0; i < ep; i++, exc += 8) {
+        uint32_t idx = (uint32_t)exc[0] | ((uint32_t)exc[1] << 8)
+            | ((uint32_t)exc[2] << 16) | ((uint32_t)exc[3] << 24);
+        uint32_t dp = (uint32_t)exc[4] | ((uint32_t)exc[5] << 8)
+            | ((uint32_t)exc[6] << 16) | ((uint32_t)exc[7] << 24);
+        if (idx >= n) { free(wv); free(wd); return -1; }
+        wd[idx] = dp;
+    }
+
+    bw_bits(&w, RUN_BITS, 0);
+    bw_align(&w);
+    seg_end = (nsegs > 0) ? (int64_t)segs[0].count : total;
+    for (i = 0; i < n; i++) {
+        int damp;
+        pos += wd[i];
+        if (pos < 0 || pos >= total) { free(wv); free(wd); return -1; }
+        while (pos >= seg_end && s + 1 < nsegs) {
+            s++;
+            seg_end += segs[s].count;
+        }
+        damp = segs[s].damp;
+        bw_ueg(&w, (unsigned)(pos - prev - 1));
+        if (damp < 0) bw_neg(&w, wv[i]);
+        else bw_nrice(&w, wv[i], &vk, damp);
+        nruns++;
+        prev = pos;
+    }
+    free(wv);
+    free(wd);
+    bw_align(&w);
+    endbit = w.bit;
+    w.bit = 0;
+    bw_bits(&w, RUN_BITS, (unsigned)nruns);
+    w.bit = endbit;
+    bw_align(&w);
+    return (int32_t)(w.bit >> 3);
+}

@@ -353,10 +353,12 @@ def _serialize_chunk(enc, ctx):
     offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
     packed = np.asarray(packed_dev)  # copy started in _start_fetch
 
+    # per (plane, frame): the packed segment itself (the native coder
+    # walks only the nonzeros), or a dense array on exception overflow
     vscans = []
     for c in range(3):
         total_c = pcfg.cdims[c][0] * pcfg.cdims[c][1]
-        out = np.zeros((nfr, total_c), dtype=np.int32)
+        col = []
         for fi in range(nfr):
             if fbs[c][fi]:
                 # >4096 exception records (extreme content): fetch the
@@ -364,12 +366,14 @@ def _serialize_chunk(enc, ctx):
                 n = int(ns[c][fi])
                 vals = np.asarray(fb_dev[c][0][fi])[:n]
                 pos = np.asarray(fb_dev[c][1][fi])[:n]
-                out[fi, pos] = vals
+                dense = np.zeros(total_c, dtype=np.int32)
+                dense[pos] = vals
+                col.append(("dense", dense))
             else:
                 o = int(offs_flat[c * nfr + fi])
                 u = int(used_flat[c * nfr + fi])
-                out[fi] = native.unpack_scan(packed[o:o + u], total_c)
-        vscans.append(out)
+                col.append(("packed", packed[o:o + u]))
+        vscans.append(col)
     pxs = [np.asarray(o) for o in pxs_dev] if need_recon else None
 
     # --- host: serialize ----------------------------------------------------
@@ -402,8 +406,13 @@ def _serialize_chunk(enc, ctx):
         for c in range(3):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
-            planecode.encode_plane(w, None, vscans[c][fi], int(lls[c][fi]),
-                                   cw, ch)
+            kind, payload = vscans[c][fi]
+            if kind == "packed":
+                planecode.encode_plane_packed(w, payload, cw * ch,
+                                              int(lls[c][fi]), cw, ch)
+            else:
+                planecode.encode_plane(w, None, payload, int(lls[c][fi]),
+                                       cw, ch)
             if need_recon:
                 recon.view(c)[:, :] = pxs[c][fi][:ph, :pw]
         if need_recon:

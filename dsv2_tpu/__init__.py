@@ -27,6 +27,12 @@ def enable_compile_cache(path=None):
         "DSV2_JAX_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                      ".jax_cache"))
+    # separate subdir per platform config: XLA:CPU AOT entries record host
+    # machine features and can SIGILL if loaded under a different CPU
+    # detection (do NOT call default_backend() here — it would initialize
+    # the backend and hang on a dead device tunnel)
+    plat = getattr(jax.config, "jax_platforms", None) or "default"
+    path = os.path.join(path, str(plat))
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

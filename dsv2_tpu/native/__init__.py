@@ -32,10 +32,10 @@ def lib():
                     or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
                 _build()
             L = C.CDLL(_SO)
-            L.dsvn_scan_enc.restype = C.c_uint32
+            L.dsvn_scan_enc.restype = C.c_int64
             L.dsvn_scan_enc.argtypes = [
                 C.POINTER(C.c_int32), C.c_int64, C.POINTER(Seg), C.c_int,
-                C.POINTER(C.c_uint8)]
+                C.POINTER(C.c_uint8), C.c_int64]
             L.dsvn_scan_dec.restype = C.c_uint32
             L.dsvn_scan_dec.argtypes = [
                 C.POINTER(C.c_uint8), C.c_uint32, C.POINTER(C.c_int32),
@@ -43,22 +43,23 @@ def lib():
             L.dsvn_zbrle_enc.restype = C.c_int32
             L.dsvn_zbrle_enc.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int32, C.c_int,
-                C.POINTER(C.c_uint8)]
+                C.POINTER(C.c_uint8), C.c_int64]
             L.dsvn_unpack_scan.restype = C.c_int32
             L.dsvn_unpack_scan.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int64, C.POINTER(C.c_int32),
                 C.c_int64]
-            L.dsvn_scan_enc_packed.restype = C.c_int32
+            L.dsvn_scan_enc_packed.restype = C.c_int64
             L.dsvn_scan_enc_packed.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int64, C.c_int64, C.POINTER(Seg),
-                C.c_int, C.POINTER(C.c_uint8)]
+                C.c_int, C.POINTER(C.c_uint8), C.c_int64]
             L.dsvn_seg_blob.restype = C.c_int32
             L.dsvn_seg_blob.argtypes = [
-                C.POINTER(C.c_int32), C.c_int32, C.POINTER(C.c_uint8)]
+                C.POINTER(C.c_int32), C.c_int32, C.POINTER(C.c_uint8),
+                C.c_int64]
             L.dsvn_sbim_blob.restype = C.c_int32
             L.dsvn_sbim_blob.argtypes = [
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint16), C.c_int32,
-                C.c_int32, C.c_int32, C.POINTER(C.c_uint8)]
+                C.c_int32, C.c_int32, C.POINTER(C.c_uint8), C.c_int64]
             _setup_hme(L)
             _lib = L
     return _lib
@@ -91,13 +92,7 @@ def _segarr(segments):
 _scan_bufs = threading.local()
 
 
-def scan_encode(values, segments):
-    """Serialize quantized coefficients (scan order) into the HZCC
-    bit layout. segments: list of (count, damp) with damp < 0 = NEG-coded.
-    Reuses a per-thread output buffer (the bit writer ORs into bytes, so
-    only the previously-used prefix needs re-zeroing)."""
-    v = np.ascontiguousarray(values, dtype=np.int32)
-    cap = 64 * v.size + (1 << 16)
+def _scan_buf(cap):
     st = _scan_bufs
     buf = getattr(st, "buf", None)
     if buf is None or buf.size < cap:
@@ -106,9 +101,26 @@ def scan_encode(values, segments):
         st.used = 0
     else:
         buf[:min(st.used + 8, buf.size)] = 0
-    n = lib().dsvn_scan_enc(_i32p(v), v.size, _segarr(segments),
-                            len(segments), _u8p(buf))
-    st.used = n
+    return buf
+
+
+def scan_encode(values, segments):
+    """Serialize quantized coefficients (scan order) into the HZCC
+    bit layout. segments: list of (count, damp) with damp < 0 = NEG-coded.
+    Reuses a per-thread output buffer (the bit writer ORs into bytes, so
+    only the previously-used prefix needs re-zeroing); the writer is
+    bounds-checked and the buffer grows on (pathological) overflow."""
+    v = np.ascontiguousarray(values, dtype=np.int32)
+    cap = 64 * v.size + (1 << 16)
+    while True:
+        buf = _scan_buf(cap)
+        n = lib().dsvn_scan_enc(_i32p(v), v.size, _segarr(segments),
+                                len(segments), _u8p(buf), buf.size)
+        if n >= 0:
+            break
+        _scan_bufs.buf = None
+        cap = buf.size * 4
+    _scan_bufs.used = int(n)
     return buf[:n].tobytes()
 
 
@@ -128,7 +140,9 @@ def zbrle_encode(bits, inv):
     bytes (ref: bs.c:284-318)."""
     b = np.ascontiguousarray(bits, dtype=np.uint8)
     out = np.zeros(4 * b.size + 64, dtype=np.uint8)
-    n = lib().dsvn_zbrle_enc(_u8p(b), b.size, int(inv), _u8p(out))
+    n = lib().dsvn_zbrle_enc(_u8p(b), b.size, int(inv), _u8p(out), out.size)
+    if n < 0:
+        raise ValueError("zbrle output overflow")
     return out[:n].tobytes()
 
 
@@ -137,21 +151,21 @@ def scan_encode_packed(seg, total, segments):
     the nonzeros). Bit-identical to unpack_scan + scan_encode."""
     b = np.ascontiguousarray(np.frombuffer(seg, dtype=np.uint8)
                              if not isinstance(seg, np.ndarray) else seg)
-    st = _scan_bufs
     cap = 64 * total + (1 << 16)
-    buf = getattr(st, "buf", None)
-    if buf is None or buf.size < cap:
-        buf = np.zeros(cap, dtype=np.uint8)
-        st.buf = buf
-        st.used = 0
-    else:
-        buf[:min(st.used + 8, buf.size)] = 0
-    n = lib().dsvn_scan_enc_packed(_u8p(b), b.size, total,
-                                   _segarr(segments), len(segments),
-                                   _u8p(buf))
-    if n < 0:
-        raise ValueError("malformed packed scan segment")
-    st.used = n
+    grown = False
+    while True:
+        buf = _scan_buf(cap)
+        n = lib().dsvn_scan_enc_packed(_u8p(b), b.size, total,
+                                       _segarr(segments), len(segments),
+                                       _u8p(buf), buf.size)
+        if n >= 0:
+            break
+        if grown:
+            raise ValueError("malformed packed scan segment")
+        _scan_bufs.buf = None
+        cap = max(buf.size * 4, 8 * total + (1 << 20))
+        grown = True
+    _scan_bufs.used = int(n)
     return buf[:n].tobytes()
 
 
@@ -171,8 +185,10 @@ def seg_blob(vals):
     """Serialize an int32 array as consecutive SEG codes, byte-aligned
     (ref: bs.c:173-189)."""
     v = np.ascontiguousarray(vals, dtype=np.int32)
-    out = np.zeros(8 * v.size + 64, dtype=np.uint8)
-    n = lib().dsvn_seg_blob(_i32p(v), v.size, _u8p(out))
+    out = np.zeros(16 * v.size + 64, dtype=np.uint8)
+    n = lib().dsvn_seg_blob(_i32p(v), v.size, _u8p(out), out.size)
+    if n < 0:
+        raise ValueError("seg blob overflow")
     return out[:n].tobytes()
 
 
@@ -186,7 +202,9 @@ def sbim_blob(submask, dc, mask_all, dc_pred_bit):
     d = np.ascontiguousarray(dc, dtype=np.uint16)
     out = np.zeros(3 * sm.size + 64, dtype=np.uint8)
     n = lib().dsvn_sbim_blob(_u8p(sm), _u16p(d), sm.size, int(mask_all),
-                             int(dc_pred_bit), _u8p(out))
+                             int(dc_pred_bit), _u8p(out), out.size)
+    if n < 0:
+        raise ValueError("sbim blob overflow")
     return out[:n].tobytes()
 
 

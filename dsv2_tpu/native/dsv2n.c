@@ -31,16 +31,20 @@ static inline int iabs(int v) { return v < 0 ? -v : v; }
 typedef struct {
     uint8_t *base;
     uint32_t bit;
+    uint32_t lim;   /* capacity in bits; writes beyond set ovf */
+    int ovf;
 } BW;
 
 static void bw_one(BW *w)
 {
+    if (w->bit >= w->lim) { w->ovf = 1; return; }
     w->base[w->bit >> 3] |= (uint8_t)(1u << (7 - (w->bit & 7)));
     w->bit++;
 }
 
 static void bw_bit(BW *w, int v)
 {
+    if (w->bit >= w->lim) { w->ovf = 1; return; }
     if (v) {
         w->base[w->bit >> 3] |= (uint8_t)(1u << (7 - (w->bit & 7)));
     }
@@ -51,9 +55,13 @@ static void bw_bits(BW *w, unsigned n, unsigned v)
 {
     while (n) {
         unsigned take = 8 - (w->bit & 7);
+        if (w->bit + n > w->lim) { w->ovf = 1; return; }
         if (take > n) take = n;
-        unsigned shift = (7 - (w->bit & 7)) - take + 1;
-        w->base[w->bit >> 3] |= (uint8_t)(((v >> (n - take)) & ((1u << take) - 1u)) << shift);
+        {
+            unsigned shift = (7 - (w->bit & 7)) - take + 1;
+            w->base[w->bit >> 3] |= (uint8_t)(((v >> (n - take))
+                & ((1u << take) - 1u)) << shift);
+        }
         n -= take;
         w->bit += take;
     }
@@ -88,6 +96,7 @@ static void bw_rice(BW *w, unsigned v, int *rk, int damp)
     unsigned q = v >> k;
     if (q) (*rk)++;
     else if (*rk > 0) (*rk)--;
+    if (w->bit + q >= w->lim) { w->ovf = 1; return; }
     w->bit += q; /* zeroes */
     bw_one(w);
     bw_bits(w, k, v);
@@ -172,11 +181,12 @@ typedef struct {
 
 /* v: already-quantized coefficients in scan order (0 = not coded).
  * out must be zero-filled. Returns bytes written. */
-API uint32_t dsvn_scan_enc(const int32_t *v, int64_t total,
-                           const DSVN_SEG *segs, int nsegs,
-                           uint8_t *out)
+API int64_t dsvn_scan_enc(const int32_t *v, int64_t total,
+                          const DSVN_SEG *segs, int nsegs,
+                          uint8_t *out, int64_t cap)
 {
-    BW w = { out, 0 };
+    BW w = { out, 0, 0, 0 };
+    w.lim = (uint32_t)(cap * 8);
     int run = 0, nruns = 0, vk = 0, s;
     int64_t i = 0;
     uint32_t endbit;
@@ -206,7 +216,8 @@ API uint32_t dsvn_scan_enc(const int32_t *v, int64_t total,
     bw_bits(&w, RUN_BITS, (unsigned)nruns);
     w.bit = endbit;
     bw_align(&w);
-    return w.bit >> 3;
+    if (w.ovf) return -1;
+    return (int64_t)(w.bit >> 3);
 }
 
 /* buf points at the aligned start of the scan (the RUN_BITS slot);
@@ -1083,9 +1094,10 @@ API void dsvn_neighbordif2(const int16_t *mvx, const int16_t *mvy,
 /* ---- ZBRLE encode (ref: bs.c:284-318): bits[i] in {0,1}, optionally
  * inverted; returns blob byte length written to out. */
 API int32_t dsvn_zbrle_enc(const uint8_t *bits, int32_t n, int inv,
-                           uint8_t *out)
+                           uint8_t *out, int64_t cap)
 {
-    BW w = { out, 0 };
+    BW w = { out, 0, 0, 0 };
+    w.lim = (uint32_t)(cap * 8);
     int nz = 0;
     int32_t i;
     for (i = 0; i < n; i++) {
@@ -1100,6 +1112,7 @@ API int32_t dsvn_zbrle_enc(const uint8_t *bits, int32_t n, int inv,
     }
     bw_ueg(&w, (unsigned)nz);
     bw_align(&w);
+    if (w.ovf) return -1;
     return (int32_t)(w.bit >> 3);
 }
 
@@ -1168,9 +1181,11 @@ API int32_t dsvn_unpack_scan(const uint8_t *seg, int64_t seglen,
 /* ---- Motion-field sub-section blob writers (ref: dsv_encoder.c:692-794
  * serialization): values are precomputed by the (vectorized) host; these
  * just run the serial bit layout. */
-API int32_t dsvn_seg_blob(const int32_t *vals, int32_t n, uint8_t *out)
+API int32_t dsvn_seg_blob(const int32_t *vals, int32_t n, uint8_t *out,
+                          int64_t cap)
 {
-    BW w = { out, 0 };
+    BW w = { out, 0, 0, 0 };
+    w.lim = (uint32_t)(cap * 8);
     int32_t i;
     for (i = 0; i < n; i++) {
         int32_t v = vals[i];
@@ -1182,6 +1197,7 @@ API int32_t dsvn_seg_blob(const int32_t *vals, int32_t n, uint8_t *out)
         (void)x;
     }
     bw_align(&w);
+    if (w.ovf) return -1;
     return (int32_t)(w.bit >> 3);
 }
 
@@ -1189,9 +1205,10 @@ API int32_t dsvn_seg_blob(const int32_t *vals, int32_t n, uint8_t *out)
  * 1 bit all-intra else 4-bit submask, then 1 bit dc-present + 8-bit dc. */
 API int32_t dsvn_sbim_blob(const uint8_t *submask, const uint16_t *dc,
                            int32_t n, int32_t mask_all, int32_t dc_pred_bit,
-                           uint8_t *out)
+                           uint8_t *out, int64_t cap)
 {
-    BW w = { out, 0 };
+    BW w = { out, 0, 0, 0 };
+    w.lim = (uint32_t)(cap * 8);
     int32_t i;
     for (i = 0; i < n; i++) {
         if (submask[i] == (uint8_t)mask_all) {
@@ -1208,6 +1225,7 @@ API int32_t dsvn_sbim_blob(const uint8_t *submask, const uint16_t *dc,
         }
     }
     bw_align(&w);
+    if (w.ovf) return -1;
     return (int32_t)(w.bit >> 3);
 }
 
@@ -1215,20 +1233,21 @@ API int32_t dsvn_sbim_blob(const uint8_t *submask, const uint16_t *dc,
  * dsvn_unpack_scan reads): walks only the nonzero coefficients, with run
  * lengths derived from the position deltas. Bit-identical to expanding the
  * segment and running dsvn_scan_enc on the dense array. */
-API int32_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
+API int64_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
                                  int64_t total, const DSVN_SEG *segs,
-                                 int nsegs, uint8_t *out)
+                                 int nsegs, uint8_t *out, int64_t cap)
 {
     uint32_t n, ev, ep, i;
     const uint8_t *vals8, *dpos8, *exc;
     int64_t excoff;
     int32_t *wv;
     uint32_t *wd;
-    BW w = { out, 0 };
+    BW w = { out, 0, 0, 0 };
     int vk = 0, nruns = 0, s = 0;
     int64_t pos = 0, prev = -1, seg_end;
     uint32_t endbit;
 
+    w.lim = (uint32_t)(cap * 8);
     if (seglen < 8) return -1;
     n = (uint32_t)seg[0] | ((uint32_t)seg[1] << 8)
         | ((uint32_t)seg[2] << 16) | ((uint32_t)seg[3] << 24);
@@ -1290,5 +1309,6 @@ API int32_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
     bw_bits(&w, RUN_BITS, (unsigned)nruns);
     w.bit = endbit;
     bw_align(&w);
-    return (int32_t)(w.bit >> 3);
+    if (w.ovf) return -1;
+    return (int64_t)(w.bit >> 3);
 }

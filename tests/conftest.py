@@ -22,6 +22,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _reset_jax_caches():
+    """Drop compiled executables between test modules: the XLA:CPU JIT
+    accumulates per-process state and has been observed to segfault after
+    several hundred in-process compilations (late test_sbt cases only when
+    the full suite runs in one process)."""
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 

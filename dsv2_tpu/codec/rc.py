@@ -46,6 +46,27 @@ def frame_luma_avg(view):
     return int(rows.sum()) // h
 
 
+def _dark_luma_avg(enc, d):
+    """frame_luma_avg of the coarsest pyramid level. When every pyramid
+    level has even dimensions the downsample chain never reads the border
+    apron, so the native runtime computes the value directly from the
+    padded frame — skipping the host-side pyramid build entirely."""
+    lv = enc.pyramid_levels
+    w, h = d.padded.width, d.padded.height
+    ww, hh = w, h
+    even = lv >= 1
+    for _ in range(lv):
+        if ww % 2 or hh % 2:
+            even = False
+            break
+        ww //= 2
+        hh //= 2
+    if even:
+        from .. import native
+        return native.luma_avg_ds(d.padded.view(0), lv)
+    return frame_luma_avg(d.pyramid[lv - 1].view(0))
+
+
 def quality2quant(enc, d, prev_I, forced_intra):
     """(ref: dsv_encoder.c:252-467). enc = Encoder state, d = frame data.
     Returns quant; mutates enc.rc_qual etc."""
@@ -76,7 +97,7 @@ def quality2quant(enc, d, prev_I, forced_intra):
         moving_targ = clamp(moving_targ, enc.quality - bound,
                             enc.quality + bound)
         if enc.do_dark_intra_boost:
-            la = frame_luma_avg(d.pyramid[enc.pyramid_levels - 1].view(0))
+            la = _dark_luma_avg(enc, d)
             if la < 80:
                 step = (80 - la) // 5
                 step = clamp(step, 5, 16) - 5

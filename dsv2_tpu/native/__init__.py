@@ -60,6 +60,23 @@ def lib():
             L.dsvn_sbim_blob.argtypes = [
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint16), C.c_int32,
                 C.c_int32, C.c_int32, C.POINTER(C.c_uint8), C.c_int64]
+            L.dsvn_intra_packets.restype = C.c_int64
+            L.dsvn_intra_packets.argtypes = [
+                C.c_int32, C.POINTER(C.c_uint8),            # nfr, hdr6
+                C.POINTER(C.c_uint32), C.POINTER(C.c_int32),  # fnums, quants
+                C.c_int32, C.c_int32, C.c_int32,            # blkw/blkh/qpbits
+                C.POINTER(C.c_uint8), C.c_int32,            # statbits, filter
+                C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
+                C.POINTER(C.c_uint8), C.c_int32,            # masks, nblk
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int32),  # packed/offs/lens/lls
+                C.POINTER(Seg), C.POINTER(C.c_int32), C.c_int32,  # segs, eop
+                C.POINTER(C.c_uint8), C.c_int64,
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64)]
+            L.dsvn_luma_avg_ds.restype = C.c_int32
+            L.dsvn_luma_avg_ds.argtypes = [
+                C.POINTER(C.c_uint8), C.c_int64, C.c_int32, C.c_int32,
+                C.c_int32]
             _setup_hme(L)
             _lib = L
     return _lib
@@ -353,3 +370,89 @@ def neighbordif2(mvx, mvy, skip_u8, nbh, x, y):
     lib().dsvn_neighbordif2(aptr(mvx), aptr(mvy), aptr(skip_u8), nbh, x, y,
                             aptr(out))
     return int(out[0]), int(out[1])
+
+
+_pkt_bufs = threading.local()
+
+
+def _pkt_buf(cap):
+    """Reusable zeroed output buffer for packet assembly (the bit writer
+    ORs into bytes, so only the previously-used prefix needs clearing)."""
+    st = _pkt_bufs
+    buf = getattr(st, "buf", None)
+    if buf is None or buf.size < cap:
+        buf = np.zeros(cap, dtype=np.uint8)
+        st.buf = buf
+        st.used = 0
+    else:
+        buf[:min(st.used + 8, buf.size)] = 0
+    return buf
+
+
+def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
+                  statbits, intra_filter, stable_bits, ring_bits,
+                  maint_bits, packed, offs, lens, lls, segments3, eop,
+                  nnz_total):
+    """Assemble complete intra picture packets for a frame batch straight
+    from device-packed plane segments. Returns a list of nfr bytes objects
+    (link offsets still zero; the session patches them).
+
+    statbits: (nfr, 3) uint8 {stable, maintain, ringing} markers.
+    stable/ring/maint_bits: (nfr, nblk) uint8. packed: flat uint8 buffer
+    with offs/lens/lls indexed [c*nfr + fi]. segments3: per-plane
+    (count, damp) tables. nnz_total: total nonzero coefficients across the
+    batch (sizes the output buffer)."""
+    nfr = len(fnums)
+    nblk = stable_bits.shape[1]
+    segs = []
+    seg_n = np.zeros(3, dtype=np.int32)
+    for c, tab in enumerate(segments3):
+        seg_n[c] = len(tab)
+        segs.extend(tab)
+    sarr = _segarr(segs)
+    fn = np.ascontiguousarray(fnums, dtype=np.uint32)
+    qs = np.ascontiguousarray(quants, dtype=np.int32)
+    st = np.ascontiguousarray(statbits, dtype=np.uint8)
+    sb = np.ascontiguousarray(stable_bits, dtype=np.uint8)
+    rb = np.ascontiguousarray(ring_bits, dtype=np.uint8)
+    mb = np.ascontiguousarray(maint_bits, dtype=np.uint8)
+    pk = np.ascontiguousarray(packed, dtype=np.uint8)
+    of = np.ascontiguousarray(offs, dtype=np.int64)
+    ln = np.ascontiguousarray(lens, dtype=np.int64)
+    ll = np.ascontiguousarray(lls, dtype=np.int32)
+    h6 = np.frombuffer(bytes(hdr6), dtype=np.uint8)
+    # worst case ~15 bytes per coded coefficient + per-frame header/mask
+    # overhead; generously padded so a single pass always fits
+    cap = 64 + nfr * (3 * nblk + 1024) + 16 * int(nnz_total)
+    buf = _pkt_buf(cap)
+    po = np.zeros(nfr, dtype=np.int64)
+    pl = np.zeros(nfr, dtype=np.int64)
+    n = lib().dsvn_intra_packets(
+        nfr, _u8p(h6), _u32p(fn), _i32p(qs),
+        int(blkw_code), int(blkh_code), int(qp_bits),
+        _u8p(st), int(intra_filter),
+        _u8p(sb), _u8p(rb), _u8p(mb), int(nblk),
+        _u8p(pk), of.ctypes.data_as(C.POINTER(C.c_int64)),
+        ln.ctypes.data_as(C.POINTER(C.c_int64)), _i32p(ll),
+        sarr, _i32p(seg_n), int(eop),
+        _u8p(buf), buf.size,
+        po.ctypes.data_as(C.POINTER(C.c_int64)),
+        pl.ctypes.data_as(C.POINTER(C.c_int64)))
+    if n < 0:
+        raise ValueError("intra packet assembly failed (overflow or "
+                         "malformed packed segment)")
+    _pkt_bufs.used = int(n)
+    return [buf[po[i]:po[i] + pl[i]].tobytes() for i in range(nfr)]
+
+
+def luma_avg_ds(view, levels):
+    """Average luma of the coarsest pyramid level, computed by repeated
+    2x box downsampling (all intermediate dims must be even — caller
+    checks) without materializing the pyramid."""
+    h, w = view.shape
+    assert view.strides[1] == 1
+    r = lib().dsvn_luma_avg_ds(_u8p(view), view.strides[0], w, h,
+                               int(levels))
+    if r < 0:
+        raise MemoryError("luma_avg_ds")
+    return int(r)

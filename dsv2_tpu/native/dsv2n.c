@@ -1232,22 +1232,21 @@ API int32_t dsvn_sbim_blob(const uint8_t *submask, const uint16_t *dc,
 /* ---- HZCC scan encode straight from a packed sparse segment (the format
  * dsvn_unpack_scan reads): walks only the nonzero coefficients, with run
  * lengths derived from the position deltas. Bit-identical to expanding the
- * segment and running dsvn_scan_enc on the dense array. */
-API int64_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
-                                 int64_t total, const DSVN_SEG *segs,
-                                 int nsegs, uint8_t *out, int64_t cap)
+ * segment and running dsvn_scan_enc on the dense array.
+ * Core variant writes into a caller-owned bit writer at its current
+ * (byte-aligned) position, so whole packets assemble in one buffer. */
+static int scan_packed_bw(BW *w, const uint8_t *seg, int64_t seglen,
+                          int64_t total, const DSVN_SEG *segs, int nsegs)
 {
     uint32_t n, ev, ep, i;
     const uint8_t *vals8, *dpos8, *exc;
     int64_t excoff;
     int32_t *wv;
     uint32_t *wd;
-    BW w = { out, 0, 0, 0 };
     int vk = 0, nruns = 0, s = 0;
     int64_t pos = 0, prev = -1, seg_end;
-    uint32_t endbit;
+    uint32_t endbit, blob_start = w->bit;
 
-    w.lim = (uint32_t)(cap * 8);
     if (seglen < 8) return -1;
     n = (uint32_t)seg[0] | ((uint32_t)seg[1] << 8)
         | ((uint32_t)seg[2] << 16) | ((uint32_t)seg[3] << 24);
@@ -1283,8 +1282,8 @@ API int64_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
         wd[idx] = dp;
     }
 
-    bw_bits(&w, RUN_BITS, 0);
-    bw_align(&w);
+    bw_bits(w, RUN_BITS, 0);
+    bw_align(w);
     seg_end = (nsegs > 0) ? (int64_t)segs[0].count : total;
     for (i = 0; i < n; i++) {
         int damp;
@@ -1295,20 +1294,231 @@ API int64_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
             seg_end += segs[s].count;
         }
         damp = segs[s].damp;
-        bw_ueg(&w, (unsigned)(pos - prev - 1));
-        if (damp < 0) bw_neg(&w, wv[i]);
-        else bw_nrice(&w, wv[i], &vk, damp);
+        bw_ueg(w, (unsigned)(pos - prev - 1));
+        if (damp < 0) bw_neg(w, wv[i]);
+        else bw_nrice(w, wv[i], &vk, damp);
         nruns++;
         prev = pos;
     }
     free(wv);
     free(wd);
-    bw_align(&w);
-    endbit = w.bit;
-    w.bit = 0;
-    bw_bits(&w, RUN_BITS, (unsigned)nruns);
-    w.bit = endbit;
-    bw_align(&w);
-    if (w.ovf) return -1;
+    bw_align(w);
+    endbit = w->bit;
+    w->bit = blob_start;
+    bw_bits(w, RUN_BITS, (unsigned)nruns);
+    w->bit = endbit;
+    bw_align(w);
+    if (w->ovf) return -1;
+    return 0;
+}
+
+API int64_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
+                                 int64_t total, const DSVN_SEG *segs,
+                                 int nsegs, uint8_t *out, int64_t cap)
+{
+    BW w = { out, 0, 0, 0 };
+    w.lim = (uint32_t)(cap * 8);
+    if (scan_packed_bw(&w, seg, seglen, total, segs, nsegs) != 0) return -1;
     return (int64_t)(w.bit >> 3);
+}
+
+/* ------------------------------------------------------------------ */
+/* Whole-packet assembly: intra picture packets for a frame batch.    */
+/* The bit layout mirrors the encoder session's Python serializer      */
+/* (ref: dsv_encoder.c:1046-1126 packet body, bs.c codes); moving it   */
+/* here removes the per-frame host serialization floor.                */
+/* ------------------------------------------------------------------ */
+
+static void bw_seg(BW *w, int32_t v)
+{
+    int s = 0;
+    if (v < 0) { s = 1; v = -v; }
+    bw_ueg(w, (unsigned)v);
+    if (v) bw_bit(w, s);
+}
+
+/* byte-aligned raw copy into the writer */
+static void bw_bytes(BW *w, const uint8_t *p, int64_t nbytes)
+{
+    if ((int64_t)w->bit + nbytes * 8 > (int64_t)w->lim) { w->ovf = 1; return; }
+    memcpy(w->base + (w->bit >> 3), p, (size_t)nbytes);
+    w->bit += (uint32_t)(nbytes * 8);
+}
+
+/* ZBRLE sub-blob framed as the encoder writes it: align, UEG length,
+ * align, payload bytes. scratch must hold 4*nbits + 64 bytes. */
+static int blob_zbrle(BW *w, const uint8_t *bits, int32_t nbits, int inv,
+                      uint8_t *scratch, int64_t scap)
+{
+    int32_t bl;
+    memset(scratch, 0, (size_t)scap);
+    bl = dsvn_zbrle_enc(bits, nbits, inv, scratch, scap);
+    if (bl < 0) return -1;
+    bw_align(w);
+    bw_ueg(w, (unsigned)bl);
+    bw_align(w);
+    bw_bytes(w, scratch, bl);
+    return 0;
+}
+
+/* One coded plane: align, 32-bit length slot, SEG(ll), align, packed
+ * scan blob, EOP byte, align, then patch the length slot. */
+static int plane_packed_bw(BW *w, int32_t ll, const uint8_t *seg,
+                           int64_t seglen, int64_t total,
+                           const DSVN_SEG *segs, int nsegs, int eop)
+{
+    uint32_t startp, endp;
+    bw_align(w);
+    startp = w->bit >> 3;
+    bw_bits(w, 32, 0);
+    bw_seg(w, ll);
+    bw_align(w);
+    if (scan_packed_bw(w, seg, seglen, total, segs, nsegs) != 0) return -1;
+    bw_bits(w, 8, (unsigned)eop);
+    bw_align(w);
+    if (w->ovf) return -1;
+    endp = w->bit >> 3;
+    {
+        uint32_t plen = (endp - startp) - 4;
+        w->base[startp + 0] = (uint8_t)(plen >> 24);
+        w->base[startp + 1] = (uint8_t)(plen >> 16);
+        w->base[startp + 2] = (uint8_t)(plen >> 8);
+        w->base[startp + 3] = (uint8_t)plen;
+    }
+    return 0;
+}
+
+/* Assemble nfr complete intra picture packets into out (zero-filled).
+ * hdr6 = fourcc(4) + version + packet type. statbits per frame:
+ * {stable, maintain, ringing} markers (also the ZBRLE inversion flags).
+ * Packed plane segments are indexed [c*nfr + fi] in offs/lens/lls; the
+ * per-plane scan segment tables are concatenated in segs with seg_n[c]
+ * entries each. Writes per-packet byte offsets/lengths; returns total
+ * bytes or -1 (overflow / malformed segment). */
+API int64_t dsvn_intra_packets(
+    int32_t nfr, const uint8_t *hdr6,
+    const uint32_t *fnums, const int32_t *quants,
+    int32_t blkw_code, int32_t blkh_code, int32_t qp_bits,
+    const uint8_t *statbits, int32_t intra_filter_bit,
+    const uint8_t *stable_bits, const uint8_t *ring_bits,
+    const uint8_t *maint_bits, int32_t nblk,
+    const uint8_t *packed, const int64_t *offs, const int64_t *lens,
+    const int32_t *lls,
+    const DSVN_SEG *segs, const int32_t *seg_n, int32_t eop,
+    uint8_t *out, int64_t cap, int64_t *pkt_off, int64_t *pkt_len)
+{
+    BW w = { out, 0, 0, 0 };
+    int32_t fi, c;
+    int64_t scap = 4 * (int64_t)nblk + 64;
+    uint8_t *scratch = (uint8_t *)malloc((size_t)scap);
+    const DSVN_SEG *ptab[3];
+    int64_t ptot[3];
+    int32_t psegn[3];
+
+    if (!scratch) return -1;
+    w.lim = (uint32_t)(cap > 0x1FFFFFFF ? 0xFFFFFFF0u : (uint32_t)(cap * 8));
+    {
+        const DSVN_SEG *t = segs;
+        for (c = 0; c < 3; c++) {
+            int32_t k;
+            ptab[c] = t;
+            psegn[c] = seg_n[c];
+            ptot[c] = 0;
+            for (k = 0; k < seg_n[c]; k++) ptot[c] += t[k].count;
+            t += seg_n[c];
+        }
+    }
+    for (fi = 0; fi < nfr; fi++) {
+        const uint8_t *st = statbits + 3 * fi;
+        int64_t start = (int64_t)(w.bit >> 3);
+        pkt_off[fi] = start;
+        bw_bytes(&w, hdr6, 6);
+        bw_bits(&w, 32, 0);           /* prev link */
+        bw_bits(&w, 32, 0);           /* next link */
+        bw_bits(&w, 32, fnums[fi]);
+        bw_ueg(&w, (unsigned)blkw_code);
+        bw_ueg(&w, (unsigned)blkh_code);
+        bw_align(&w);
+        bw_bit(&w, st[0]);
+        bw_bit(&w, st[1]);
+        bw_bit(&w, st[2]);
+        bw_bit(&w, intra_filter_bit);
+        bw_bits(&w, (unsigned)qp_bits, (unsigned)quants[fi]);
+        bw_bit(&w, 0);
+        bw_align(&w);
+        if (blob_zbrle(&w, stable_bits + (int64_t)fi * nblk, nblk,
+                       st[0] != 0, scratch, scap) != 0) goto fail;
+        if (blob_zbrle(&w, ring_bits + (int64_t)fi * nblk, nblk,
+                       st[2] != 0, scratch, scap) != 0) goto fail;
+        if (blob_zbrle(&w, maint_bits + (int64_t)fi * nblk, nblk,
+                       st[1] != 0, scratch, scap) != 0) goto fail;
+        bw_align(&w);
+        for (c = 0; c < 3; c++) {
+            int64_t k = (int64_t)c * nfr + fi;
+            if (plane_packed_bw(&w, lls[k], packed + offs[k], lens[k],
+                                ptot[c], ptab[c], psegn[c], eop) != 0)
+                goto fail;
+        }
+        if (w.ovf) goto fail;
+        pkt_len[fi] = (int64_t)(w.bit >> 3) - start;
+    }
+    free(scratch);
+    return (int64_t)(w.bit >> 3);
+fail:
+    free(scratch);
+    return -1;
+}
+
+/* ------------------------------------------------------------------ */
+/* Rate-control helper: average luma of the coarsest ME-pyramid level. */
+/* Repeated 2x box downsample with +2>>2 rounding (every intermediate  */
+/* dimension must be even — caller checks), then the truncating        */
+/* row-average-of-row-averages (ref: dsv_encoder.c:108-127, frame.c:   */
+/* 210-234 pyramid build it replaces).                                 */
+/* ------------------------------------------------------------------ */
+API int32_t dsvn_luma_avg_ds(const uint8_t *px, int64_t stride,
+                             int32_t w, int32_t h, int32_t levels)
+{
+    uint8_t *a = NULL, *b = NULL;
+    const uint8_t *src = px;
+    int64_t sstride = stride;
+    int32_t lw = w, lh = h, l;
+    int64_t rowsum, total;
+    int32_t y, x;
+
+    for (l = 0; l < levels; l++) {
+        int32_t dw = lw >> 1, dh = lh >> 1;
+        uint8_t *dst;
+        if (!a) {
+            a = (uint8_t *)malloc((size_t)dw * dh);
+            b = (uint8_t *)malloc((size_t)((dw >> 1) ? (dw >> 1) * (dh >> 1)
+                                                     : 1));
+            if (!a || !b) { free(a); free(b); return -1; }
+            dst = a;
+        } else {
+            dst = (src == a) ? b : a;
+        }
+        for (y = 0; y < dh; y++) {
+            const uint8_t *r0 = src + (int64_t)(2 * y) * sstride;
+            const uint8_t *r1 = r0 + sstride;
+            uint8_t *d = dst + (int64_t)y * dw;
+            for (x = 0; x < dw; x++) {
+                d[x] = (uint8_t)((r0[2 * x] + r0[2 * x + 1]
+                                  + r1[2 * x] + r1[2 * x + 1] + 2) >> 2);
+            }
+        }
+        src = dst;
+        sstride = dw;
+        lw = dw;
+        lh = dh;
+    }
+    total = 0;
+    for (y = 0; y < lh; y++) {
+        rowsum = 0;
+        for (x = 0; x < lw; x++) rowsum += src[(int64_t)y * sstride + x];
+        total += rowsum / lw;
+    }
+    free(a);
+    free(b);
+    return (int32_t)(total / lh);
 }

@@ -353,6 +353,14 @@ def _serialize_chunk(enc, ctx):
     offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
     packed = np.asarray(packed_dev)  # copy started in _start_fetch
 
+    from ..utils import log
+    if (not any(int(fbs[c][fi]) for c in range(3) for fi in range(nfr))
+            and log.get_level() < log.LEVEL_INFO):
+        # fast path: the native runtime assembles every complete packet in
+        # one call straight from the packed segments
+        return _serialize_chunk_native(enc, ctx, packed, offs_flat,
+                                       used_flat, ns, lls)
+
     # per (plane, frame): the packed segment itself (the native coder
     # walks only the nonzeros), or a dense array on exception overflow
     vscans = []
@@ -419,6 +427,62 @@ def _serialize_chunk(enc, ctx):
             apply_intra_filter(recon, blockdatas[fi], pcfg, d.quant,
                                enc.do_intra_filter)
         out = w.data()
+        bufs = []
+        if gop_starts[fi]:
+            mbuf = bytearray(packet.encode_metadata(meta))
+            bufs.append(enc._link(mbuf))
+        bufs.append(enc._link(bytearray(out)))
+        enc._tally_intra_size(len(out), rc_quals[fi])
+        chunks.extend(bytes(b) for b in bufs)
+    return chunks
+
+
+def _serialize_chunk_native(enc, ctx, packed, offs_flat, used_flat, ns, lls):
+    """Whole-packet assembly in the native runtime: one C call produces
+    every complete intra packet of the chunk straight from the packed
+    segments (byte-identical to the Python serializer)."""
+    meta = enc.meta
+    datas, pcfg, p = ctx["datas"], ctx["pcfg"], ctx["p"]
+    nfr = len(datas)
+    _, _, pxs_dev, _, need_recon, _ = ctx["dev"]
+    (gop_starts, rc_quals, intramvs, blockdatas, stable_bits_all,
+     stats_all) = (ctx["gop_starts"], ctx["rc_quals"], ctx["intramvs"],
+                   ctx["blockdatas"], ctx["stable_bits_all"],
+                   ctx["stats_all"])
+    nblk = p.nbh * p.nbv
+    statbits = np.zeros((nfr, 3), dtype=np.uint8)
+    stable = np.zeros((nfr, nblk), dtype=np.uint8)
+    ring = np.zeros((nfr, nblk), dtype=np.uint8)
+    maint = np.zeros((nfr, nblk), dtype=np.uint8)
+    fnums = np.zeros(nfr, dtype=np.uint32)
+    for fi, d in enumerate(datas):
+        statbits[fi] = stats_all[fi][:3]
+        stable[fi] = np.asarray(stable_bits_all[fi], dtype=np.uint8) & 1
+        fl = intramvs[fi].flags
+        ring[fi] = ((fl >> K.MV_BIT_RINGING) & 1).astype(np.uint8)
+        maint[fi] = ((fl >> K.MV_BIT_MAINTAIN) & 1).astype(np.uint8)
+        fnums[fi] = d.fnum
+    segments3 = [hzcc.scan_segments(*pcfg.cdims[c]) for c in range(3)]
+    lls_arr = np.concatenate([np.asarray(lls[c], dtype=np.int32)
+                              for c in range(3)])
+    hdr6 = K.FOURCC + bytes([K.VERSION_MINOR, K.make_pt(0, 0)])
+    pkts = native.intra_packets(
+        hdr6, fnums, np.asarray(ctx["quants"], dtype=np.int32),
+        im.lb2(p.blk_w) - 4, im.lb2(p.blk_h) - 4, K.MAX_QP_BITS,
+        statbits, enc.do_intra_filter, stable, ring, maint,
+        packed, offs_flat, used_flat, lls_arr, segments3,
+        planecode.EOP_SYMBOL, int(np.concatenate(ns).sum()))
+    pxs = [np.asarray(o) for o in pxs_dev] if need_recon else None
+    chunks = []
+    for fi, d in enumerate(datas):
+        out = pkts[fi]
+        if need_recon:
+            recon = Frame(meta.subsamp, meta.width, meta.height, border=True)
+            for c in range(3):
+                pw, ph = pcfg.pdims[c]
+                recon.view(c)[:, :] = pxs[c][fi][:ph, :pw]
+            apply_intra_filter(recon, blockdatas[fi], pcfg, d.quant,
+                               enc.do_intra_filter)
         bufs = []
         if gop_starts[fi]:
             mbuf = bytearray(packet.encode_metadata(meta))

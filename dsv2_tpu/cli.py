@@ -70,12 +70,13 @@ DEC_PARAMS = {
 
 def parse_args(argv, table):
     opts = {k: v[0] for k, v in table.items()}
-    io = {"inp": "-", "out": "-", "verbose": False}
+    io = {"inp": "-", "out": "-", "verbose": False, "overwrite": False}
     for arg in argv:
         if arg == "-v":
             io["verbose"] = True
             continue
         if arg == "-y":
+            io["overwrite"] = True
             continue
         if (arg.startswith("-l") and "=" not in arg and arg[2:].isdigit()):
             from .utils import log
@@ -94,6 +95,26 @@ def parse_args(argv, table):
         v = max(lo, min(hi, v))
         opts[name] = conv(v) if conv else v
     return opts, io
+
+
+def confirm_overwrite(io):
+    """Prompt before clobbering an existing output file unless -y was
+    given (ref: dsv_main.c:368-385). Returns False to abort."""
+    import os
+    path = io["out"]
+    if io["overwrite"] or path == "-" or not os.path.exists(path):
+        return True
+    while True:
+        print("\n--- file (%s) already exists, overwrite? (y/n)" % path,
+              flush=True)
+        line = sys.stdin.readline()
+        if not line:
+            return False  # EOF: abort rather than loop forever
+        c = line.strip()[:1]
+        if c in ("y", "Y"):
+            return True
+        if c in ("n", "N"):
+            return False
 
 
 def make_encoder(meta, opts):
@@ -174,6 +195,8 @@ def default_enc_opts(**overrides):
 
 def cmd_encode(argv):
     opts, io = parse_args(argv, ENC_PARAMS)
+    if not confirm_overwrite(io):
+        return 1
     inp = sys.stdin.buffer if io["inp"] == "-" else open(io["inp"], "rb")
     meta = VideoMeta(width=opts["w"], height=opts["h"], subsamp=opts["fmt"],
                      fps_num=opts["fps_num"], fps_den=opts["fps_den"],
@@ -196,9 +219,9 @@ def cmd_encode(argv):
     frno = opts["sfr"]
     nfr = opts["nfr"]
     maxframe = frno + nfr if nfr > 0 else -1
-    # skip start frames
-    for _ in range(frno):
-        rdr.read_frame()
+    if frno:
+        # direct seek on files; read+skip only on pipes (ref: dsv.c:109-160)
+        rdr.seek_to_frame(frno)
     out_chunks = []
     no_more = False
     while True:
@@ -269,6 +292,8 @@ def cmd_decode(argv):
     from .utils import chroma as chconv
 
     opts, io = parse_args(argv, DEC_PARAMS)
+    if not confirm_overwrite(io):
+        return 1
     inp = sys.stdin.buffer if io["inp"] == "-" else open(io["inp"], "rb")
     out = sys.stdout.buffer if io["out"] == "-" else open(io["out"], "wb")
     dec = D.Decoder(draw_info=opts["drawinfo"])

@@ -45,6 +45,10 @@ class Y4MReader:
         self.fps = (30, 1)
         self.aspect = (1, 1)
         self._parse_header()
+        try:
+            self._data_start = f.tell()
+        except (OSError, ValueError):
+            self._data_start = None
 
     def _parse_header(self):
         magic = self.f.read(10)
@@ -88,21 +92,44 @@ class Y4MReader:
             return None
         return split_planes(raw, self.w, self.h, self.subsamp)
 
+    def seek_to_frame(self, fno):
+        """Position at frame fno by direct seek (ref: util.c:312-391);
+        read+skip fallback on unseekable input (pipes)."""
+        fsz = 6 + frame_size(self.w, self.h, self.subsamp)
+        try:
+            self.f.seek(self._data_start + fno * fsz)
+        except (OSError, ValueError, AttributeError, TypeError):
+            for _ in range(fno):
+                if self.read_frame() is None:
+                    break
+
 
 class RawYUVReader:
     def __init__(self, f, w, h, subsamp):
         self.f = f
         self.w, self.h, self.subsamp = w, h, subsamp
 
-    def read_frame(self):
+    def _frame_bytes(self):
         if self.subsamp == K.SUBSAMP_UYVY:
-            n = self.w * self.h * 2
-        else:
-            n = frame_size(self.w, self.h, self.subsamp)
+            return self.w * self.h * 2
+        return frame_size(self.w, self.h, self.subsamp)
+
+    def read_frame(self):
+        n = self._frame_bytes()
         raw = self.f.read(n)
         if len(raw) < n:
             return None
         return split_planes(raw, self.w, self.h, self.subsamp)
+
+    def seek_to_frame(self, fno):
+        """Position at frame fno by direct seek (ref: dsv.c:109-160);
+        read+skip fallback on unseekable input (pipes)."""
+        try:
+            self.f.seek(fno * self._frame_bytes())
+        except (OSError, ValueError, AttributeError):
+            for _ in range(fno):
+                if self.read_frame() is None:
+                    break
 
 
 def y4m_subs_name(subsamp):

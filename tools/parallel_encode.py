@@ -11,13 +11,45 @@ first-class tool): shards a Y4M input into closed GOPs and either
 Outputs are byte-concatenated; both modes produce the exact bytes of a
 chunked sequential encode.
 
-usage: parallel_encode.py input.y4m output.dsv [workers] [--lockstep]
+Raw planar YUV input (the reference's parallel_encode_yuv.sh) is selected
+by a non-.y4m input suffix or an explicit -y4m=0; pass -w= -h= -fmt=
+(and -fps_num/-fps_den) exactly like the encoder CLI.
+
+usage: parallel_encode.py input.{y4m,yuv} output.dsv [workers] [--lockstep]
                           [extra -flags...]
 """
 import os
 import subprocess
 import sys
 import tempfile
+
+
+def _is_y4m(src, extra):
+    for a in extra:
+        if a.startswith("-y4m="):
+            return bool(int(a.split("=")[1]))
+    return src.endswith(".y4m")
+
+
+def _open_reader(f, src, extra):
+    """Y4MReader or RawYUVReader + VideoMeta from the CLI flags."""
+    from dsv2_tpu.utils import y4m
+    from dsv2_tpu.utils.packet import VideoMeta
+    from dsv2_tpu.cli import parse_args, ENC_PARAMS
+    opts, _ = parse_args([a for a in extra if a != "--lockstep"], ENC_PARAMS)
+    if _is_y4m(src, extra):
+        rdr = y4m.Y4MReader(f)
+        meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                         fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                         aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+    else:
+        meta = VideoMeta(width=opts["w"], height=opts["h"],
+                         subsamp=opts["fmt"], fps_num=opts["fps_num"],
+                         fps_den=opts["fps_den"],
+                         aspect_num=opts["aspect_num"],
+                         aspect_den=opts["aspect_den"])
+        rdr = y4m.RawYUVReader(f, meta.width, meta.height, meta.subsamp)
+    return rdr, meta, opts
 
 
 def lockstep_main(src, out, width, extra):
@@ -28,24 +60,18 @@ def lockstep_main(src, out, width, extra):
         jax.config.update("jax_platforms", plat)
     from dsv2_tpu import enable_compile_cache
     enable_compile_cache()
-    from dsv2_tpu.utils import y4m
-    from dsv2_tpu.utils.packet import VideoMeta, encode_eos
-    from dsv2_tpu.cli import parse_args, ENC_PARAMS
+    from dsv2_tpu.utils.packet import encode_eos
     from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
 
-    opts, _ = parse_args(["-inp=x", "-out=x"] + extra, ENC_PARAMS)
-    gop = opts["gop"] if opts["gop"] > 0 else 48
     with open(src, "rb") as f:
-        rdr = y4m.Y4MReader(f)
+        rdr, meta, opts = _open_reader(f, src, extra)
         frames = []
         while True:
             p = rdr.read_frame()
             if p is None:
                 break
             frames.append(p)
-    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
-                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
-                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+    gop = opts["gop"] if opts["gop"] > 0 else 48
     streams = [frames[i:i + gop] for i in range(0, len(frames), gop)]
 
     def factory():
@@ -83,14 +109,14 @@ def main():
             gop = int(a.split("=")[1])
     # probe frame count
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-    from dsv2_tpu.utils import y4m
     with open(src, "rb") as f:
-        rdr = y4m.Y4MReader(f)
+        rdr, _, _ = _open_reader(f, src, extra)
         n = 0
         while rdr.read_frame() is not None:
             n += 1
     if gop <= 0:
         gop = n
+    y4m_flag = "-y4m=%d" % int(_is_y4m(src, extra))
     ranges = [(s, min(s + gop, n)) for s in range(0, n, gop)]
     tmp = tempfile.mkdtemp(prefix="dsv2par")
     procs = []
@@ -99,7 +125,7 @@ def main():
         o = os.path.join(tmp, "chunk%04d.dsv" % k)
         outs.append(o)
         cmd = [sys.executable, "-m", "dsv2_tpu", "e", "-inp=" + src,
-               "-out=" + o, "-y4m=1", "-sfr=%d" % s, "-nfr=%d" % (e - s),
+               "-out=" + o, y4m_flag, "-sfr=%d" % s, "-nfr=%d" % (e - s),
                "-noeos=1", "-gop=%d" % gop] + extra
         procs.append(subprocess.Popen(cmd))
         while len([p for p in procs if p.poll() is None]) >= workers:

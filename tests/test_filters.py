@@ -1,0 +1,124 @@
+"""Device in-loop filter parity vs the native C runtime.
+
+The native filters (native/dsv2n.c) are themselves byte-checked against the
+reference binary by the e2e suites; here the XLA wavefront programs
+(ops/filters.py) must reproduce them exactly on adversarial random inputs:
+random planes, random MV fields/flags, every branch darted by wide
+threshold ranges.
+"""
+import numpy as np
+import pytest
+
+from dsv2_tpu import native
+from dsv2_tpu.core import constants as K
+from dsv2_tpu.ops import filters
+
+
+def _rand_plane(rng, w, h, smooth_mix=True):
+    """Half smooth / half noisy so the flat6 tests fire both ways."""
+    noise = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    if not smooth_mix:
+        return noise
+    base = rng.integers(0, 256, (-(-h // 8), -(-w // 8)))
+    smooth = np.kron(base, np.ones((8, 8), dtype=np.int64))[:h, :w]
+    sel = np.kron(rng.integers(0, 2, (max(1, h // 16) + 1,
+                                      max(1, w // 16) + 1)),
+                  np.ones((16, 16), dtype=np.int64))[:h, :w]
+    out = np.where(sel, smooth, noise >> 2 << 2)
+    # sprinkle fully flat patches (flat6 true), gradients (degrad active)
+    out[: h // 4, : w // 4] = 128
+    gw = np.arange(w, dtype=np.int64) % 256
+    out[-(h // 4):, :] = np.broadcast_to(gw, (h // 4, w))
+    return out.astype(np.uint8)
+
+
+@pytest.mark.parametrize("w,h,nbh,nbv", [
+    (352, 288, 22, 18),
+    (100, 62, 7, 4),
+    (64, 48, 4, 3),
+    (35, 21, 3, 2),
+])
+def test_intra_filter_parity(w, h, nbh, nbv):
+    rng = np.random.default_rng(1234 + w)
+    for trial in range(3):
+        vis = _rand_plane(rng, w, h)
+        bd = rng.integers(0, 256, nbh * nbv, dtype=np.uint8)
+        fq = int(rng.integers(512, 1700))
+        fthresh = 32 * (14 - max(fq.bit_length() - 1, 1))
+        ref = vis.copy()
+        native.intra_filter(ref, w, h, w, bd, nbh, nbv, fq, fthresh, 0, 1)
+        got = np.asarray(filters.make_intra_filter(w, h, nbh, nbv)(
+            vis, bd.reshape(nbv, nbh), np.int32(fq), np.int32(fthresh)))
+        assert np.array_equal(got, ref), (
+            f"intra filter mismatch {w}x{h} trial {trial}: "
+            f"{int((got != ref).sum())} px")
+
+
+def _rand_field(rng, nbh, nbv, intra_pct=20, skip_pct=20):
+    n = nbh * nbv
+    mvx = rng.integers(-40, 41, n).astype(np.int16)
+    mvy = rng.integers(-40, 41, n).astype(np.int16)
+    r = rng.integers(0, 100, n)
+    flags = np.zeros(n, dtype=np.uint32)
+    flags |= (r < intra_pct).astype(np.uint32) << K.MV_BIT_INTRA
+    flags |= ((r >= intra_pct) & (r < intra_pct + skip_pct)
+              ).astype(np.uint32) << K.MV_BIT_SKIP
+    flags |= (rng.integers(0, 4, n) == 0).astype(np.uint32) << K.MV_BIT_EPRM
+    # some small vectors so the |mv|<2 and sharpen paths trigger
+    tiny = rng.integers(0, 3, n) == 0
+    mvx[tiny] = rng.integers(-2, 3, tiny.sum())
+    mvy[tiny] = rng.integers(-2, 3, tiny.sum())
+    submask = rng.integers(0, 16, n).astype(np.uint8)
+    return mvx, mvy, flags, submask
+
+
+@pytest.mark.parametrize("w,h,nbh,nbv,bw,bh", [
+    (352, 288, 22, 18, 16, 16),
+    (100, 62, 7, 4, 16, 16),
+    (64, 48, 4, 3, 16, 16),
+])
+@pytest.mark.parametrize("do_filter,tmc,sharpen", [
+    (1, 1, 1), (1, 0, 1), (0, 1, 1), (1, 1, 0),
+])
+def test_luma_filter_parity(w, h, nbh, nbv, bw, bh, do_filter, tmc, sharpen):
+    rng = np.random.default_rng(99 + w + do_filter * 7 + tmc * 3 + sharpen)
+    vis = _rand_plane(rng, w, h)
+    mvx, mvy, flags, submask = _rand_field(rng, nbh, nbv)
+    fq = int(rng.integers(512, 1700))
+    fthresh = 32 * (14 - max(fq.bit_length() - 1, 1))
+    ref = vis.copy()
+    native.luma_filter(ref, w, h, w, mvx, mvy, flags, submask, nbh, nbv,
+                       bw, bh, fq, fthresh, 0, do_filter, tmc, sharpen)
+    g = lambda a: a.astype(np.int32).reshape(nbv, nbh)
+    got = np.asarray(filters.make_luma_filter(w, h, nbh, nbv, bw, bh,
+                                              sharpen)(
+        vis, g(mvx), g(mvy), g(flags), g(submask),
+        np.int32(fq), np.int32(fthresh), np.int32(do_filter),
+        np.int32(tmc)))
+    assert np.array_equal(got, ref), (
+        f"luma filter mismatch {w}x{h} df={do_filter} tmc={tmc}: "
+        f"{int((got != ref).sum())} px")
+
+
+@pytest.mark.parametrize("w,h,nbh,nbv,bw,bh", [
+    (176, 144, 22, 18, 8, 8),     # CIF 4:2:0
+    (50, 31, 7, 4, 8, 8),         # odd 4:2:0
+    (32, 48, 4, 3, 8, 16),        # 4:2:2-style
+    (25, 16, 7, 4, 4, 4),         # 4:1:0-style
+    (16, 48, 4, 3, 4, 16),        # 4:1:1-style
+])
+def test_chroma_filter_parity(w, h, nbh, nbv, bw, bh):
+    rng = np.random.default_rng(77 + w + bw)
+    for trial in range(2):
+        vis = _rand_plane(rng, w, h)
+        mvx, mvy, flags, _ = _rand_field(rng, nbh, nbv)
+        q = int(rng.integers(100, 3000))
+        ref = vis.copy()
+        native.chroma_filter(ref, w, h, w, mvx, mvy, flags, nbh, nbv,
+                             bw, bh, q, 0)
+        g = lambda a: a.astype(np.int32).reshape(nbv, nbh)
+        got = np.asarray(filters.make_chroma_filter(w, h, nbh, nbv, bw, bh)(
+            vis, g(mvx), g(mvy), g(flags), np.int32(q)))
+        assert np.array_equal(got, ref), (
+            f"chroma filter mismatch {w}x{h} bw={bw} bh={bh} "
+            f"trial {trial}: {int((got != ref).sum())} px")

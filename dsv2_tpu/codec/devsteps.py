@@ -30,6 +30,20 @@ def _finish(recons, lls, packs):
     return recons, buf, smalls, fbarrs
 
 
+def _finish_dense(recons, lls, vs):
+    """Dense-transfer twin of _finish: one flat int16 payload + the same
+    12-int metadata layout (nnz, ll, total, overflow per plane); the raw
+    int32 arrays back the (never-observed) int16-overflow fallback."""
+    outs = [xfer.dense_out(v) for v in vs]
+    buf = jnp.concatenate([o[0] for o in outs])
+    smalls = jnp.stack(
+        [jnp.stack([o[1], ll, jnp.int32(v.shape[0]),
+                    o[2].astype(jnp.int32)])
+         for o, v, ll in zip(outs, vs, lls)]).reshape(-1)
+    fbarrs = [(v, None) for v in vs]
+    return recons, buf, smalls, fbarrs
+
+
 def _pcfg(w, h, subsamp, blk_w, blk_h, isP, lossless, do_psy):
     return _PCfg(VideoMeta(width=w, height=h, subsamp=subsamp),
                  blk_w, blk_h, isP, lossless, do_psy)
@@ -63,9 +77,12 @@ def make_p_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy):
             rpx = jnp.clip(rpx + 128, 0, 255).astype(jnp.uint8)
             res2 = res.at[:ph, :pw].set(rpx[:ph, :pw])
             recon = mc.make_reconstruct(mcc)(res2, pred, flags)
-            outs.append((recon, coefs[0, 0], xfer.pack_segment(v)))
-        return _finish([o[0] for o in outs], [o[1] for o in outs],
-                       [o[2] for o in outs])
+            outs.append((recon, coefs[0, 0], v))
+        recons = [o[0] for o in outs]
+        lls = [o[1] for o in outs]
+        if xfer.MODE == "dense":
+            return _finish_dense(recons, lls, [o[2] for o in outs])
+        return _finish(recons, lls, [xfer.pack_segment(o[2]) for o in outs])
 
     return jax.jit(step)
 
@@ -90,9 +107,12 @@ def make_i_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
                 rpx = jnp.clip(rpx + 128, 0, 255).astype(jnp.uint8)
             else:
                 rpx = jnp.zeros((1, 1), jnp.uint8)
-            outs.append((rpx, coefs[0, 0], xfer.pack_segment(v)))
-        return _finish([o[0] for o in outs], [o[1] for o in outs],
-                       [o[2] for o in outs])
+            outs.append((rpx, coefs[0, 0], v))
+        recons = [o[0] for o in outs]
+        lls = [o[1] for o in outs]
+        if xfer.MODE == "dense":
+            return _finish_dense(recons, lls, [o[2] for o in outs])
+        return _finish(recons, lls, [xfer.pack_segment(o[2]) for o in outs])
 
     return jax.jit(step)
 
@@ -139,31 +159,53 @@ def make_p_decode_step(w, h, subsamp, blk_w, blk_h, lossless):
 
 
 def prefetch_step_lanes(out):
-    """Batched-step postprocess for the lockstep batcher: ONE bucketed
-    transfer of every lane's packed-buffer prefix instead of a per-lane
-    slice+fetch (the tunnel charges RTT per transfer)."""
+    """Batched-step postprocess for the lockstep batcher: ONE transfer of
+    every lane's payload instead of a per-lane slice+fetch (the tunnel
+    charges RTT per transfer). Dense payloads are fixed-shape; packed
+    buffers fetch a bucketed prefix."""
     recons, buf, smalls, fbarrs = out
     if not isinstance(buf, np.ndarray):
-        sm = smalls if isinstance(smalls, np.ndarray) else np.asarray(smalls)
-        useds = sm.reshape(sm.shape[0], 3, 4)[:, :, 2].astype(np.int64)
-        k = int(useds.sum(axis=1).max())
-        kb = min(-(-max(k, 1) // (1 << 17)) * (1 << 17), buf.shape[1])
-        buf = np.asarray(buf[:, :kb])
+        if buf.dtype == jnp.int16:
+            buf = np.asarray(buf)
+        else:
+            sm = (smalls if isinstance(smalls, np.ndarray)
+                  else np.asarray(smalls))
+            useds = sm.reshape(sm.shape[0], 3, 4)[:, :, 2].astype(np.int64)
+            k = int(useds.sum(axis=1).max())
+            kb = min(-(-max(k, 1) // (1 << 17)) * (1 << 17), buf.shape[1])
+            buf = np.asarray(buf[:, :kb])
+    recons = [r if isinstance(r, np.ndarray) else np.asarray(r)
+              for r in recons]
     return recons, buf, smalls, fbarrs
 
 
 def fetch_sparse_outs(step_out):
     """Host-side fetch for (recons, buf, smalls, fbarrs) step outputs:
-    one metadata fetch + one packed-buffer fetch. Returns (vscans, lls)
-    where each vscan is ("packed", segment bytes) — consumed directly by
-    the native entropy coder — or ("dense", array) on exception overflow."""
+    one metadata fetch + one payload fetch. Returns (vscans, lls) where
+    each vscan is ("dense16", int16 scan array) / ("packed", segment
+    bytes) — consumed directly by the native entropy coder — or
+    ("dense", int32 array) on overflow fallback."""
     recons, buf, smalls, fbarrs = step_out
     sm = np.asarray(smalls).reshape(3, 4)
+    dense = (buf.dtype == np.int16 if isinstance(buf, np.ndarray)
+             else buf.dtype == jnp.int16)
+    vscans = []
+    lls = []
+    if dense:
+        flat = buf if isinstance(buf, np.ndarray) else np.asarray(buf)
+        pos = 0
+        for c in range(3):
+            n, ll, total, ovf = (int(x) for x in sm[c])
+            if ovf:
+                vscans.append(("dense", np.asarray(fbarrs[c][0])))
+            else:
+                vscans.append(("dense16", flat[pos:pos + total]))
+            pos += total
+            lls.append(ll)
+        return vscans, lls
     useds = sm[:, 2].astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(useds)[:-1]])
     packed = xfer.fetch_packed(buf, int(useds.sum()))
-    vscans = []
-    lls = []
     for c in range(3):
         n, ll, used, fb = (int(x) for x in sm[c])
         total = fbarrs[c][0].shape[0]

@@ -504,7 +504,9 @@ class Encoder:
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
             kind, payload = vscans[c]
-            if kind == "packed":
+            if kind == "dense16":
+                planecode.encode_plane_d16(w, payload, lls[c], cw, ch)
+            elif kind == "packed":
                 planecode.encode_plane_packed(w, payload, cw * ch, lls[c],
                                               cw, ch)
             else:

@@ -50,6 +50,24 @@ def encode_plane_packed(w: BitWriter, seg, total, ll_value, cw, ch):
         log.info("encoded plane of size %d bytes", endp - startp)
 
 
+def encode_plane_d16(w: BitWriter, v16, ll_value, cw, ch):
+    """encode_plane from the device's dense int16 transfer format; the
+    native coder walks the dense array directly."""
+    w.align()
+    startp = w.byte_pos
+    w.put_bits(32, 0)
+    w.put_seg(int(ll_value))
+    w.align()
+    blob = native.scan_encode_d16(v16, hzcc.scan_segments(cw, ch))
+    w.concat_bytes(blob)
+    w.put_bits(8, EOP_SYMBOL)
+    w.align()
+    endp = w.byte_pos
+    w.patch_bits(startp * 8, 32, (endp - startp) - 4)
+    if log.get_level() >= log.LEVEL_INFO:
+        log.info("encoded plane of size %d bytes", endp - startp)
+
+
 def decode_plane(r: BitReader, cw, ch):
     """Returns (ok, ll_value, v_scan). Mirrors dsv_decode_plane's framing,
     error detection and skip-by-length behavior."""

@@ -68,11 +68,16 @@ def lib():
                 C.POINTER(C.c_uint8), C.c_int32,            # statbits, filter
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
                 C.POINTER(C.c_uint8), C.c_int32,            # masks, nblk
-                C.POINTER(C.c_uint8), C.POINTER(C.c_int64),
-                C.POINTER(C.c_int64), C.POINTER(C.c_int32),  # packed/offs/lens/lls
+                C.POINTER(C.c_uint8), C.POINTER(C.c_int16),  # packed, dense16
+                C.POINTER(C.c_int64),
+                C.POINTER(C.c_int64), C.POINTER(C.c_int32),  # offs/lens/lls
                 C.POINTER(Seg), C.POINTER(C.c_int32), C.c_int32,  # segs, eop
                 C.POINTER(C.c_uint8), C.c_int64,
                 C.POINTER(C.c_int64), C.POINTER(C.c_int64)]
+            L.dsvn_scan_enc_d16.restype = C.c_int64
+            L.dsvn_scan_enc_d16.argtypes = [
+                C.POINTER(C.c_int16), C.POINTER(Seg), C.c_int,
+                C.POINTER(C.c_uint8), C.c_int64]
             L.dsvn_luma_avg_ds.restype = C.c_int32
             L.dsvn_luma_avg_ds.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int64, C.c_int32, C.c_int32,
@@ -182,6 +187,23 @@ def scan_encode_packed(seg, total, segments):
         _scan_bufs.buf = None
         cap = max(buf.size * 4, 8 * total + (1 << 20))
         grown = True
+    _scan_bufs.used = int(n)
+    return buf[:n].tobytes()
+
+
+def scan_encode_d16(values16, segments):
+    """scan_encode from a dense int16 scan array (the device's dense
+    transfer format); bit-identical to scan_encode on the widened array."""
+    v = np.ascontiguousarray(values16, dtype=np.int16)
+    cap = 64 * v.size + (1 << 16)
+    while True:
+        buf = _scan_buf(cap)
+        n = lib().dsvn_scan_enc_d16(_i16p(v), _segarr(segments),
+                                    len(segments), _u8p(buf), buf.size)
+        if n >= 0:
+            break
+        _scan_bufs.buf = None
+        cap = buf.size * 4
     _scan_bufs.used = int(n)
     return buf[:n].tobytes()
 
@@ -392,10 +414,12 @@ def _pkt_buf(cap):
 def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
                   statbits, intra_filter, stable_bits, ring_bits,
                   maint_bits, packed, offs, lens, lls, segments3, eop,
-                  nnz_total):
+                  nnz_total, dense16=None):
     """Assemble complete intra picture packets for a frame batch straight
-    from device-packed plane segments. Returns a list of nfr bytes objects
-    (link offsets still zero; the session patches them).
+    from device-packed plane segments OR (dense16 != None) from one flat
+    int16 dense scan array, with offs holding element offsets. Returns a
+    list of nfr bytes objects (link offsets still zero; the session
+    patches them).
 
     statbits: (nfr, 3) uint8 {stable, maintain, ringing} markers.
     stable/ring/maint_bits: (nfr, nblk) uint8. packed: flat uint8 buffer
@@ -416,7 +440,13 @@ def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
     sb = np.ascontiguousarray(stable_bits, dtype=np.uint8)
     rb = np.ascontiguousarray(ring_bits, dtype=np.uint8)
     mb = np.ascontiguousarray(maint_bits, dtype=np.uint8)
-    pk = np.ascontiguousarray(packed, dtype=np.uint8)
+    if dense16 is not None:
+        d16 = np.ascontiguousarray(dense16, dtype=np.int16)
+        d16p = _i16p(d16)
+        pk = np.zeros(1, dtype=np.uint8)
+    else:
+        d16p = None
+        pk = np.ascontiguousarray(packed, dtype=np.uint8)
     of = np.ascontiguousarray(offs, dtype=np.int64)
     ln = np.ascontiguousarray(lens, dtype=np.int64)
     ll = np.ascontiguousarray(lls, dtype=np.int32)
@@ -432,7 +462,7 @@ def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
         int(blkw_code), int(blkh_code), int(qp_bits),
         _u8p(st), int(intra_filter),
         _u8p(sb), _u8p(rb), _u8p(mb), int(nblk),
-        _u8p(pk), of.ctypes.data_as(C.POINTER(C.c_int64)),
+        _u8p(pk), d16p, of.ctypes.data_as(C.POINTER(C.c_int64)),
         ln.ctypes.data_as(C.POINTER(C.c_int64)), _i32p(ll),
         sarr, _i32p(seg_n), int(eop),
         _u8p(buf), buf.size,

@@ -1322,6 +1322,52 @@ API int64_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
     return (int64_t)(w.bit >> 3);
 }
 
+/* ---- HZCC scan encode from a dense int16 scan array (the device ships
+ * quantized coefficients as one flat int16 tensor: with the d2h link at
+ * ~170 MB/s the 2-byte dense form beats on-device sparse packing, whose
+ * scatter/sort programs dominated the device profile). Bit-identical to
+ * dsvn_scan_enc on the widened array. */
+static int scan_dense16_bw(BW *w, const int16_t *v,
+                           const DSVN_SEG *segs, int nsegs)
+{
+    int run = 0, nruns = 0, vk = 0, s;
+    uint32_t endbit, blob_start = w->bit;
+
+    bw_bits(w, RUN_BITS, 0);
+    bw_align(w);
+    for (s = 0; s < nsegs; s++) {
+        int32_t n = segs[s].count, j;
+        int damp = segs[s].damp;
+        for (j = 0; j < n; j++, v++) {
+            int32_t val = *v;
+            if (val) {
+                bw_ueg(w, (unsigned)run);
+                if (damp < 0) bw_neg(w, val);
+                else bw_nrice(w, val, &vk, damp);
+                run = -1;
+                nruns++;
+            }
+            run++;
+        }
+    }
+    bw_align(w);
+    endbit = w->bit;
+    w->bit = blob_start;
+    bw_bits(w, RUN_BITS, (unsigned)nruns);
+    w->bit = endbit;
+    bw_align(w);
+    return w->ovf ? -1 : 0;
+}
+
+API int64_t dsvn_scan_enc_d16(const int16_t *v, const DSVN_SEG *segs,
+                              int nsegs, uint8_t *out, int64_t cap)
+{
+    BW w = { out, 0, 0, 0 };
+    w.lim = (uint32_t)(cap * 8);
+    if (scan_dense16_bw(&w, v, segs, nsegs) != 0) return -1;
+    return (int64_t)(w.bit >> 3);
+}
+
 /* ------------------------------------------------------------------ */
 /* Whole-packet assembly: intra picture packets for a frame batch.    */
 /* The bit layout mirrors the encoder session's Python serializer      */
@@ -1388,12 +1434,39 @@ static int plane_packed_bw(BW *w, int32_t ll, const uint8_t *seg,
     return 0;
 }
 
+/* plane_packed_bw twin for a dense int16 scan array */
+static int plane_dense16_bw(BW *w, int32_t ll, const int16_t *v,
+                            const DSVN_SEG *segs, int nsegs, int eop)
+{
+    uint32_t startp, endp;
+    bw_align(w);
+    startp = w->bit >> 3;
+    bw_bits(w, 32, 0);
+    bw_seg(w, ll);
+    bw_align(w);
+    if (scan_dense16_bw(w, v, segs, nsegs) != 0) return -1;
+    bw_bits(w, 8, (unsigned)eop);
+    bw_align(w);
+    if (w->ovf) return -1;
+    endp = w->bit >> 3;
+    {
+        uint32_t plen = (endp - startp) - 4;
+        w->base[startp + 0] = (uint8_t)(plen >> 24);
+        w->base[startp + 1] = (uint8_t)(plen >> 16);
+        w->base[startp + 2] = (uint8_t)(plen >> 8);
+        w->base[startp + 3] = (uint8_t)plen;
+    }
+    return 0;
+}
+
 /* Assemble nfr complete intra picture packets into out (zero-filled).
  * hdr6 = fourcc(4) + version + packet type. statbits per frame:
  * {stable, maintain, ringing} markers (also the ZBRLE inversion flags).
  * Packed plane segments are indexed [c*nfr + fi] in offs/lens/lls; the
  * per-plane scan segment tables are concatenated in segs with seg_n[c]
- * entries each. Writes per-packet byte offsets/lengths; returns total
+ * entries each. When dense16 is non-NULL the planes are dense int16 scan
+ * arrays instead (offs then holds ELEMENT offsets into dense16; lens is
+ * ignored). Writes per-packet byte offsets/lengths; returns total
  * bytes or -1 (overflow / malformed segment). */
 API int64_t dsvn_intra_packets(
     int32_t nfr, const uint8_t *hdr6,
@@ -1402,7 +1475,8 @@ API int64_t dsvn_intra_packets(
     const uint8_t *statbits, int32_t intra_filter_bit,
     const uint8_t *stable_bits, const uint8_t *ring_bits,
     const uint8_t *maint_bits, int32_t nblk,
-    const uint8_t *packed, const int64_t *offs, const int64_t *lens,
+    const uint8_t *packed, const int16_t *dense16,
+    const int64_t *offs, const int64_t *lens,
     const int32_t *lls,
     const DSVN_SEG *segs, const int32_t *seg_n, int32_t eop,
     uint8_t *out, int64_t cap, int64_t *pkt_off, int64_t *pkt_len)
@@ -1455,9 +1529,15 @@ API int64_t dsvn_intra_packets(
         bw_align(&w);
         for (c = 0; c < 3; c++) {
             int64_t k = (int64_t)c * nfr + fi;
-            if (plane_packed_bw(&w, lls[k], packed + offs[k], lens[k],
-                                ptot[c], ptab[c], psegn[c], eop) != 0)
+            if (dense16) {
+                if (plane_dense16_bw(&w, lls[k], dense16 + offs[k],
+                                     ptab[c], psegn[c], eop) != 0)
+                    goto fail;
+            } else if (plane_packed_bw(&w, lls[k], packed + offs[k],
+                                       lens[k], ptot[c], ptab[c],
+                                       psegn[c], eop) != 0) {
                 goto fail;
+            }
         }
         if (w.ovf) goto fail;
         pkt_len[fi] = (int64_t)(w.bit >> 3) - start;

@@ -31,6 +31,7 @@ from .. import native
 from ..codec import plane as planecode
 from ..codec import motion, rc
 from ..codec.decoder import _PCfg, apply_intra_filter
+from . import xfer
 from .xfer import pack_segment, merge_rows, slice_packed
 from ..utils.trace import stage as _stage
 
@@ -61,6 +62,11 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
                 # gop=0 / non-reference frames: the reconstruction is dead
                 # work (ref keeps no chain; dsv_encoder.c:1296-1301)
                 px = jnp.zeros((1, 1), jnp.uint8)
+            if xfer.MODE == "dense":
+                v16, n, ovf = xfer.dense_out(v)
+                return (px, v16, jnp.int32(v.shape[0]),
+                        ovf.astype(jnp.int32), v, jnp.zeros(0, jnp.int32),
+                        n, coefs[0, 0])
             row, used, fb, vals_c, pos_c, n = pack_segment(v)
             return px, row, used, fb, vals_c, pos_c, n, coefs[0, 0]
         return f
@@ -84,7 +90,11 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
             fl = jnp.zeros_like(bds)
         outs = [jax.vmap(one_plane(c))(xs, bd, qs)
                 for c, xs in enumerate((xs0, xs1, xs2))]
-        buf, useds = merge_rows([o[1] for o in outs], [o[2] for o in outs])
+        if xfer.MODE == "dense":
+            buf = jnp.concatenate([o[1] for o in outs], axis=1)
+        else:
+            buf, useds = merge_rows([o[1] for o in outs],
+                                    [o[2] for o in outs])
         # small per-segment metadata, one fetch: n, ll, used, fallback per
         # plane (c-major), each (nfr,)
         smalls = jnp.concatenate(
@@ -290,10 +300,18 @@ def _dispatch_chunk(enc, ctx):
 
 def _start_fetch(ctx):
     """Blocking metadata read (chunk compute has overlapped host prep),
-    then enqueue the packed-buffer slice + async d2h copy."""
+    then enqueue the payload d2h copy. Dense payloads are fixed-shape, so
+    the copy starts without consulting the metadata."""
     buf, smalls, pxs_dev, fb_dev, need_recon, flbd = ctx["dev"]
-    sm = np.asarray(smalls)
     nfr = len(ctx["datas"])
+    if buf.dtype == jnp.int16:
+        buf.copy_to_host_async()
+        if need_recon:
+            for px in pxs_dev:
+                px.copy_to_host_async()
+        ctx["fetch"] = (None, None, None, None, buf)
+        return
+    sm = np.asarray(smalls)
     per = nfr * 4
     ns, lls, useds, fbs = [], [], [], []
     for c in range(3):
@@ -349,39 +367,73 @@ def _serialize_chunk(enc, ctx):
                                 | (ring << K.RINGING_BIT).astype(np.uint8)
                                 | (maint << K.MAINTAIN_BIT).astype(np.uint8))
             blockdatas[fi] = enc.blockdata.reshape(p.nbv, p.nbh).copy()
-    ns, lls, used_flat, fbs, packed_dev = ctx["fetch"]
-    offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
-    packed = np.asarray(packed_dev)  # copy started in _start_fetch
-
     from ..utils import log
-    if (not any(int(fbs[c][fi]) for c in range(3) for fi in range(nfr))
-            and log.get_level() < log.LEVEL_INFO):
-        # fast path: the native runtime assembles every complete packet in
-        # one call straight from the packed segments
-        return _serialize_chunk_native(enc, ctx, packed, offs_flat,
-                                       used_flat, ns, lls)
+    ns, lls, used_flat, fbs, packed_dev = ctx["fetch"]
+    if ns is None:
+        # dense transfer: fixed layout, metadata read only decides the
+        # (never-observed) int16-overflow fallback
+        sm = np.asarray(smalls)
+        per = nfr * 4
+        ns, lls, totals, ovfs = [], [], [], []
+        for c in range(3):
+            seg = sm[c * per:(c + 1) * per]
+            ns.append(seg[:nfr])
+            lls.append(seg[nfr:2 * nfr])
+            totals.append(int(seg[2 * nfr]))
+            ovfs.append(seg[3 * nfr:4 * nfr])
+        flat = np.asarray(packed_dev)  # (nfr, T); copy already started
+        bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
+        if (not any(int(ovfs[c][fi]) for c in range(3)
+                    for fi in range(nfr))
+                and log.get_level() < log.LEVEL_INFO):
+            T = flat.shape[1]
+            offs_el = np.concatenate(
+                [np.arange(nfr, dtype=np.int64) * T + bases[c]
+                 for c in range(3)])
+            return _serialize_chunk_native(enc, ctx, flat.reshape(-1),
+                                           offs_el, None, ns, lls)
+        vscans = []
+        for c in range(3):
+            col = []
+            for fi in range(nfr):
+                if ovfs[c][fi]:
+                    col.append(("dense", np.asarray(fb_dev[c][0][fi])))
+                else:
+                    col.append(("dense16",
+                                flat[fi, bases[c]:bases[c] + totals[c]]))
+            vscans.append(col)
+    else:
+        offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
+        packed = np.asarray(packed_dev)  # copy started in _start_fetch
 
-    # per (plane, frame): the packed segment itself (the native coder
-    # walks only the nonzeros), or a dense array on exception overflow
-    vscans = []
-    for c in range(3):
-        total_c = pcfg.cdims[c][0] * pcfg.cdims[c][1]
-        col = []
-        for fi in range(nfr):
-            if fbs[c][fi]:
-                # >4096 exception records (extreme content): fetch the
-                # 32-bit compacted arrays for this plane-frame only
-                n = int(ns[c][fi])
-                vals = np.asarray(fb_dev[c][0][fi])[:n]
-                pos = np.asarray(fb_dev[c][1][fi])[:n]
-                dense = np.zeros(total_c, dtype=np.int32)
-                dense[pos] = vals
-                col.append(("dense", dense))
-            else:
-                o = int(offs_flat[c * nfr + fi])
-                u = int(used_flat[c * nfr + fi])
-                col.append(("packed", packed[o:o + u]))
-        vscans.append(col)
+        if (not any(int(fbs[c][fi]) for c in range(3) for fi in range(nfr))
+                and log.get_level() < log.LEVEL_INFO):
+            # fast path: the native runtime assembles every complete packet
+            # in one call straight from the packed segments
+            return _serialize_chunk_native(enc, ctx, packed, offs_flat,
+                                           used_flat, ns, lls)
+
+        # per (plane, frame): the packed segment itself (the native coder
+        # walks only the nonzeros), or a dense array on exception overflow
+        vscans = []
+        for c in range(3):
+            total_c = pcfg.cdims[c][0] * pcfg.cdims[c][1]
+            col = []
+            for fi in range(nfr):
+                if fbs[c][fi]:
+                    # >4096 exception records (extreme content): fetch the
+                    # 32-bit compacted arrays for this plane-frame only
+                    n = int(ns[c][fi])
+                    vals = np.asarray(fb_dev[c][0][fi])[:n]
+                    pos = np.asarray(fb_dev[c][1][fi])[:n]
+                    dense = np.zeros(total_c, dtype=np.int32)
+                    dense[pos] = vals
+                    col.append(("dense", dense))
+                else:
+                    o = int(offs_flat[c * nfr + fi])
+                    u = int(used_flat[c * nfr + fi])
+                    col.append(("packed", packed[o:o + u]))
+            vscans.append(col)
     pxs = [np.asarray(o) for o in pxs_dev] if need_recon else None
 
     # --- host: serialize ----------------------------------------------------
@@ -415,7 +467,10 @@ def _serialize_chunk(enc, ctx):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
             kind, payload = vscans[c][fi]
-            if kind == "packed":
+            if kind == "dense16":
+                planecode.encode_plane_d16(w, payload, int(lls[c][fi]),
+                                           cw, ch)
+            elif kind == "packed":
                 planecode.encode_plane_packed(w, payload, cw * ch,
                                               int(lls[c][fi]), cw, ch)
             else:
@@ -440,7 +495,8 @@ def _serialize_chunk(enc, ctx):
 def _serialize_chunk_native(enc, ctx, packed, offs_flat, used_flat, ns, lls):
     """Whole-packet assembly in the native runtime: one C call produces
     every complete intra packet of the chunk straight from the packed
-    segments (byte-identical to the Python serializer)."""
+    segments — or, with used_flat=None, from the flat dense int16 payload
+    with offs_flat holding element offsets (byte-identical either way)."""
     meta = enc.meta
     datas, pcfg, p = ctx["datas"], ctx["pcfg"], ctx["p"]
     nfr = len(datas)
@@ -466,12 +522,21 @@ def _serialize_chunk_native(enc, ctx, packed, offs_flat, used_flat, ns, lls):
     lls_arr = np.concatenate([np.asarray(lls[c], dtype=np.int32)
                               for c in range(3)])
     hdr6 = K.FOURCC + bytes([K.VERSION_MINOR, K.make_pt(0, 0)])
-    pkts = native.intra_packets(
-        hdr6, fnums, np.asarray(ctx["quants"], dtype=np.int32),
-        im.lb2(p.blk_w) - 4, im.lb2(p.blk_h) - 4, K.MAX_QP_BITS,
-        statbits, enc.do_intra_filter, stable, ring, maint,
-        packed, offs_flat, used_flat, lls_arr, segments3,
-        planecode.EOP_SYMBOL, int(np.concatenate(ns).sum()))
+    if used_flat is None:
+        pkts = native.intra_packets(
+            hdr6, fnums, np.asarray(ctx["quants"], dtype=np.int32),
+            im.lb2(p.blk_w) - 4, im.lb2(p.blk_h) - 4, K.MAX_QP_BITS,
+            statbits, enc.do_intra_filter, stable, ring, maint,
+            None, offs_flat, np.zeros(3 * nfr, np.int64), lls_arr,
+            segments3, planecode.EOP_SYMBOL,
+            int(np.concatenate(ns).sum()), dense16=packed)
+    else:
+        pkts = native.intra_packets(
+            hdr6, fnums, np.asarray(ctx["quants"], dtype=np.int32),
+            im.lb2(p.blk_w) - 4, im.lb2(p.blk_h) - 4, K.MAX_QP_BITS,
+            statbits, enc.do_intra_filter, stable, ring, maint,
+            packed, offs_flat, used_flat, lls_arr, segments3,
+            planecode.EOP_SYMBOL, int(np.concatenate(ns).sum()))
     pxs = [np.asarray(o) for o in pxs_dev] if need_recon else None
     chunks = []
     for fi, d in enumerate(datas):

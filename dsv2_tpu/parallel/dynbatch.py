@@ -89,11 +89,12 @@ class LockstepBatcher:
                         lambda a: jax.device_put(a, self._sharding), stacked)
                 out = fn(*stacked)
                 # bulk-fetch small leaves once per flush (a device tunnel
-                # charges per-transfer RTT); big buffers stay on device and
-                # are prefix-sliced per lane by the consumer
+                # charges per-transfer RTT); big buffers stay on device —
+                # the post hook fetches exactly the payloads the consumer
+                # reads every frame (fallback arrays stay device-resident)
                 out = jax.tree_util.tree_map(
                     lambda a: np.asarray(a)
-                    if getattr(a, "nbytes", 0) <= (16 << 20) else a, out)
+                    if getattr(a, "nbytes", 0) <= (1 << 20) else a, out)
                 post = pending[0][2]
                 if post is not None:
                     out = post(out)

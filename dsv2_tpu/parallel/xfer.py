@@ -1,19 +1,57 @@
-"""Device->host sparse coefficient transfer.
+"""Device->host coefficient transfer.
 
-The axon TPU tunnel charges ~6 ms per dispatch and moves ~36 MB/s d2h, so
-quantized coefficients are packed ON DEVICE into compact byte segments —
-8-bit truncated values + 8-bit position deltas, with exception records
-patching the wide cases — scattered into one flat buffer, and fetched with
-a single bucketed-length transfer. The native C runtime
-(native.unpack_scan) expands segments back to dense scan arrays for the
-serial entropy coder.
+Two formats, selected by DSV2_XFER (default "dense"):
+
+- "dense": quantized coefficients ship as ONE flat int16 tensor per
+  dispatch. Measured on the axon tunnel (tools/microbench_tpu.py) d2h
+  runs ~90-175 MB/s, and the on-device sparse packing below dominated the
+  device profile (the scatter/sort programs cost ~12 ms/frame vs ~1.7 ms
+  to just move the 2-byte dense form). The native entropy coder walks the
+  dense array directly (dsvn_scan_enc_d16). A per-plane overflow flag
+  guards the (never-observed) |v| > 32767 case with an int32 fallback
+  fetch.
+
+- "packed": coefficients are packed ON DEVICE into compact byte segments
+  (8-bit truncated values + position deltas + exception records),
+  scattered into one flat buffer, fetched with a bucketed-length
+  transfer, and expanded by the native runtime. Kept for slow-link
+  deployments where bytes-on-the-wire dominate.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+MODE = os.environ.get("DSV2_XFER", "dense")
+
 EXC = 4096  # per-segment exception-record capacity (beyond -> fallback)
 _FETCH_BUCKET = 1 << 17  # 128 KiB length buckets keep the slice jit-cached
+
+
+def set_mode(mode):
+    """Switch the transfer format; drops the jitted step caches that
+    baked the previous mode in."""
+    global MODE
+    if mode not in ("dense", "packed"):
+        raise ValueError(mode)
+    if mode != MODE:
+        MODE = mode
+        from ..codec import devsteps
+        devsteps.make_p_encode_step.cache_clear()
+        devsteps.make_i_encode_step.cache_clear()
+        from . import batch
+        batch._device_batch_fn.cache_clear()
+
+
+def dense_out(v):
+    """Dense transfer outputs for one plane's scan array (total,) int32:
+    (v16, nnz, ovf) — int16 payload, nonzero count (sizes the native
+    output buffer), int16-overflow flag (selects the int32 fallback)."""
+    v16 = v.astype(jnp.int16)
+    nnz = (v != 0).sum(dtype=jnp.int32)
+    ovf = jnp.any(v != v16.astype(jnp.int32))
+    return v16, nnz, ovf
 
 
 def seg_cap(total):

@@ -50,11 +50,29 @@ def test_split_gops():
     assert split_gops(5, 0) == [(0, 5)]
 
 
+def test_packed_transfer_mode(fixtures_dir):
+    """The packed sparse-segment transfer format stays byte-identical to
+    the default dense format."""
+    from dsv2_tpu.parallel import xfer
+
+    rdr, frames = load(fixtures_dir, "tiny64x48_420_6f.y4m")
+    e1 = mk_enc(rdr)
+    dense = encode_intra_batch(e1, frames) + e1.end_of_stream()
+    xfer.set_mode("packed")
+    try:
+        e2 = mk_enc(rdr)
+        packed = encode_intra_batch(e2, frames) + e2.end_of_stream()
+    finally:
+        xfer.set_mode("dense")
+    assert b"".join(packed) == b"".join(dense)
+
+
 def test_packed_fallback_path(fixtures_dir, monkeypatch):
     """Force the >EXC exception-record overflow so the 32-bit fallback
     fetch path is exercised (normally only extreme lossless content)."""
     from dsv2_tpu.parallel import xfer, batch as bmod
 
+    xfer.set_mode("packed")
     monkeypatch.setattr(xfer, "EXC", 4)
     bmod._device_batch_fn.cache_clear()
     try:
@@ -72,4 +90,37 @@ def test_packed_fallback_path(fixtures_dir, monkeypatch):
         out.extend(e2.end_of_stream())
         assert b"".join(out) == b"".join(seq)
     finally:
+        xfer.set_mode("dense")
         bmod._device_batch_fn.cache_clear()
+
+
+def test_dense_overflow_fallback(fixtures_dir, monkeypatch):
+    """Force the int16-overflow flag so the int32 fallback fetch path is
+    exercised (real coefficients never exceed int16 for 8-bit content)."""
+    import jax.numpy as jnp
+    from dsv2_tpu.parallel import xfer, batch as bmod
+    from dsv2_tpu.codec import devsteps
+
+    real = xfer.dense_out
+
+    def forced(v):
+        v16, nnz, _ = real(v)
+        return v16, nnz, jnp.bool_(True)
+
+    monkeypatch.setattr(xfer, "dense_out", forced)
+    bmod._device_batch_fn.cache_clear()
+    devsteps.make_i_encode_step.cache_clear()
+    try:
+        rdr, frames = load(fixtures_dir, "tiny64x48_420_6f.y4m")
+        e1 = mk_enc(rdr)
+        out = encode_intra_batch(e1, frames) + e1.end_of_stream()
+    finally:
+        bmod._device_batch_fn.cache_clear()
+        devsteps.make_i_encode_step.cache_clear()
+    monkeypatch.undo()
+    e2 = mk_enc(rdr)
+    seq = []
+    for fr in frames:
+        seq.extend(e2.encode_frame(fr))
+    seq.extend(e2.end_of_stream())
+    assert b"".join(out) == b"".join(seq)

@@ -30,18 +30,24 @@ def _finish(recons, lls, packs):
     return recons, buf, smalls, fbarrs
 
 
-def _finish_dense(recons, lls, vs):
-    """Dense-transfer twin of _finish: one flat int16 payload + the same
-    12-int metadata layout (nnz, ll, total, overflow per plane); the raw
-    int32 arrays back the (never-observed) int16-overflow fallback."""
-    outs = [xfer.dense_out(v) for v in vs]
-    buf = jnp.concatenate([o[0] for o in outs])
+def _finish_dense(recons, lls, vs, ll_ns):
+    """Dense-transfer twin of _finish: flat split-band payloads (LL int32
+    + HF int8) + the same 12-int metadata layout (nnz, ll, ll_n, overflow
+    per plane); the raw int32 arrays back the HF-overflow fallback."""
+    outs = [xfer.dense_out(v, n) for v, n in zip(vs, ll_ns)]
+    buf = (jnp.concatenate([o[0] for o in outs]),
+           jnp.concatenate([o[1] for o in outs]))
     smalls = jnp.stack(
-        [jnp.stack([o[1], ll, jnp.int32(v.shape[0]),
-                    o[2].astype(jnp.int32)])
-         for o, v, ll in zip(outs, vs, lls)]).reshape(-1)
+        [jnp.stack([o[2], ll, jnp.int32(n), o[3].astype(jnp.int32)])
+         for o, n, ll in zip(outs, ll_ns, lls)]).reshape(-1)
     fbarrs = [(v, None) for v in vs]
     return recons, buf, smalls, fbarrs
+
+
+def _ll_ns(pcfg):
+    """Static LL-band lengths (scan segment 0) per plane."""
+    from ..ops import hzcc
+    return tuple(hzcc.scan_segments(*pcfg.cdims[c])[0][0] for c in range(3))
 
 
 def _pcfg(w, h, subsamp, blk_w, blk_h, isP, lossless, do_psy):
@@ -81,7 +87,8 @@ def make_p_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy):
         recons = [o[0] for o in outs]
         lls = [o[1] for o in outs]
         if xfer.MODE == "dense":
-            return _finish_dense(recons, lls, [o[2] for o in outs])
+            return _finish_dense(recons, lls, [o[2] for o in outs],
+                                 _ll_ns(pcfg))
         return _finish(recons, lls, [xfer.pack_segment(o[2]) for o in outs])
 
     return jax.jit(step)
@@ -111,7 +118,8 @@ def make_i_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
         recons = [o[0] for o in outs]
         lls = [o[1] for o in outs]
         if xfer.MODE == "dense":
-            return _finish_dense(recons, lls, [o[2] for o in outs])
+            return _finish_dense(recons, lls, [o[2] for o in outs],
+                                 _ll_ns(pcfg))
         return _finish(recons, lls, [xfer.pack_segment(o[2]) for o in outs])
 
     return jax.jit(step)
@@ -164,16 +172,16 @@ def prefetch_step_lanes(out):
     charges RTT per transfer). Dense payloads are fixed-shape; packed
     buffers fetch a bucketed prefix."""
     recons, buf, smalls, fbarrs = out
-    if not isinstance(buf, np.ndarray):
-        if buf.dtype == jnp.int16:
-            buf = np.asarray(buf)
-        else:
-            sm = (smalls if isinstance(smalls, np.ndarray)
-                  else np.asarray(smalls))
-            useds = sm.reshape(sm.shape[0], 3, 4)[:, :, 2].astype(np.int64)
-            k = int(useds.sum(axis=1).max())
-            kb = min(-(-max(k, 1) // (1 << 17)) * (1 << 17), buf.shape[1])
-            buf = np.asarray(buf[:, :kb])
+    if isinstance(buf, tuple):  # dense: (llbuf i32, restbuf i8), fixed-shape
+        buf = tuple(b if isinstance(b, np.ndarray) else np.asarray(b)
+                    for b in buf)
+    elif not isinstance(buf, np.ndarray):
+        sm = (smalls if isinstance(smalls, np.ndarray)
+              else np.asarray(smalls))
+        useds = sm.reshape(sm.shape[0], 3, 4)[:, :, 2].astype(np.int64)
+        k = int(useds.sum(axis=1).max())
+        kb = min(-(-max(k, 1) // (1 << 17)) * (1 << 17), buf.shape[1])
+        buf = np.asarray(buf[:, :kb])
     recons = [r if isinstance(r, np.ndarray) else np.asarray(r)
               for r in recons]
     return recons, buf, smalls, fbarrs
@@ -187,20 +195,25 @@ def fetch_sparse_outs(step_out):
     ("dense", int32 array) on overflow fallback."""
     recons, buf, smalls, fbarrs = step_out
     sm = np.asarray(smalls).reshape(3, 4)
-    dense = (buf.dtype == np.int16 if isinstance(buf, np.ndarray)
-             else buf.dtype == jnp.int16)
     vscans = []
     lls = []
-    if dense:
-        flat = buf if isinstance(buf, np.ndarray) else np.asarray(buf)
-        pos = 0
+    if isinstance(buf, tuple):  # dense split-band
+        llflat = (buf[0] if isinstance(buf[0], np.ndarray)
+                  else np.asarray(buf[0]))
+        r8flat = (buf[1] if isinstance(buf[1], np.ndarray)
+                  else np.asarray(buf[1]))
+        lpos = rpos = 0
         for c in range(3):
-            n, ll, total, ovf = (int(x) for x in sm[c])
+            nnz, ll, ll_n, ovf = (int(x) for x in sm[c])
+            rest_n = fbarrs[c][0].shape[-1] - ll_n
             if ovf:
                 vscans.append(("dense", np.asarray(fbarrs[c][0])))
             else:
-                vscans.append(("dense16", flat[pos:pos + total]))
-            pos += total
+                vscans.append(("dense8",
+                               (llflat[lpos:lpos + ll_n],
+                                r8flat[rpos:rpos + rest_n])))
+            lpos += ll_n
+            rpos += rest_n
             lls.append(ll)
         return vscans, lls
     useds = sm[:, 2].astype(np.int64)

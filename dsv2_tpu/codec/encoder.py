@@ -504,8 +504,9 @@ class Encoder:
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
             kind, payload = vscans[c]
-            if kind == "dense16":
-                planecode.encode_plane_d16(w, payload, lls[c], cw, ch)
+            if kind == "dense8":
+                planecode.encode_plane_d8(w, payload[0], payload[1],
+                                          lls[c], cw, ch)
             elif kind == "packed":
                 planecode.encode_plane_packed(w, payload, cw * ch, lls[c],
                                               cw, ch)

@@ -50,15 +50,15 @@ def encode_plane_packed(w: BitWriter, seg, total, ll_value, cw, ch):
         log.info("encoded plane of size %d bytes", endp - startp)
 
 
-def encode_plane_d16(w: BitWriter, v16, ll_value, cw, ch):
-    """encode_plane from the device's dense int16 transfer format; the
-    native coder walks the dense array directly."""
+def encode_plane_d8(w: BitWriter, llband, rest8, ll_value, cw, ch):
+    """encode_plane from the device's dense split-band transfer format
+    (LL int32 + HF int8); the native coder walks the arrays directly."""
     w.align()
     startp = w.byte_pos
     w.put_bits(32, 0)
     w.put_seg(int(ll_value))
     w.align()
-    blob = native.scan_encode_d16(v16, hzcc.scan_segments(cw, ch))
+    blob = native.scan_encode_d8(llband, rest8, hzcc.scan_segments(cw, ch))
     w.concat_bytes(blob)
     w.put_bits(8, EOP_SYMBOL)
     w.align()

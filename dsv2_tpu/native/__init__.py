@@ -68,15 +68,17 @@ def lib():
                 C.POINTER(C.c_uint8), C.c_int32,            # statbits, filter
                 C.POINTER(C.c_uint8), C.POINTER(C.c_uint8),
                 C.POINTER(C.c_uint8), C.c_int32,            # masks, nblk
-                C.POINTER(C.c_uint8), C.POINTER(C.c_int16),  # packed, dense16
-                C.POINTER(C.c_int64),
-                C.POINTER(C.c_int64), C.POINTER(C.c_int32),  # offs/lens/lls
+                C.POINTER(C.c_uint8),                        # packed
+                C.POINTER(C.c_int32), C.POINTER(C.c_int8),   # d8ll, d8rest
+                C.POINTER(C.c_int64), C.POINTER(C.c_int64),  # offs_ll, offs
+                C.POINTER(C.c_int64), C.POINTER(C.c_int32),  # lens, lls
                 C.POINTER(Seg), C.POINTER(C.c_int32), C.c_int32,  # segs, eop
                 C.POINTER(C.c_uint8), C.c_int64,
                 C.POINTER(C.c_int64), C.POINTER(C.c_int64)]
-            L.dsvn_scan_enc_d16.restype = C.c_int64
-            L.dsvn_scan_enc_d16.argtypes = [
-                C.POINTER(C.c_int16), C.POINTER(Seg), C.c_int,
+            L.dsvn_scan_enc_d8.restype = C.c_int64
+            L.dsvn_scan_enc_d8.argtypes = [
+                C.POINTER(C.c_int32), C.POINTER(C.c_int8),
+                C.POINTER(Seg), C.c_int,
                 C.POINTER(C.c_uint8), C.c_int64]
             L.dsvn_luma_avg_ds.restype = C.c_int32
             L.dsvn_luma_avg_ds.argtypes = [
@@ -97,6 +99,10 @@ def _u8p(a):
 
 def _i16p(a):
     return a.ctypes.data_as(C.POINTER(C.c_int16))
+
+
+def _i8p(a):
+    return a.ctypes.data_as(C.POINTER(C.c_int8))
 
 
 def _u32p(a):
@@ -191,15 +197,17 @@ def scan_encode_packed(seg, total, segments):
     return buf[:n].tobytes()
 
 
-def scan_encode_d16(values16, segments):
-    """scan_encode from a dense int16 scan array (the device's dense
-    transfer format); bit-identical to scan_encode on the widened array."""
-    v = np.ascontiguousarray(values16, dtype=np.int16)
-    cap = 64 * v.size + (1 << 16)
+def scan_encode_d8(llband, rest8, segments):
+    """scan_encode from the dense split-band transfer format (LL band
+    int32 + HF bands int8); bit-identical to scan_encode on the
+    recombined array."""
+    ll = np.ascontiguousarray(llband, dtype=np.int32)
+    r8 = np.ascontiguousarray(rest8, dtype=np.int8)
+    cap = 64 * (ll.size + r8.size) + (1 << 16)
     while True:
         buf = _scan_buf(cap)
-        n = lib().dsvn_scan_enc_d16(_i16p(v), _segarr(segments),
-                                    len(segments), _u8p(buf), buf.size)
+        n = lib().dsvn_scan_enc_d8(_i32p(ll), _i8p(r8), _segarr(segments),
+                                   len(segments), _u8p(buf), buf.size)
         if n >= 0:
             break
         _scan_bufs.buf = None
@@ -414,12 +422,12 @@ def _pkt_buf(cap):
 def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
                   statbits, intra_filter, stable_bits, ring_bits,
                   maint_bits, packed, offs, lens, lls, segments3, eop,
-                  nnz_total, dense16=None):
+                  nnz_total, dense8=None, offs_ll=None):
     """Assemble complete intra picture packets for a frame batch straight
-    from device-packed plane segments OR (dense16 != None) from one flat
-    int16 dense scan array, with offs holding element offsets. Returns a
-    list of nfr bytes objects (link offsets still zero; the session
-    patches them).
+    from device-packed plane segments OR (dense8 != None) from the dense
+    split-band format: dense8 = (llbuf int32, restbuf int8) with offs_ll /
+    offs holding element offsets. Returns a list of nfr bytes objects
+    (link offsets still zero; the session patches them).
 
     statbits: (nfr, 3) uint8 {stable, maintain, ringing} markers.
     stable/ring/maint_bits: (nfr, nblk) uint8. packed: flat uint8 buffer
@@ -440,12 +448,15 @@ def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
     sb = np.ascontiguousarray(stable_bits, dtype=np.uint8)
     rb = np.ascontiguousarray(ring_bits, dtype=np.uint8)
     mb = np.ascontiguousarray(maint_bits, dtype=np.uint8)
-    if dense16 is not None:
-        d16 = np.ascontiguousarray(dense16, dtype=np.int16)
-        d16p = _i16p(d16)
+    if dense8 is not None:
+        llb = np.ascontiguousarray(dense8[0], dtype=np.int32)
+        r8b = np.ascontiguousarray(dense8[1], dtype=np.int8)
+        llp, r8p = _i32p(llb), _i8p(r8b)
+        ofll = np.ascontiguousarray(offs_ll, dtype=np.int64)
         pk = np.zeros(1, dtype=np.uint8)
     else:
-        d16p = None
+        llp = r8p = None
+        ofll = np.zeros(1, dtype=np.int64)
         pk = np.ascontiguousarray(packed, dtype=np.uint8)
     of = np.ascontiguousarray(offs, dtype=np.int64)
     ln = np.ascontiguousarray(lens, dtype=np.int64)
@@ -462,7 +473,9 @@ def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
         int(blkw_code), int(blkh_code), int(qp_bits),
         _u8p(st), int(intra_filter),
         _u8p(sb), _u8p(rb), _u8p(mb), int(nblk),
-        _u8p(pk), d16p, of.ctypes.data_as(C.POINTER(C.c_int64)),
+        _u8p(pk), llp, r8p,
+        ofll.ctypes.data_as(C.POINTER(C.c_int64)),
+        of.ctypes.data_as(C.POINTER(C.c_int64)),
         ln.ctypes.data_as(C.POINTER(C.c_int64)), _i32p(ll),
         sarr, _i32p(seg_n), int(eop),
         _u8p(buf), buf.size,

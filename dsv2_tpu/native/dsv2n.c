@@ -1322,13 +1322,14 @@ API int64_t dsvn_scan_enc_packed(const uint8_t *seg, int64_t seglen,
     return (int64_t)(w.bit >> 3);
 }
 
-/* ---- HZCC scan encode from a dense int16 scan array (the device ships
- * quantized coefficients as one flat int16 tensor: with the d2h link at
- * ~170 MB/s the 2-byte dense form beats on-device sparse packing, whose
- * scatter/sort programs dominated the device profile). Bit-identical to
- * dsvn_scan_enc on the widened array. */
-static int scan_dense16_bw(BW *w, const int16_t *v,
-                           const DSVN_SEG *segs, int nsegs)
+/* ---- HZCC scan encode from the device's dense split-band transfer
+ * format: the LL band (segment 0, NEG-coded, holds the wide values) as
+ * int32, every HF band as int8. With the d2h link at ~40-175 MB/s the
+ * ~1-byte-per-coefficient dense form beats on-device sparse packing,
+ * whose scatter/sort programs dominated the device profile. Bit-identical
+ * to dsvn_scan_enc on the recombined array. */
+static int scan_dense8_bw(BW *w, const int32_t *ll, const int8_t *rest,
+                          const DSVN_SEG *segs, int nsegs)
 {
     int run = 0, nruns = 0, vk = 0, s;
     uint32_t endbit, blob_start = w->bit;
@@ -1338,8 +1339,8 @@ static int scan_dense16_bw(BW *w, const int16_t *v,
     for (s = 0; s < nsegs; s++) {
         int32_t n = segs[s].count, j;
         int damp = segs[s].damp;
-        for (j = 0; j < n; j++, v++) {
-            int32_t val = *v;
+        for (j = 0; j < n; j++) {
+            int32_t val = (s == 0) ? ll[j] : (int32_t)*rest++;
             if (val) {
                 bw_ueg(w, (unsigned)run);
                 if (damp < 0) bw_neg(w, val);
@@ -1359,12 +1360,13 @@ static int scan_dense16_bw(BW *w, const int16_t *v,
     return w->ovf ? -1 : 0;
 }
 
-API int64_t dsvn_scan_enc_d16(const int16_t *v, const DSVN_SEG *segs,
-                              int nsegs, uint8_t *out, int64_t cap)
+API int64_t dsvn_scan_enc_d8(const int32_t *ll, const int8_t *rest,
+                             const DSVN_SEG *segs, int nsegs,
+                             uint8_t *out, int64_t cap)
 {
     BW w = { out, 0, 0, 0 };
     w.lim = (uint32_t)(cap * 8);
-    if (scan_dense16_bw(&w, v, segs, nsegs) != 0) return -1;
+    if (scan_dense8_bw(&w, ll, rest, segs, nsegs) != 0) return -1;
     return (int64_t)(w.bit >> 3);
 }
 
@@ -1434,9 +1436,10 @@ static int plane_packed_bw(BW *w, int32_t ll, const uint8_t *seg,
     return 0;
 }
 
-/* plane_packed_bw twin for a dense int16 scan array */
-static int plane_dense16_bw(BW *w, int32_t ll, const int16_t *v,
-                            const DSVN_SEG *segs, int nsegs, int eop)
+/* plane_packed_bw twin for the dense split-band format */
+static int plane_dense8_bw(BW *w, int32_t ll, const int32_t *llband,
+                           const int8_t *rest,
+                           const DSVN_SEG *segs, int nsegs, int eop)
 {
     uint32_t startp, endp;
     bw_align(w);
@@ -1444,7 +1447,7 @@ static int plane_dense16_bw(BW *w, int32_t ll, const int16_t *v,
     bw_bits(w, 32, 0);
     bw_seg(w, ll);
     bw_align(w);
-    if (scan_dense16_bw(w, v, segs, nsegs) != 0) return -1;
+    if (scan_dense8_bw(w, llband, rest, segs, nsegs) != 0) return -1;
     bw_bits(w, 8, (unsigned)eop);
     bw_align(w);
     if (w->ovf) return -1;
@@ -1464,9 +1467,10 @@ static int plane_dense16_bw(BW *w, int32_t ll, const int16_t *v,
  * {stable, maintain, ringing} markers (also the ZBRLE inversion flags).
  * Packed plane segments are indexed [c*nfr + fi] in offs/lens/lls; the
  * per-plane scan segment tables are concatenated in segs with seg_n[c]
- * entries each. When dense16 is non-NULL the planes are dense int16 scan
- * arrays instead (offs then holds ELEMENT offsets into dense16; lens is
- * ignored). Writes per-packet byte offsets/lengths; returns total
+ * entries each. When d8rest is non-NULL the planes use the dense
+ * split-band format instead: d8ll + offs_ll (LL band, int32) and
+ * d8rest + offs (HF bands, int8), both ELEMENT offsets; packed/lens are
+ * ignored. Writes per-packet byte offsets/lengths; returns total
  * bytes or -1 (overflow / malformed segment). */
 API int64_t dsvn_intra_packets(
     int32_t nfr, const uint8_t *hdr6,
@@ -1475,7 +1479,8 @@ API int64_t dsvn_intra_packets(
     const uint8_t *statbits, int32_t intra_filter_bit,
     const uint8_t *stable_bits, const uint8_t *ring_bits,
     const uint8_t *maint_bits, int32_t nblk,
-    const uint8_t *packed, const int16_t *dense16,
+    const uint8_t *packed,
+    const int32_t *d8ll, const int8_t *d8rest, const int64_t *offs_ll,
     const int64_t *offs, const int64_t *lens,
     const int32_t *lls,
     const DSVN_SEG *segs, const int32_t *seg_n, int32_t eop,
@@ -1529,9 +1534,10 @@ API int64_t dsvn_intra_packets(
         bw_align(&w);
         for (c = 0; c < 3; c++) {
             int64_t k = (int64_t)c * nfr + fi;
-            if (dense16) {
-                if (plane_dense16_bw(&w, lls[k], dense16 + offs[k],
-                                     ptab[c], psegn[c], eop) != 0)
+            if (d8rest) {
+                if (plane_dense8_bw(&w, lls[k], d8ll + offs_ll[k],
+                                    d8rest + offs[k],
+                                    ptab[c], psegn[c], eop) != 0)
                     goto fail;
             } else if (plane_packed_bw(&w, lls[k], packed + offs[k],
                                        lens[k], ptot[c], ptab[c],

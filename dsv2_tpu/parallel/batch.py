@@ -35,6 +35,11 @@ from . import xfer
 from .xfer import pack_segment, merge_rows, slice_packed
 from ..utils.trace import stage as _stage
 
+def pcfg_total(pcfg, c):
+    """Scan length of plane c (longer than cw*ch at odd tilings)."""
+    return hzcc.total_scan_coefs(*pcfg.cdims[c])
+
+
 @functools.lru_cache(maxsize=None)
 def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
                      need_recon, analyze=False):
@@ -63,10 +68,10 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
                 # work (ref keeps no chain; dsv_encoder.c:1296-1301)
                 px = jnp.zeros((1, 1), jnp.uint8)
             if xfer.MODE == "dense":
-                v16, n, ovf = xfer.dense_out(v)
-                return (px, v16, jnp.int32(v.shape[0]),
-                        ovf.astype(jnp.int32), v, jnp.zeros(0, jnp.int32),
-                        n, coefs[0, 0])
+                ll_n = hzcc.scan_segments(*pcfg.cdims[c])[0][0]
+                ll32, r8, n, ovf = xfer.dense_out(v, ll_n)
+                return (px, r8, ll32, ovf.astype(jnp.int32), v,
+                        jnp.zeros(0, jnp.int32), n, coefs[0, 0])
             row, used, fb, vals_c, pos_c, n = pack_segment(v)
             return px, row, used, fb, vals_c, pos_c, n, coefs[0, 0]
         return f
@@ -91,15 +96,23 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
         outs = [jax.vmap(one_plane(c))(xs, bd, qs)
                 for c, xs in enumerate((xs0, xs1, xs2))]
         if xfer.MODE == "dense":
-            buf = jnp.concatenate([o[1] for o in outs], axis=1)
+            buf = (jnp.concatenate([o[2] for o in outs], axis=1),
+                   jnp.concatenate([o[1] for o in outs], axis=1))
+            # metadata, one fetch per chunk: nnz, ll, ll_n, overflow per
+            # plane (c-major), each (nfr,)
+            smalls = jnp.concatenate(
+                [jnp.concatenate([o[6], o[7],
+                                  jnp.full_like(o[6], o[2].shape[1]),
+                                  o[3].astype(jnp.int32)])
+                 for o in outs])
         else:
             buf, useds = merge_rows([o[1] for o in outs],
                                     [o[2] for o in outs])
-        # small per-segment metadata, one fetch: n, ll, used, fallback per
-        # plane (c-major), each (nfr,)
-        smalls = jnp.concatenate(
-            [jnp.concatenate([o[6], o[7], o[2], o[3].astype(jnp.int32)])
-             for o in outs])
+            # small per-segment metadata, one fetch: n, ll, used, fallback
+            # per plane (c-major), each (nfr,)
+            smalls = jnp.concatenate(
+                [jnp.concatenate([o[6], o[7], o[2], o[3].astype(jnp.int32)])
+                 for o in outs])
         pxs = [o[0] for o in outs]
         fallbacks = [(o[4], o[5]) for o in outs]
         return buf, smalls, pxs, fallbacks, (fl, bd)
@@ -304,8 +317,9 @@ def _start_fetch(ctx):
     the copy starts without consulting the metadata."""
     buf, smalls, pxs_dev, fb_dev, need_recon, flbd = ctx["dev"]
     nfr = len(ctx["datas"])
-    if buf.dtype == jnp.int16:
-        buf.copy_to_host_async()
+    if isinstance(buf, tuple):  # dense split-band, fixed-shape
+        for b in buf:
+            b.copy_to_host_async()
         if need_recon:
             for px in pxs_dev:
                 px.copy_to_host_async()
@@ -370,28 +384,35 @@ def _serialize_chunk(enc, ctx):
     from ..utils import log
     ns, lls, used_flat, fbs, packed_dev = ctx["fetch"]
     if ns is None:
-        # dense transfer: fixed layout, metadata read only decides the
-        # (never-observed) int16-overflow fallback
+        # dense split-band transfer: fixed layout, metadata read only
+        # decides the HF-overflow fallback (low-qp / lossless content)
         sm = np.asarray(smalls)
         per = nfr * 4
-        ns, lls, totals, ovfs = [], [], [], []
+        ns, lls, ll_ns, ovfs = [], [], [], []
         for c in range(3):
             seg = sm[c * per:(c + 1) * per]
             ns.append(seg[:nfr])
             lls.append(seg[nfr:2 * nfr])
-            totals.append(int(seg[2 * nfr]))
+            ll_ns.append(int(seg[2 * nfr]))
             ovfs.append(seg[3 * nfr:4 * nfr])
-        flat = np.asarray(packed_dev)  # (nfr, T); copy already started
-        bases = np.concatenate([[0], np.cumsum(totals)[:-1]])
+        llflat = np.asarray(packed_dev[0])  # (nfr, Lsum); copies started
+        r8flat = np.asarray(packed_dev[1])  # (nfr, Rsum)
+        rests = [pcfg_total(pcfg, c) - ll_ns[c] for c in range(3)]
+        lbases = np.concatenate([[0], np.cumsum(ll_ns)[:-1]])
+        rbases = np.concatenate([[0], np.cumsum(rests)[:-1]])
         if (not any(int(ovfs[c][fi]) for c in range(3)
                     for fi in range(nfr))
                 and log.get_level() < log.LEVEL_INFO):
-            T = flat.shape[1]
-            offs_el = np.concatenate(
-                [np.arange(nfr, dtype=np.int64) * T + bases[c]
+            Lsum, Rsum = llflat.shape[1], r8flat.shape[1]
+            offs_ll = np.concatenate(
+                [np.arange(nfr, dtype=np.int64) * Lsum + lbases[c]
                  for c in range(3)])
-            return _serialize_chunk_native(enc, ctx, flat.reshape(-1),
-                                           offs_el, None, ns, lls)
+            offs_r8 = np.concatenate(
+                [np.arange(nfr, dtype=np.int64) * Rsum + rbases[c]
+                 for c in range(3)])
+            return _serialize_chunk_native(
+                enc, ctx, (llflat.reshape(-1), r8flat.reshape(-1)),
+                (offs_ll, offs_r8), None, ns, lls)
         vscans = []
         for c in range(3):
             col = []
@@ -399,8 +420,9 @@ def _serialize_chunk(enc, ctx):
                 if ovfs[c][fi]:
                     col.append(("dense", np.asarray(fb_dev[c][0][fi])))
                 else:
-                    col.append(("dense16",
-                                flat[fi, bases[c]:bases[c] + totals[c]]))
+                    col.append(("dense8", (
+                        llflat[fi, lbases[c]:lbases[c] + ll_ns[c]],
+                        r8flat[fi, rbases[c]:rbases[c] + rests[c]])))
             vscans.append(col)
     else:
         offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
@@ -467,9 +489,9 @@ def _serialize_chunk(enc, ctx):
             cw, ch = pcfg.cdims[c]
             pw, ph = pcfg.pdims[c]
             kind, payload = vscans[c][fi]
-            if kind == "dense16":
-                planecode.encode_plane_d16(w, payload, int(lls[c][fi]),
-                                           cw, ch)
+            if kind == "dense8":
+                planecode.encode_plane_d8(w, payload[0], payload[1],
+                                          int(lls[c][fi]), cw, ch)
             elif kind == "packed":
                 planecode.encode_plane_packed(w, payload, cw * ch,
                                               int(lls[c][fi]), cw, ch)
@@ -523,13 +545,15 @@ def _serialize_chunk_native(enc, ctx, packed, offs_flat, used_flat, ns, lls):
                               for c in range(3)])
     hdr6 = K.FOURCC + bytes([K.VERSION_MINOR, K.make_pt(0, 0)])
     if used_flat is None:
+        offs_ll, offs_r8 = offs_flat
         pkts = native.intra_packets(
             hdr6, fnums, np.asarray(ctx["quants"], dtype=np.int32),
             im.lb2(p.blk_w) - 4, im.lb2(p.blk_h) - 4, K.MAX_QP_BITS,
             statbits, enc.do_intra_filter, stable, ring, maint,
-            None, offs_flat, np.zeros(3 * nfr, np.int64), lls_arr,
+            None, offs_r8, np.zeros(3 * nfr, np.int64), lls_arr,
             segments3, planecode.EOP_SYMBOL,
-            int(np.concatenate(ns).sum()), dense16=packed)
+            int(np.concatenate(ns).sum()), dense8=packed,
+            offs_ll=offs_ll)
     else:
         pkts = native.intra_packets(
             hdr6, fnums, np.asarray(ctx["quants"], dtype=np.int32),

@@ -80,24 +80,31 @@ class LockstepBatcher:
                 if fn is None:
                     fn = jax.vmap(pending[0][1](key[1]))
                     self._fns[key] = fn
-                lanes = [e[0] for e, _, _ in pending]
-                lanes += [lanes[0]] * (self.width - len(lanes))
-                stacked = jax.tree_util.tree_map(
-                    lambda *xs: np.stack(xs), *lanes)
-                if self._sharding is not None:
+                from ..utils.trace import stage as _stage
+                kname = key[0] if isinstance(key, tuple) else "?"
+                with _stage(f"lockstep.stack.{kname}"):
+                    lanes = [e[0] for e, _, _ in pending]
+                    lanes += [lanes[0]] * (self.width - len(lanes))
                     stacked = jax.tree_util.tree_map(
-                        lambda a: jax.device_put(a, self._sharding), stacked)
-                out = fn(*stacked)
-                # bulk-fetch small leaves once per flush (a device tunnel
-                # charges per-transfer RTT); big buffers stay on device —
-                # the post hook fetches exactly the payloads the consumer
-                # reads every frame (fallback arrays stay device-resident)
-                out = jax.tree_util.tree_map(
-                    lambda a: np.asarray(a)
-                    if getattr(a, "nbytes", 0) <= (1 << 20) else a, out)
-                post = pending[0][2]
-                if post is not None:
-                    out = post(out)
+                        lambda *xs: np.stack(xs), *lanes)
+                    if self._sharding is not None:
+                        stacked = jax.tree_util.tree_map(
+                            lambda a: jax.device_put(a, self._sharding),
+                            stacked)
+                with _stage(f"lockstep.run.{kname}"):
+                    out = fn(*stacked)
+                    # bulk-fetch small leaves once per flush (a device
+                    # tunnel charges per-transfer RTT); big buffers stay on
+                    # device — the post hook fetches exactly the payloads
+                    # the consumer reads every frame (fallback arrays stay
+                    # device-resident)
+                    out = jax.tree_util.tree_map(
+                        lambda a: np.asarray(a)
+                        if getattr(a, "nbytes", 0) <= (1 << 20) else a, out)
+                with _stage(f"lockstep.post.{kname}"):
+                    post = pending[0][2]
+                    if post is not None:
+                        out = post(out)
                 for i, (e, _, _) in enumerate(pending):
                     e[1] = jax.tree_util.tree_map(lambda a, i=i: a[i], out)
                     e[2] = True

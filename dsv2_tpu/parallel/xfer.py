@@ -2,14 +2,16 @@
 
 Two formats, selected by DSV2_XFER (default "dense"):
 
-- "dense": quantized coefficients ship as ONE flat int16 tensor per
-  dispatch. Measured on the axon tunnel (tools/microbench_tpu.py) d2h
-  runs ~90-175 MB/s, and the on-device sparse packing below dominated the
-  device profile (the scatter/sort programs cost ~12 ms/frame vs ~1.7 ms
-  to just move the 2-byte dense form). The native entropy coder walks the
-  dense array directly (dsvn_scan_enc_d16). A per-plane overflow flag
-  guards the (never-observed) |v| > 32767 case with an int32 fallback
-  fetch.
+- "dense": quantized coefficients ship dense, split by band: the LL band
+  (scan segment 0, NEG-coded, holds the wide values) as int32, every HF
+  band as int8 — ~1 byte per coefficient on the wire, zero packing work
+  on device (astype + concat; no scatter/sort). Measured on the axon
+  tunnel (tools/microbench_tpu.py) d2h runs ~40-175 MB/s, and the
+  on-device sparse packing below dominated the device profile (~12
+  ms/frame of scatter/sort programs). The native entropy coder walks the
+  split-band arrays directly (dsvn_scan_enc_d8). A per-plane overflow
+  flag guards HF values outside int8 (low-qp / lossless content) with an
+  int32 fallback fetch.
 
 - "packed": coefficients are packed ON DEVICE into compact byte segments
   (8-bit truncated values + position deltas + exception records),
@@ -44,14 +46,17 @@ def set_mode(mode):
         batch._device_batch_fn.cache_clear()
 
 
-def dense_out(v):
-    """Dense transfer outputs for one plane's scan array (total,) int32:
-    (v16, nnz, ovf) — int16 payload, nonzero count (sizes the native
-    output buffer), int16-overflow flag (selects the int32 fallback)."""
-    v16 = v.astype(jnp.int16)
+def dense_out(v, ll_n):
+    """Dense split-band transfer outputs for one plane's scan array
+    (total,) int32 whose first ll_n entries are the LL band:
+    (ll int32, rest8 int8, nnz, ovf) — nnz sizes the native output
+    buffer; ovf (an HF value outside int8) selects the int32 fallback."""
+    ll = v[:ll_n]
+    rest = v[ll_n:]
+    r8 = rest.astype(jnp.int8)
     nnz = (v != 0).sum(dtype=jnp.int32)
-    ovf = jnp.any(v != v16.astype(jnp.int32))
-    return v16, nnz, ovf
+    ovf = jnp.any(rest != r8.astype(jnp.int32))
+    return ll, r8, nnz, ovf
 
 
 def seg_cap(total):

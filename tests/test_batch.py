@@ -103,9 +103,9 @@ def test_dense_overflow_fallback(fixtures_dir, monkeypatch):
 
     real = xfer.dense_out
 
-    def forced(v):
-        v16, nnz, _ = real(v)
-        return v16, nnz, jnp.bool_(True)
+    def forced(v, ll_n):
+        ll, r8, nnz, _ = real(v, ll_n)
+        return ll, r8, nnz, jnp.bool_(True)
 
     monkeypatch.setattr(xfer, "dense_out", forced)
     bmod._device_batch_fn.cache_clear()

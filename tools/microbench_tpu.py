@@ -85,7 +85,7 @@ def main():
     print(f"packed buf cap: {buf.shape} smalls: {smalls.shape}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and len(sys.argv) == 1:
     main()
 
 
@@ -115,3 +115,53 @@ def profile_intra(outdir="/tmp/xprof_intra"):
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "profile":
     profile_intra()
+
+
+def bench_filters():
+    """Time the wavefront filter + frame graphs standalone on the chip:
+    they are sequential over ~ntx+2*nty diagonals, so per-iteration loop
+    overhead decides whether the device-resident recon chain pays off."""
+    import time
+    import jax
+    import dsv2_tpu
+    dsv2_tpu.enable_compile_cache()
+    from dsv2_tpu.ops import filters, framedev
+
+    rng = np.random.default_rng(3)
+    W, H, NBH, NBV = 352, 288, 22, 18
+    vis = rng.integers(0, 256, (H, W), dtype=np.uint8)
+    bd = rng.integers(0, 256, (NBV, NBH), dtype=np.uint8)
+    g = lambda lo, hi: rng.integers(lo, hi, (NBV, NBH)).astype(np.int32)
+
+    def timeit(name, fn, *args):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / n
+        print(f"{name}: {dt*1e3:.2f} ms (compile {compile_s:.1f}s)",
+              flush=True)
+
+    timeit("intra_filter 352x288", filters.make_intra_filter(W, H, NBH, NBV),
+           vis, bd, np.int32(1100), np.int32(128))
+    timeit("luma_filter 352x288",
+           filters.make_luma_filter(W, H, NBH, NBV, 16, 16, 1),
+           vis, g(-40, 41), g(-40, 41), g(0, 2), g(0, 16),
+           np.int32(1100), np.int32(128), np.int32(1), np.int32(1))
+    cvis = rng.integers(0, 256, (H // 2, W // 2), dtype=np.uint8)
+    timeit("chroma_filter 176x144",
+           filters.make_chroma_filter(W // 2, H // 2, NBH, NBV, 8, 8),
+           cvis, g(-40, 41), g(-40, 41), g(0, 2), np.int32(1100))
+    ext = jax.jit(lambda v: framedev.extend_plane_graph(v, W, H))
+    timeit("extend 352x288", ext, vis)
+    bordered = np.asarray(ext(vis))
+    pyr = jax.jit(lambda b: framedev.pyramid_graph(b, W, H, 3))
+    timeit("pyramid3 352x288", pyr, bordered)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "filters":
+    bench_filters()

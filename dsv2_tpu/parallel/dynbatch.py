@@ -19,6 +19,14 @@ import threading
 import numpy as np
 import jax
 
+# (key, width, sharding) -> jit(vmap(program)). Module-level so the (slow)
+# vmap trace of the big search/step graphs happens once per PROCESS, not
+# once per batcher: a bench or CLI run that builds a fresh batcher would
+# otherwise re-trace (~30 s for the wave-HME graph) and re-load the
+# compiled executable on its first flush.
+_fn_cache = {}
+_fn_lock = threading.Lock()
+
 
 class LockstepBatcher:
     def __init__(self, width, mesh=None):
@@ -37,7 +45,6 @@ class LockstepBatcher:
         self._active = 0
         self._blocked = 0
         self._queues = {}             # key -> list of [args, out, done]
-        self._fns = {}                # key -> vmapped program
 
     def thread_begin(self):
         with self._cond:
@@ -76,10 +83,17 @@ class LockstepBatcher:
         self._blocked -= n
         for key, pending in queues.items():
             try:
-                fn = self._fns.get(key)
-                if fn is None:
-                    fn = jax.vmap(pending[0][1](key[1]))
-                    self._fns[key] = fn
+                ck = (key, self.width, self._sharding)
+                with _fn_lock:
+                    fn = _fn_cache.get(ck)
+                    if fn is None:
+                        # jit AROUND the vmap: a bare vmap re-traces the
+                        # whole program through the batching machinery on
+                        # every call (~1.5 s of host time for the wave-HME
+                        # graph); jit caches that trace after the first
+                        # flush
+                        fn = jax.jit(jax.vmap(pending[0][1](key[1])))
+                        _fn_cache[ck] = fn
                 from ..utils.trace import stage as _stage
                 kname = key[0] if isinstance(key, tuple) else "?"
                 with _stage(f"lockstep.stack.{kname}"):
@@ -91,8 +105,9 @@ class LockstepBatcher:
                         stacked = jax.tree_util.tree_map(
                             lambda a: jax.device_put(a, self._sharding),
                             stacked)
-                with _stage(f"lockstep.run.{kname}"):
+                with _stage(f"lockstep.dispatch.{kname}"):
                     out = fn(*stacked)
+                with _stage(f"lockstep.run.{kname}"):
                     # bulk-fetch small leaves once per flush (a device
                     # tunnel charges per-transfer RTT); big buffers stay on
                     # device — the post hook fetches exactly the payloads

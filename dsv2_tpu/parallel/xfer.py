@@ -42,8 +42,9 @@ def set_mode(mode):
         from ..codec import devsteps
         devsteps.make_p_encode_step.cache_clear()
         devsteps.make_i_encode_step.cache_clear()
-        from . import batch
+        from . import batch, dynbatch
         batch._device_batch_fn.cache_clear()
+        dynbatch._fn_cache.clear()
 
 
 def dense_out(v, ll_n):

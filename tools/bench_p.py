@@ -64,8 +64,12 @@ def main():
     seq = gop / (time.perf_counter() - t0)
     print(f"sequential single-stream (host HME): {seq:.2f} fps")
 
-    # lockstep warmup (compile) then timed
+    # lockstep warmup (compile) then timed; stage stats cover ONLY the
+    # timed run (DSV2_TRACE=1)
     encode_streams_lockstep(streams[:width], factory, width=width)
+    from dsv2_tpu.utils import trace
+    trace._acc.clear()
+    trace._cnt.clear()
     t0 = time.perf_counter()
     out = encode_streams_lockstep(streams[:width], factory, width=width)
     dt = time.perf_counter() - t0

@@ -165,3 +165,201 @@ def bench_filters():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "filters":
     bench_filters()
+
+
+def bench_pstep(width=8, profile=False):
+    """Time the vmapped P encode step standalone, and optionally capture a
+    device profile: separates MC-gather cost from SBT/quant."""
+    import time
+    import shutil
+    import jax
+    import dsv2_tpu
+    dsv2_tpu.enable_compile_cache()
+    from dsv2_tpu.codec import devsteps
+    from dsv2_tpu.core import constants as K
+    from dsv2_tpu.core.frame import B
+
+    W, H = 352, 288
+    NBH, NBV = 22, 18
+    rng = np.random.default_rng(11)
+    fn = jax.vmap(devsteps.make_p_encode_step(W, H, K.SUBSAMP_420,
+                                              16, 16, 0, 1))
+    g = lambda lo, hi: rng.integers(lo, hi, (width, NBV, NBH)).astype(np.int32)
+    srcs = tuple(rng.integers(0, 256, (width, NBV * bh, NBH * bw),
+                              dtype=np.uint8)
+                 for bw, bh in ((16, 16), (8, 8), (8, 8)))
+    refs = tuple(rng.integers(0, 256, (width, ph + 2 * B, pw + 2 * B),
+                              dtype=np.uint8)
+                 for pw, ph in ((W, H), (W // 2, H // 2), (W // 2, H // 2)))
+    args = (srcs, refs, g(-40, 41), g(-40, 41), g(0, 2), g(0, 16),
+            g(0, 1024), rng.integers(0, 256, (width, NBV, NBH),
+                                     dtype=np.uint8),
+            np.zeros((width, NBV, NBH), bool),
+            np.zeros((width, NBV, NBH), bool),
+            np.full((width,), 1024, np.int32), np.ones((width,), np.int32))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args))
+    print(f"p_step x{width} compile+run: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    n = 5
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"p_step x{width}: {dt*1e3:.1f} ms/flush "
+          f"({dt/width*1e3:.2f} ms/frame)", flush=True)
+    if profile:
+        outdir = "/tmp/xprof_pstep"
+        shutil.rmtree(outdir, ignore_errors=True)
+        with jax.profiler.trace(outdir):
+            for _ in range(2):
+                jax.block_until_ready(fn(*args))
+        print("profile:", outdir, flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pstep":
+    bench_pstep(int(sys.argv[2]) if len(sys.argv) > 2 else 8,
+                profile=len(sys.argv) > 3)
+
+
+def bench_wave(width=8):
+    """Ground-truth timing of the wave-HME program: standalone, fresh
+    inputs per call, separating dispatch (host) from execution (device)."""
+    import time
+    import jax
+    import dsv2_tpu
+    dsv2_tpu.enable_compile_cache()
+    from dsv2_tpu.ops import hme_wave
+    from dsv2_tpu.core import constants as K
+    from dsv2_tpu.core.frame import B
+    from dsv2_tpu.core import intmath as im
+
+    W, H, NBH, NBV, LV = 352, 288, 22, 18, 3
+    dims = [(W, H)]
+    w_, h_ = W, H
+    for _ in range(LV):
+        w_, h_ = im.round_shift(w_, 1), im.round_shift(h_, 1)
+        dims.append((w_, h_))
+    cfg = hme_wave.WaveCfg(NBH, NBV, 16, 16, W, H, K.SUBSAMP_420,
+                           10, False, LV, True, False, tuple(dims))
+    fn = hme_wave.make_motion_est(cfg)
+    if width > 1:
+        fn = jax.jit(jax.vmap(fn))
+    rng = np.random.default_rng(4)
+
+    def mk():
+        def planes(dms, border=True):
+            return tuple(rng.integers(
+                0, 256, (width, dh + 2 * B, dw + 2 * B), dtype=np.uint8)
+                for (dw, dh) in dms)
+        cdims = [(w2 // 2, h2 // 2) for (w2, h2) in dims[:1]]
+        cpl = lambda: rng.integers(
+            0, 256, (width, dims[0][1] // 2 + 2 * B,
+                     dims[0][0] // 2 + 2 * B), dtype=np.uint8)
+        g = lambda: rng.integers(-40, 41, (width, NBV, NBH)).astype(np.int32)
+        a = (planes(dims), planes(dims), planes(dims),
+             cpl(), cpl(), cpl(), cpl(), g(), g(),
+             np.full((width,), 1024, np.int32),
+             np.zeros((width,), np.int32))
+        if width == 1:
+            a = jax.tree_util.tree_map(lambda x: x[0], a)
+        return a
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*mk()))
+    print(f"wave x{width} compile+run: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    for trial in range(3):
+        a = mk()
+        t0 = time.perf_counter()
+        r = fn(*a)
+        disp = time.perf_counter() - t0
+        jax.block_until_ready(r)
+        tot = time.perf_counter() - t0
+        print(f"wave x{width} trial {trial}: total {tot*1e3:.0f} ms "
+              f"({tot/width*1e3:.1f} ms/frame), dispatch {disp*1e3:.0f} ms",
+              flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "wave":
+    bench_wave(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+
+
+def bench_wave_real(width=8):
+    """bench_wave with REAL video content: the per-block refinement
+    while_loops are data-dependent, so noise inputs (instant convergence)
+    wildly understate the runtime on structured motion."""
+    import time
+    import jax
+    import dsv2_tpu
+    dsv2_tpu.enable_compile_cache()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import mkfixtures
+    from dsv2_tpu.ops import hme_wave
+    from dsv2_tpu.core import constants as K
+    from dsv2_tpu.core.frame import Frame
+    from dsv2_tpu.core import intmath as im
+
+    W, H, NBH, NBV, LV = 352, 288, 22, 18, 3
+    dims = [(W, H)]
+    w_, h_ = W, H
+    for _ in range(LV):
+        w_, h_ = im.round_shift(w_, 1), im.round_shift(h_, 1)
+        dims.append((w_, h_))
+    cfg = hme_wave.WaveCfg(NBH, NBV, 16, 16, W, H, K.SUBSAMP_420,
+                           10, False, LV, True, False, tuple(dims))
+    fn = jax.jit(jax.vmap(hme_wave.make_motion_est(cfg)))
+
+    rng = np.random.default_rng(0xD5F2)
+
+    def pyr_frames(t):
+        y, u, v = mkfixtures.synth_frame(W, H, t, rng)
+        u = mkfixtures.subsample(u, 1, 1)
+        v = mkfixtures.subsample(v, 1, 1)
+        f = Frame(K.SUBSAMP_420, W, H, border=True)
+        f.load((y, u, v))
+        f.extend()
+        pyr = [f]
+        prev = f
+        for i in range(LV):
+            g = Frame(K.SUBSAMP_420, im.round_shift(W, i + 1),
+                      im.round_shift(H, i + 1), border=True)
+            from dsv2_tpu.core.frame import ds2x_luma
+            ds2x_luma(g, prev)
+            g.extend(luma_only=True)
+            pyr.append(g)
+            prev = g
+        return pyr
+
+    def mk(t0):
+        lanes = []
+        for k in range(width):
+            sp = pyr_frames(t0 + 2 * k + 1)
+            rp = pyr_frames(t0 + 2 * k)
+            lanes.append((
+                tuple(f.planes[0] for f in sp),
+                tuple(f.planes[0] for f in rp),
+                tuple(f.planes[0] for f in rp),
+                sp[0].planes[1], sp[0].planes[2],
+                rp[0].planes[1], rp[0].planes[2],
+                np.zeros((NBV, NBH), np.int32),
+                np.zeros((NBV, NBH), np.int32),
+                np.int32(1024), np.int32(0)))
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *lanes)
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*mk(0)))
+    print(f"wave-real x{width} warmup: {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    for trial in range(3):
+        a = mk(16 * (trial + 1))
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*a))
+        tot = time.perf_counter() - t0
+        print(f"wave-real x{width} trial {trial}: {tot*1e3:.0f} ms "
+              f"({tot/width*1e3:.1f} ms/frame)", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "wavereal":
+    bench_wave_real(int(sys.argv[2]) if len(sys.argv) > 2 else 8)

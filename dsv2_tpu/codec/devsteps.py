@@ -125,6 +125,113 @@ def make_i_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
     return jax.jit(step)
 
 
+def _chain_outputs(pcfg, levels, recons):
+    """Filter-free tail of a chain step: border-extend every recon plane
+    and build the luma ME pyramid, all on device (ref: dsv_encoder.c:
+    1166-1172 + frame.c:357-434). recons: visible (ph, pw) uint8."""
+    from ..ops import framedev
+    planes = []
+    for c in range(3):
+        pw, ph = pcfg.pdims[c]
+        planes.append(framedev.extend_plane_graph(recons[c], pw, ph))
+    rpyr = framedev.pyramid_graph(planes[0], pcfg.pdims[0][0],
+                                  pcfg.pdims[0][1], levels)
+    return {"recon": planes, "rpyr": rpyr}
+
+
+@functools.lru_cache(maxsize=None)
+def make_input_prep(w, h, subsamp, levels):
+    """Visible input planes -> bordered padded planes + luma ME pyramid,
+    one dispatch: the per-frame h2d is just the raw pixels, everything
+    derived stays on device (ref: dsv_encoder.c:493-516, frame.c:357-434)."""
+    from ..ops import framedev
+    from ..core.frame import plane_dims
+
+    dims = plane_dims(subsamp, w, h)
+
+    def prep(vis0, vis1, vis2):
+        padded = [framedev.extend_plane_graph(v, pw, ph)
+                  for v, (pw, ph) in zip((vis0, vis1, vis2), dims)]
+        pyr = framedev.pyramid_graph(padded[0], w, h, levels)
+        return {"padded": padded, "pyr": pyr}
+
+    return jax.jit(prep)
+
+
+@functools.lru_cache(maxsize=None)
+def make_i_chain_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
+                      levels):
+    """Intra encode step + device reference chain: recon -> intra dering
+    filter -> border extension -> ME pyramid, one dispatch. The recon
+    never visits the host (ref: dsv_encoder.c:1296-1301 + bmc.c:390-457)."""
+    from ..ops import filters
+    pcfg = _pcfg(w, h, subsamp, blk_w, blk_h, False, lossless, do_psy)
+    base = make_i_encode_step(w, h, subsamp, blk_w, blk_h, lossless,
+                              do_psy, True)
+
+    def step(xs, bd, q, fq, fthresh, do_filter):
+        recons, buf, smalls, fbarrs = base(xs, bd, q)
+        vis = []
+        for c in range(3):
+            pw, ph = pcfg.pdims[c]
+            vis.append(recons[c][:ph, :pw])
+        if not lossless:
+            vis[0] = filters.intra_filter_graph(
+                pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
+                vis[0], bd, fq, fthresh * do_filter)
+        chain = _chain_outputs(pcfg, levels, vis)
+        dummy = [jnp.zeros((1, 1), jnp.uint8)] * 3
+        return dummy, buf, smalls, fbarrs, chain
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=None)
+def make_p_chain_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
+                      levels, inter_sharpen):
+    """P encode step + device reference chain: recon -> in-loop luma/
+    chroma filters -> border extension -> ME pyramid, one dispatch
+    (ref: dsv_encoder.c:1123-1172 + bmc.c:459-659)."""
+    from ..ops import filters
+    pcfg = _pcfg(w, h, subsamp, blk_w, blk_h, True, lossless, do_psy)
+    base = make_p_encode_step(w, h, subsamp, blk_w, blk_h, lossless,
+                              do_psy)
+
+    def step(srcs_full, refs, mvx, mvy, flags, submask, dc, bd, eprm_m,
+             mlt_m, q, tmc, fq, fthresh, do_filter):
+        # srcs_full: bordered input planes; the step consumes the MC
+        # canvas slice (includes the apron rows/cols past the visible
+        # edge, exactly like the host path's residual canvases)
+        srcs = []
+        for c in range(3):
+            mcc = pcfg.mc_cfg(c)
+            srcs.append(jax.lax.slice(
+                srcs_full[c], (B, B), (B + mcc.gh, B + mcc.gw)))
+        recons, buf, smalls, fbarrs = base(
+            tuple(srcs), refs, mvx, mvy, flags, submask, dc, bd,
+            eprm_m, mlt_m, q, tmc)
+        vis = []
+        for c in range(3):
+            pw, ph = pcfg.pdims[c]
+            vis.append(recons[c][:ph, :pw])
+        if not lossless:
+            vis[0] = filters.luma_filter_graph(
+                pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
+                blk_w, blk_h, inter_sharpen, vis[0], mvx, mvy, flags,
+                submask, fq, fthresh, do_filter, tmc)
+            for c in (1, 2):
+                mcc = pcfg.mc_cfg(c)
+                vis[c] = filters.chroma_filter_graph(
+                    pcfg.pdims[c][0], pcfg.pdims[c][1], pcfg.nbh,
+                    pcfg.nbv, mcc.bw, mcc.bh, vis[c],
+                    mvx, mvy, flags, q)
+        chain = _chain_outputs(pcfg, levels, vis)
+        dummy = [jnp.zeros((1, 1), jnp.uint8)] * 3
+        return dummy, buf, smalls, fbarrs, chain
+
+    return jax.jit(step)
+
+
 @functools.lru_cache(maxsize=None)
 def make_i_decode_step(w, h, subsamp, blk_w, blk_h, lossless):
     pcfg = _pcfg(w, h, subsamp, blk_w, blk_h, False, lossless, 0)
@@ -171,7 +278,8 @@ def prefetch_step_lanes(out):
     every lane's payload instead of a per-lane slice+fetch (the tunnel
     charges RTT per transfer). Dense payloads are fixed-shape; packed
     buffers fetch a bucketed prefix."""
-    recons, buf, smalls, fbarrs = out
+    recons, buf, smalls, fbarrs = out[:4]
+    chain = out[4:]  # chain steps: device reference state, stays put
     if isinstance(buf, tuple):  # dense: (llbuf i32, restbuf i8), fixed-shape
         buf = tuple(b if isinstance(b, np.ndarray) else np.asarray(b)
                     for b in buf)
@@ -184,7 +292,7 @@ def prefetch_step_lanes(out):
         buf = np.asarray(buf[:, :kb])
     recons = [r if isinstance(r, np.ndarray) else np.asarray(r)
               for r in recons]
-    return recons, buf, smalls, fbarrs
+    return (recons, buf, smalls, fbarrs) + chain
 
 
 def fetch_sparse_outs(step_out):

@@ -6,6 +6,8 @@ forward/inverse subband transform, adaptive quantization, motion search
 metrics, prediction/residual math.
 (ref: src/dsv_encoder.c)
 """
+import os
+
 import numpy as np
 
 from .. import native
@@ -19,7 +21,8 @@ from ..utils.packet import VideoMeta
 from . import plane as planecode
 from . import motion, rc
 from . import devsteps
-from .decoder import _PCfg, apply_intra_filter, apply_inloop_filters
+from .decoder import (_PCfg, apply_intra_filter, apply_inloop_filters,
+                      compute_filter_q)
 
 
 class Params:
@@ -65,6 +68,8 @@ class EncData:
         self.quant = 0
         self.refdata = None
         self.final_mvs = None
+        self.dev = None               # device-resident twins: padded/pyr
+                                      # (input prep) + recon/rpyr (chain)
 
     @property
     def pyramid(self):
@@ -256,12 +261,35 @@ class Encoder:
             prev = f
         return pyr
 
+    def _devchain(self):
+        """Device-resident reference chain: recon, in-loop filters, border
+        extension and ME pyramids never leave the device. Requires the
+        wave (on-device) motion search; the host HME backend reads the
+        reference pixels on the host."""
+        backend = getattr(self, "hme_backend", None) or os.environ.get(
+            "DSV2_HME", "host")
+        return backend == "wave" and self.gop != K.GOP_INTRA
+
     def _encode_one(self, d):
         """(ref: encode_one_frame, dsv_encoder.c:1184-1317)."""
         self._setup_params(d)
         p = d.params
         prev_I = self.prev_gop
-        d.pyramid = self._mk_pyramid(d.padded)
+        if self._devchain():
+            # host pyramid only materializes if CRF dark-boost needs it
+            d._pyramid_fn = (lambda padded=d.padded:
+                             self._mk_pyramid(padded))
+            vis = tuple(d.padded.view(c) for c in range(3))
+            cfg = (self.meta.width, self.meta.height, self.meta.subsamp,
+                   self.pyramid_levels)
+            if self.dev_submit is not None:
+                d.dev = self.dev_submit(
+                    ("input_prep", cfg),
+                    lambda c: devsteps.make_input_prep(*c), vis)
+            else:
+                d.dev = devsteps.make_input_prep(*cfg)(*vis)
+        else:
+            d.pyramid = self._mk_pyramid(d.padded)
 
         gop_start = 0
         if self.force_metadata or (self.prev_gop + self.gop) <= d.fnum:
@@ -302,7 +330,8 @@ class Encoder:
         d.residual = d.padded.clone(border=True)
         outbuf = self._encode_picture(d)
 
-        if p.is_ref and self.gop != K.GOP_INTRA:
+        if (p.is_ref and self.gop != K.GOP_INTRA
+                and not (d.dev and "recon" in d.dev)):
             d.residual.extend()  # becomes the reconstructed reference
         return gop_start, outbuf
 
@@ -456,32 +485,53 @@ class Encoder:
                                    & (np.abs(mf.x.astype(np.int32)) < 32)
                                    & (np.abs(mf.y.astype(np.int32)) < 32)))
         need_recon = bool(p.is_ref and self.gop != K.GOP_INTRA)
+        devchain = self._devchain() and d.dev is not None
+        if devchain:
+            hc = pcfg.hzcc_cfg(0)
+            fq = compute_filter_q(hc, d.quant)
+            fthresh = 32 * (14 - im.lb2(fq))
         if p.has_ref:
             cfg = (meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
                    p.lossless, p.do_psy)
-            srcs = []
-            for c in range(3):
-                mcc = pcfg.mc_cfg(c)
-                srcs.append(d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw])
-            refs = [d.refdata.residual.planes[c] for c in range(3)]
-            args = (tuple(srcs), tuple(refs),
-                    mf.grid(mf.x).astype(np.int32),
-                    mf.grid(mf.y).astype(np.int32),
-                    mf.grid(mf.flags).astype(np.int32),
-                    mf.grid(mf.submask).astype(np.int32),
-                    mf.grid(mf.dc).astype(np.int32),
-                    bd_grid, eprm_m, mlt_m, np.int32(d.quant),
-                    np.int32(p.temporal_mc))
-            if self.dev_submit is not None:
-                outs = self.dev_submit(
-                    ("p_step", cfg),
-                    lambda c: devsteps.make_p_encode_step(*c), args,
-                    post=devsteps.prefetch_step_lanes)
+            mvargs = (mf.grid(mf.x).astype(np.int32),
+                      mf.grid(mf.y).astype(np.int32),
+                      mf.grid(mf.flags).astype(np.int32),
+                      mf.grid(mf.submask).astype(np.int32),
+                      mf.grid(mf.dc).astype(np.int32),
+                      bd_grid, eprm_m, mlt_m, np.int32(d.quant),
+                      np.int32(p.temporal_mc))
+            if devchain:
+                cfg = cfg + (self.pyramid_levels, meta.inter_sharpen)
+                refs = d.refdata.dev["recon"]
+                args = (tuple(d.dev["padded"]), tuple(refs)) + mvargs + (
+                    np.int32(fq), np.int32(fthresh),
+                    np.int32(1 if inter_filter else 0))
+                if self.dev_submit is not None:
+                    outs = self.dev_submit(
+                        ("p_chain", cfg),
+                        lambda c: devsteps.make_p_chain_step(*c), args,
+                        post=devsteps.prefetch_step_lanes)
+                else:
+                    outs = devsteps.make_p_chain_step(*cfg)(*args)
             else:
-                outs = devsteps.make_p_encode_step(*cfg)(*args)
+                srcs = []
+                for c in range(3):
+                    mcc = pcfg.mc_cfg(c)
+                    srcs.append(
+                        d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw])
+                refs = [d.refdata.residual.planes[c] for c in range(3)]
+                args = (tuple(srcs), tuple(refs)) + mvargs
+                if self.dev_submit is not None:
+                    outs = self.dev_submit(
+                        ("p_step", cfg),
+                        lambda c: devsteps.make_p_encode_step(*c), args,
+                        post=devsteps.prefetch_step_lanes)
+                else:
+                    outs = devsteps.make_p_encode_step(*cfg)(*args)
         else:
+            use_ichain = devchain and need_recon
             cfg = (meta.width, meta.height, meta.subsamp, p.blk_w, p.blk_h,
-                   p.lossless, p.do_psy, need_recon)
+                   p.lossless, p.do_psy)
             xs = []
             for c in range(3):
                 cw, ch = pcfg.cdims[c]
@@ -490,14 +540,35 @@ class Encoder:
                 x = np.full((ch, cw), 128, dtype=np.uint8)
                 x[:ph, :] = arr[B:B + ph, B:B + cw]
                 xs.append(x)
-            args = (tuple(xs), bd_grid, np.int32(d.quant))
-            if self.dev_submit is not None:
-                outs = self.dev_submit(
-                    ("i_step", cfg),
-                    lambda c: devsteps.make_i_encode_step(*c), args,
-                    post=devsteps.prefetch_step_lanes)
+            if use_ichain:
+                cfg = cfg + (self.pyramid_levels,)
+                args = (tuple(xs), bd_grid, np.int32(d.quant),
+                        np.int32(fq), np.int32(fthresh),
+                        np.int32(self.do_intra_filter))
+                if self.dev_submit is not None:
+                    outs = self.dev_submit(
+                        ("i_chain", cfg),
+                        lambda c: devsteps.make_i_chain_step(*c), args,
+                        post=devsteps.prefetch_step_lanes)
+                else:
+                    outs = devsteps.make_i_chain_step(*cfg)(*args)
             else:
-                outs = devsteps.make_i_encode_step(*cfg)(*args)
+                cfg = cfg + (need_recon,)
+                args = (tuple(xs), bd_grid, np.int32(d.quant))
+                if self.dev_submit is not None:
+                    outs = self.dev_submit(
+                        ("i_step", cfg),
+                        lambda c: devsteps.make_i_encode_step(*c), args,
+                        post=devsteps.prefetch_step_lanes)
+                else:
+                    outs = devsteps.make_i_encode_step(*cfg)(*args)
+        if len(outs) == 5:  # chain step: keep the device reference state
+            d.dev = dict(d.dev or {})
+            d.dev.update(outs[4])
+            outs = outs[:4]
+            chained = True
+        else:
+            chained = False
         vscans, lls = devsteps.fetch_sparse_outs(outs)
         recons = outs[0]
         for c in range(3):
@@ -512,19 +583,21 @@ class Encoder:
                                               cw, ch)
             else:
                 planecode.encode_plane(w, None, payload, lls[c], cw, ch)
+            if chained:
+                continue
             if p.has_ref:
                 mcc = pcfg.mc_cfg(c)
                 d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = (
                     np.asarray(recons[c]))
             elif need_recon:
                 d.residual.view(c)[:, :] = np.asarray(recons[c])[:ph, :pw]
-        if not p.has_ref:
+        if not chained and not p.has_ref:
             if need_recon:
                 apply_intra_filter(d.residual, bd_grid, pcfg, d.quant,
                                    self.do_intra_filter)
 
         out = w.data()
-        if p.has_ref:
+        if not chained and p.has_ref:
             apply_inloop_filters(d.residual, mf, pcfg, d.quant,
                                  inter_filter, p.temporal_mc)
         return out

@@ -50,10 +50,11 @@ def extend_plane_graph(vis, w, h):
     return jnp.concatenate([top, mid, bot], axis=0).astype(jnp.uint8)
 
 
-def ds2x_luma_graph(bordered, sw, sh):
-    """2x luma downsample of a bordered plane; returns the (dh, dw) visible
-    result (ref: src/frame.c:210-234; host twin core/frame.py:ds2x_luma)."""
-    dw, dh = im.round_shift(sw, 1), im.round_shift(sh, 1)
+def ds2x_luma_graph(bordered, dw, dh):
+    """2x luma downsample of a bordered plane to EXPLICIT dest dims
+    (level dims round from the original frame size, not the parent level;
+    ref: src/frame.c:210-234, dsv_encoder.c:505-510; host twin
+    core/frame.py:ds2x_luma)."""
     win = bordered[B:B + 2 * dh + 1, B:B + 2 * dw + 1].astype(jnp.int32)
     p1 = win[0:2 * dh:2, 0:2 * dw:2]
     p2 = win[0:2 * dh:2, 1:2 * dw + 1:2]
@@ -67,10 +68,9 @@ def pyramid_graph(luma_bordered, w, h, levels):
     planes (ref: dsv_encoder.c:493-516)."""
     out = []
     prev = luma_bordered
-    pw, ph = w, h
-    for _ in range(levels):
-        dv = ds2x_luma_graph(prev, pw, ph)
-        pw, ph = im.round_shift(pw, 1), im.round_shift(ph, 1)
-        prev = extend_plane_graph(dv, pw, ph)
+    for i in range(levels):
+        dw, dh = im.round_shift(w, i + 1), im.round_shift(h, i + 1)
+        dv = ds2x_luma_graph(prev, dw, dh)
+        prev = extend_plane_graph(dv, dw, dh)
         out.append(prev)
     return out

@@ -1273,30 +1273,51 @@ def make_motion_est(cfg: "WaveCfg"):
 def prepare_motion_est(enc, d):
     """Build (cfg, inputs) for the whole-pyramid search program. Split out
     so a lockstep batcher can stack inputs from many streams and run one
-    vmapped dispatch (same cfg across streams)."""
+    vmapped dispatch (same cfg across streams). With the device-resident
+    reference chain active (d.dev / refdata.dev populated), every plane
+    input is a device handle — the dispatch uploads nothing but MV grids."""
+    from ..core import intmath as im
     ref = d.refdata
     p = d.params
-    recon_pyr = enc._mk_pyramid(ref.residual)
-    src = [d.padded] + list(d.pyramid)
-    refs = [ref.residual] + recon_pyr
-    ogrs = [ref.padded] + list(ref.pyramid)
     has_tmv = ref.final_mvs is not None
-    cfg = WaveCfg(p.nbh, p.nbv, p.blk_w, p.blk_h,
-                  p.meta.width, p.meta.height, p.meta.subsamp, p.effort,
-                  p.lossless, enc.pyramid_levels, has_tmv,
-                  enc.skip_block_thresh < 0,
-                  tuple((f.width, f.height) for f in src))
+    dev = d.dev if (d.dev and ref.dev and "recon" in ref.dev) else None
+    if dev is not None:
+        w0, h0 = p.meta.width, p.meta.height
+        dims = [(w0, h0)] + [
+            (im.round_shift(w0, i + 1), im.round_shift(h0, i + 1))
+            for i in range(enc.pyramid_levels)]
+        srcp = [dev["padded"][0]] + list(dev["pyr"])
+        refp = [ref.dev["recon"][0]] + list(ref.dev["rpyr"])
+        ogrp = [ref.dev["padded"][0]] + list(ref.dev["pyr"])
+        src_u, src_v = dev["padded"][1], dev["padded"][2]
+        ref_u, ref_v = ref.dev["recon"][1], ref.dev["recon"][2]
+        cfg = WaveCfg(p.nbh, p.nbv, p.blk_w, p.blk_h,
+                      p.meta.width, p.meta.height, p.meta.subsamp,
+                      p.effort, p.lossless, enc.pyramid_levels, has_tmv,
+                      enc.skip_block_thresh < 0, tuple(dims))
+    else:
+        recon_pyr = enc._mk_pyramid(ref.residual)
+        src = [d.padded] + list(d.pyramid)
+        refs = [ref.residual] + recon_pyr
+        ogrs = [ref.padded] + list(ref.pyramid)
+        srcp = [f.planes[0] for f in src]
+        refp = [f.planes[0] for f in refs]
+        ogrp = [f.planes[0] for f in ogrs]
+        src_u, src_v = src[0].planes[1], src[0].planes[2]
+        ref_u, ref_v = refs[0].planes[1], refs[0].planes[2]
+        cfg = WaveCfg(p.nbh, p.nbv, p.blk_w, p.blk_h,
+                      p.meta.width, p.meta.height, p.meta.subsamp,
+                      p.effort, p.lossless, enc.pyramid_levels, has_tmv,
+                      enc.skip_block_thresh < 0,
+                      tuple((f.width, f.height) for f in src))
     if has_tmv:
         tmvx = ref.final_mvs.grid(ref.final_mvs.x).astype(np.int32)
         tmvy = ref.final_mvs.grid(ref.final_mvs.y).astype(np.int32)
     else:
         tmvx = np.zeros((p.nbv, p.nbh), np.int32)
         tmvy = tmvx
-    inputs = (tuple(f.planes[0] for f in src),
-              tuple(f.planes[0] for f in refs),
-              tuple(f.planes[0] for f in ogrs),
-              src[0].planes[1], src[0].planes[2],
-              refs[0].planes[1], refs[0].planes[2],
+    inputs = (tuple(srcp), tuple(refp), tuple(ogrp),
+              src_u, src_v, ref_u, ref_v,
               tmvx, tmvy, np.int32(enc.prev_quant),
               np.int32(enc.skip_block_thresh))
     return cfg, inputs

@@ -28,6 +28,63 @@ _fn_cache = {}
 _fn_lock = threading.Lock()
 
 
+class LaneRef:
+    """Lane i of a batched device array, materialized lazily.
+
+    Device-resident chain state (recon planes, pyramids) flows from one
+    flush's output straight into the next flush's input. Slicing real
+    rows out per lane and re-stacking them would cost dozens of eager
+    device dispatches per flush on a high-RTT link; instead lanes carry
+    LaneRefs, and the flusher passes the PARENT batch through untouched
+    when the lanes line up (the common lockstep case)."""
+
+    __slots__ = ("parent", "i")
+
+    def __init__(self, parent, i):
+        self.parent = parent
+        self.i = i
+
+    @property
+    def shape(self):
+        return self.parent.shape[1:]
+
+    @property
+    def dtype(self):
+        return self.parent.dtype
+
+    def __array__(self, dtype=None, copy=None):
+        a = np.asarray(self.parent[self.i])
+        return a.astype(dtype) if dtype is not None else a
+
+
+def _lane_slice(a, i):
+    """Distribute one output leaf to lane i (device leaves stay lazy)."""
+    if isinstance(a, np.ndarray) or not hasattr(a, "devices"):
+        return a[i]
+    return LaneRef(a, i)
+
+
+def _stack_lanes(*xs):
+    """Stack one input leaf across lanes; LaneRef rows that line up with
+    their parent batch pass the parent through with zero device work."""
+    x0 = xs[0]
+    if isinstance(x0, LaneRef):
+        parent = x0.parent
+        n = len(xs)
+        if (all(isinstance(x, LaneRef) and x.parent is parent for x in xs)
+                and [x.i for x in xs] == list(range(n))
+                and parent.shape[0] == n):
+            return parent
+        import jax.numpy as jnp
+        if all(isinstance(x, LaneRef) and x.parent is parent for x in xs):
+            return jnp.take(parent, np.array([x.i for x in xs], np.int32),
+                            axis=0)
+        return jnp.stack([jnp.asarray(x.parent[x.i])
+                          if isinstance(x, LaneRef) else jnp.asarray(x)
+                          for x in xs])
+    return np.stack(xs)
+
+
 class LockstepBatcher:
     def __init__(self, width, mesh=None):
         """width: padded batch width. mesh: optional jax.sharding.Mesh with
@@ -100,7 +157,8 @@ class LockstepBatcher:
                     lanes = [e[0] for e, _, _ in pending]
                     lanes += [lanes[0]] * (self.width - len(lanes))
                     stacked = jax.tree_util.tree_map(
-                        lambda *xs: np.stack(xs), *lanes)
+                        _stack_lanes, *lanes,
+                        is_leaf=lambda x: isinstance(x, LaneRef))
                     if self._sharding is not None:
                         stacked = jax.tree_util.tree_map(
                             lambda a: jax.device_put(a, self._sharding),
@@ -121,7 +179,8 @@ class LockstepBatcher:
                     if post is not None:
                         out = post(out)
                 for i, (e, _, _) in enumerate(pending):
-                    e[1] = jax.tree_util.tree_map(lambda a, i=i: a[i], out)
+                    e[1] = jax.tree_util.tree_map(
+                        lambda a, i=i: _lane_slice(a, i), out)
                     e[2] = True
             except BaseException as exc:  # propagate to every waiter
                 for e, _, _ in pending:

@@ -474,8 +474,18 @@ def _refine_loop(cfg, level, src_w, ref_pl, bx, by, bw, bh, psy,
     def cond(st):
         return ~st[5]
 
+    def masked_body(_, st):
+        new = body(st)
+        done = st[5]
+        return tuple(jnp.where(done, a, b) for a, b in zip(st, new))
+
     metr0 = jnp.full((4,), I32MAX, jnp.int32)
     st = (bestx, besty, best, metr0, jnp.bool_(False), jnp.bool_(False))
+    # On TPU every while_loop iteration pays a ~1 ms scalar-unit
+    # condition sync (this dominated the whole-search profile). The walk
+    # almost always converges within a few steps, so run a fixed masked
+    # prefix first and leave the while only for the rare stragglers.
+    st = jax.lax.fori_loop(0, 8, masked_body, st)
     st = jax.lax.while_loop(cond, lambda s: body(s), st)
     return st[0], st[1], st[2], st[4]
 

@@ -151,8 +151,11 @@ class LockstepBatcher:
                         # flush
                         fn = jax.jit(jax.vmap(pending[0][1](key[1])))
                         _fn_cache[ck] = fn
+                import os
+                import time as _time
                 from ..utils.trace import stage as _stage
                 kname = key[0] if isinstance(key, tuple) else "?"
+                _t0 = _time.perf_counter()
                 with _stage(f"lockstep.stack.{kname}"):
                     lanes = [e[0] for e, _, _ in pending]
                     lanes += [lanes[0]] * (self.width - len(lanes))
@@ -182,6 +185,9 @@ class LockstepBatcher:
                     e[1] = jax.tree_util.tree_map(
                         lambda a, i=i: _lane_slice(a, i), out)
                     e[2] = True
+                if os.environ.get("DSV2_FLUSHLOG"):
+                    print(f"[flush] {kname:12s} {_time.perf_counter()-_t0:7.3f}s"
+                          f" @ {_time.perf_counter():.3f}", flush=True)
             except BaseException as exc:  # propagate to every waiter
                 for e, _, _ in pending:
                     e[1] = exc

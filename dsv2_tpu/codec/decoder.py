@@ -114,12 +114,22 @@ def apply_intra_filter(frame: Frame, blockdata_grid, pcfg, q, do_filter):
 
 
 class Decoder:
-    def __init__(self, postsharp=False, draw_info=0):
+    def __init__(self, postsharp=False, draw_info=0, device_chain=True):
         self.meta = None
-        self.ref = None           # Frame
+        self.ref = None           # Frame (legacy host chain)
+        self.ref_dev = None       # device chain: bordered recon planes
         self.postsharp = postsharp
         self.draw_info = draw_info
+        self.device_chain = device_chain
         self.dev_submit = None    # lockstep batcher hook
+
+    def _materialize_ref(self):
+        """Device chain -> host Frame (corrupt-stream fallback path)."""
+        meta = self.meta
+        f = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        for c in range(3):
+            f.planes[c][:, :] = np.asarray(self.ref_dev["recon"][c])
+        return f
 
     def decode_packet(self, buf):
         """Decode one packet buffer. Returns (code, Frame|None, fno)."""
@@ -190,6 +200,17 @@ class Decoder:
                 log.warning("corrupt plane %d (bad EOP)", c)
             vs.append(v)
             lls.append(np.int32(ll))
+        if bad_planes and self.ref_dev is not None:
+            # corrupt stream: drop to the host chain for the rest of the
+            # stream (the recovery paths read reference pixels host-side)
+            self.ref = self._materialize_ref()
+            self.ref_dev = None
+            self.device_chain = False
+        if (self.device_chain and not bad_planes and self.ref is None
+                and (not has_ref or self.ref_dev is not None)):
+            return self._decode_picture_chain(
+                fno, has_ref, is_ref, pcfg, blk_w, blk_h, quant,
+                lossless, do_filter, bd_grid, mf, vs, lls)
         out = Frame(meta.subsamp, meta.width, meta.height, border=True)
         if has_ref:
             if self.ref is None:
@@ -255,13 +276,67 @@ class Decoder:
 
         if is_ref:
             self.ref = out.clone(border=True)
+        return (DEC_OK,
+                self._present(out, blockdata, mf, pcfg, has_ref), fno)
+
+    def _present(self, out, blockdata, mf, pcfg, has_ref):
         if self.draw_info:
             from . import drawinfo
             shown = out.clone(border=False)
             drawinfo.draw_info(shown.view(0), blockdata, mf, pcfg,
                                self.draw_info, has_ref)
-            out = shown
-        return DEC_OK, out, fno
+            return shown
+        return out
+
+    def _decode_picture_chain(self, fno, has_ref, is_ref, pcfg, blk_w,
+                              blk_h, quant, lossless, do_filter, bd_grid,
+                              mf, vs, lls):
+        """Device-resident decode: dequant + inverse SBT + MC + in-loop
+        filters + border extension in one dispatch; the reference planes
+        never leave the device, only the visible output is fetched."""
+        from . import devsteps
+        meta = self.meta
+        fq = compute_filter_q(pcfg.hzcc_cfg(0), quant)
+        fthresh = 32 * (14 - im.lb2(fq))
+        if has_ref:
+            tmc = K.temporal_mc(fno)
+            cfg = (meta.width, meta.height, meta.subsamp, blk_w, blk_h,
+                   lossless, meta.inter_sharpen)
+            dargs = (tuple(vs), bd_grid, np.int32(quant), tuple(lls),
+                     tuple(self.ref_dev["recon"]),
+                     mf.grid(mf.x).astype(np.int32),
+                     mf.grid(mf.y).astype(np.int32),
+                     mf.grid(mf.flags).astype(np.int32),
+                     mf.grid(mf.submask).astype(np.int32),
+                     mf.grid(mf.dc).astype(np.int32), np.int32(tmc),
+                     np.int32(fq), np.int32(fthresh), np.int32(do_filter))
+            if self.dev_submit is not None:
+                vis, chain = self.dev_submit(
+                    ("pd_chain", cfg),
+                    lambda c: devsteps.make_pd_chain_step(*c), dargs,
+                    post=devsteps.prefetch_decode_lanes)
+            else:
+                vis, chain = devsteps.make_pd_chain_step(*cfg)(*dargs)
+        else:
+            cfg = (meta.width, meta.height, meta.subsamp, blk_w, blk_h,
+                   lossless)
+            dargs = (tuple(vs), bd_grid, np.int32(quant), tuple(lls),
+                     np.int32(fq), np.int32(fthresh), np.int32(do_filter))
+            if self.dev_submit is not None:
+                vis, chain = self.dev_submit(
+                    ("id_chain", cfg),
+                    lambda c: devsteps.make_id_chain_step(*c), dargs,
+                    post=devsteps.prefetch_decode_lanes)
+            else:
+                vis, chain = devsteps.make_id_chain_step(*cfg)(*dargs)
+        out = Frame(meta.subsamp, meta.width, meta.height, border=True)
+        for c in range(3):
+            out.view(c)[:, :] = np.asarray(vis[c])
+        if is_ref:
+            self.ref_dev = chain
+        return (DEC_OK,
+                self._present(out, bd_grid.reshape(-1), mf, pcfg, has_ref),
+                fno)
 
 
 def decode_stream(stream, out_writer=None):

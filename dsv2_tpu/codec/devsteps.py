@@ -273,6 +273,77 @@ def make_p_decode_step(w, h, subsamp, blk_w, blk_h, lossless):
     return jax.jit(step)
 
 
+@functools.lru_cache(maxsize=None)
+def make_id_chain_step(w, h, subsamp, blk_w, blk_h, lossless):
+    """Intra decode + device reference chain: recon -> intra dering
+    filter -> border extension, one dispatch. Returns the visible output
+    planes (the only per-frame fetch) + the device reference planes
+    (ref: dsv_decoder.c:512-549 + bmc.c:390-457)."""
+    from ..ops import filters, framedev
+    pcfg = _pcfg(w, h, subsamp, blk_w, blk_h, False, lossless, 0)
+    base = make_i_decode_step(w, h, subsamp, blk_w, blk_h, lossless)
+
+    def step(vs, bd, q, lls, fq, fthresh, do_filter):
+        pxs = base(vs, bd, q, lls)
+        vis = []
+        for c in range(3):
+            pw, ph = pcfg.pdims[c]
+            vis.append(pxs[c][:ph, :pw])
+        if not lossless:
+            vis[0] = filters.intra_filter_graph(
+                pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
+                vis[0], bd, fq, fthresh * do_filter)
+        chain = [framedev.extend_plane_graph(vis[c], *pcfg.pdims[c])
+                 for c in range(3)]
+        return vis, {"recon": chain}
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=None)
+def make_pd_chain_step(w, h, subsamp, blk_w, blk_h, lossless,
+                       inter_sharpen):
+    """P decode + device reference chain: recon -> in-loop luma/chroma
+    filters -> border extension, one dispatch; refs are the previous
+    frame's device chain planes (ref: dsv_decoder.c:512-549 +
+    bmc.c:459-659)."""
+    from ..ops import filters, framedev
+    pcfg = _pcfg(w, h, subsamp, blk_w, blk_h, True, lossless, 0)
+    base = make_p_decode_step(w, h, subsamp, blk_w, blk_h, lossless)
+
+    def step(vs, bd, q, lls, refs, mvx, mvy, flags, submask, dc, tmc,
+             fq, fthresh, do_filter):
+        recons = base(vs, bd, q, lls, refs, mvx, mvy, flags, submask,
+                      dc, tmc)
+        vis = []
+        for c in range(3):
+            pw, ph = pcfg.pdims[c]
+            vis.append(recons[c][:ph, :pw])
+        if not lossless:
+            vis[0] = filters.luma_filter_graph(
+                pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
+                blk_w, blk_h, inter_sharpen, vis[0], mvx, mvy, flags,
+                submask, fq, fthresh, do_filter, tmc)
+            for c in (1, 2):
+                mcc = pcfg.mc_cfg(c)
+                vis[c] = filters.chroma_filter_graph(
+                    pcfg.pdims[c][0], pcfg.pdims[c][1], pcfg.nbh,
+                    pcfg.nbv, mcc.bw, mcc.bh, vis[c], mvx, mvy, flags, q)
+        chain = [framedev.extend_plane_graph(vis[c], *pcfg.pdims[c])
+                 for c in range(3)]
+        return vis, {"recon": chain}
+
+    return jax.jit(step)
+
+
+def prefetch_decode_lanes(out):
+    """Lockstep post hook for the decode chain steps: one bulk fetch of
+    the visible output planes; the reference chain stays on device."""
+    vis, chain = out
+    vis = [v if isinstance(v, np.ndarray) else np.asarray(v) for v in vis]
+    return vis, chain
+
+
 def prefetch_step_lanes(out):
     """Batched-step postprocess for the lockstep batcher: ONE transfer of
     every lane's payload instead of a per-lane slice+fetch (the tunnel

@@ -43,10 +43,10 @@ def ref_fps(ref_bin, src):
     return NFRAMES / dt
 
 
-def our_fps(src):
+def our_fps(src, want):
     from dsv2_tpu.utils import y4m
-    from dsv2_tpu.codec.encoder import Encoder
     from dsv2_tpu.utils.packet import VideoMeta
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.batch import encode_intra_batch
 
     frames = []
@@ -57,14 +57,12 @@ def our_fps(src):
             if p is None:
                 break
             frames.append(p)
+    meta = VideoMeta(width=W, height=H, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
 
     def mk():
-        enc = Encoder()
-        enc.set_metadata(VideoMeta(width=W, height=H))
-        enc.gop = 0
-        enc.quality = 60 * 4
-        enc.start()
-        return enc
+        return make_encoder(meta, default_enc_opts(qp=60, gop=0))
 
     # warmup (jit compile of the batched device pipeline, same batch shape)
     enc = mk()
@@ -72,9 +70,13 @@ def our_fps(src):
     # timed run
     enc = mk()
     t0 = time.perf_counter()
-    encode_intra_batch(enc, frames)
-    enc.end_of_stream()
+    out = encode_intra_batch(enc, frames)
+    out += enc.end_of_stream()
     dt = time.perf_counter() - t0
+    ours = b"".join(out)
+    if ours != want:
+        print("# WARNING: stream does not byte-match the reference",
+              file=sys.stderr)
     return NFRAMES / dt
 
 
@@ -110,7 +112,8 @@ def main():
                              check=True).stdout.strip()
     src = ensure_inputs()
     c_fps = ref_fps(os.path.join(ref_dir, "dsv2"), src)
-    fps = our_fps(src)
+    want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
+    fps = our_fps(src, want)
     print(json.dumps({
         "metric": "cif_intra_encode_fps",
         "value": round(fps, 3),

@@ -31,8 +31,8 @@ def main():
     print(f"C: {c_fps:.2f} fps", flush=True)
 
     from dsv2_tpu.utils import y4m
-    from dsv2_tpu.codec.encoder import Encoder
     from dsv2_tpu.utils.packet import VideoMeta
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.batch import encode_intra_batch
     frames = []
     with open(path, "rb") as f:
@@ -42,14 +42,12 @@ def main():
             if p is None:
                 break
             frames.append(p)
+    meta = VideoMeta(width=W, height=H, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
 
     def mk():
-        enc = Encoder()
-        enc.set_metadata(VideoMeta(width=W, height=H))
-        enc.gop = 0
-        enc.quality = 240
-        enc.start()
-        return enc
+        return make_encoder(meta, default_enc_opts(qp=60, gop=0))
 
     t0 = time.perf_counter()
     encode_intra_batch(mk(), frames, chunk=8)

@@ -173,18 +173,99 @@ def _batched_features(blocks):
                 qtex=qtex, hvar=hvar, npeaks=npeaks)
 
 
+def _grid_groups(w, h, bw, bh):
+    """Static block groups tiling a (w, h) plane with a bw x bh grid:
+    interior + right column + bottom row + corner, each group's blocks
+    equally sized. Yields (j0, nj, i0, ni, gbw, gbh)."""
+    nbh_f, nbv_f = w // bw, h // bh
+    wr, hr = w - nbh_f * bw, h - nbv_f * bh
+    groups = []
+    if nbh_f and nbv_f:
+        groups.append((0, nbv_f, 0, nbh_f, bw, bh))
+    if wr and nbv_f:
+        groups.append((0, nbv_f, nbh_f, 1, wr, bh))
+    if hr and nbh_f:
+        groups.append((nbv_f, 1, 0, nbh_f, bw, hr))
+    if wr and hr:
+        groups.append((nbv_f, 1, nbh_f, 1, wr, hr))
+    return groups
+
+
+def _vector_ok(w, h, params):
+    """The vectorized/device analysis handles every group whose luma
+    blocks are >= 2x2 with non-empty chroma blocks (interior chroma >= 2
+    like the original fast path)."""
+    p = params
+    hs = K.fmt_h_shift(p.meta.subsamp)
+    vs = K.fmt_v_shift(p.meta.subsamp)
+    if (p.blk_w >> hs) < 2 or (p.blk_h >> vs) < 2:
+        return False
+    for (j0, nj, i0, ni, gbw, gbh) in _grid_groups(w, h, p.blk_w, p.blk_h):
+        if gbw < 2 or gbh < 2 or (gbw >> hs) < 1 or (gbh >> vs) < 1:
+            return False
+    return True
+
+
 def intra_analysis(frame, params):
     """I-frame psychovisual block classification (ref: hme.c:1835-1971).
-    frame: core.frame.Frame (bordered, extended). Returns a MotionField with
-    RINGING/MAINTAIN/SKIP(keep-HF) flags. Full-size blocks are processed as
-    one batched reduction; partial edge blocks fall back to the scalar path."""
+    frame: core.frame.Frame (bordered, extended). Returns a MotionField
+    with RINGING/MAINTAIN/SKIP(keep-HF) flags. Blocks are processed as
+    batched reductions per equal-size group (interior + edges); tiny edge
+    slivers fall back to the scalar path."""
     lum0 = frame.view(0)
     p = params
-    if (lum0.shape[1] % p.blk_w == 0 and lum0.shape[0] % p.blk_h == 0
-            and (p.blk_w >> K.fmt_h_shift(p.meta.subsamp)) >= 2
-            and (p.blk_h >> K.fmt_v_shift(p.meta.subsamp)) >= 2):
+    if _vector_ok(lum0.shape[1], lum0.shape[0], p):
         return _intra_analysis_fast(frame, params)
     return _intra_analysis_scalar(frame, params)
+
+
+def _group_flags(xp, f, uavg, vavg, area, scale, do_psy):
+    """(ringing, maintain, keep_hf) bool arrays from a feature dict +
+    per-block chroma averages; np/jnp-agnostic twin of the scalar logic."""
+    detail = f["detail"]
+    avg = f["avg"]
+    n = detail.shape[0]
+    ringing = xp.zeros(n, dtype=bool)
+    foliage = xp.zeros(n, dtype=bool)
+    is_text = xp.zeros(n, dtype=bool)
+    var_t = xp.full(n, 16, detail.dtype)
+    if do_psy & (K.PSY_ADAPTIVE_RINGING | K.PSY_CONTENT_ANALYSIS):
+        hvar, qtex, npeaks = f["hvar"], f["qtex"], f["npeaks"]
+        luma_var = f["var"] // area
+        luma_tex = f["tex"] // area
+        is_text = xp.abs(npeaks - 2) <= 1
+        tf2 = (((qtex == 1) | (qtex == 2)) & (hvar <= 3)
+               & (luma_tex >= 10) & (luma_var >= luma_tex))
+        tf = (((qtex == 2) | (qtex == 3)) & (luma_tex >= 8)
+              & (luma_var >= 2 * luma_tex) & (xp.abs(hvar - 5) <= 3))
+        is_text &= (tf | tf2)
+        nature = (uavg < 128) & (vavg < 160)
+        greyish = (xp.abs(uavg - 128) < 8) & (xp.abs(vavg - 128) < 8)
+        skinnish = ((avg > 80) & (avg < 230) & (xp.abs(uavg - 108) < 24)
+                    & (xp.abs(vavg - 148) < 24))
+        hifreq = (uavg > 160) & ~greyish & ~skinnish
+        foliage = nature & (avg < 160) & (detail
+                                          > (36 * area) // max(scale, 1))
+        is_text &= ~foliage
+        ring_cond = foliage | ((hvar <= xp.minimum(qtex - 3, 2) * 16)
+                               & (qtex > 1))
+        if do_psy & K.PSY_ADAPTIVE_RINGING:
+            ringing = ~hifreq & ring_cond
+        var_t = xp.where(nature | greyish | skinnish, 20,
+                         xp.where(~hifreq, 16, 8))
+    maintain = xp.ones(n, dtype=bool)
+    keep_hf = xp.ones(n, dtype=bool)
+    if do_psy & (K.PSY_CONTENT_ANALYSIS | K.PSY_ADAPTIVE_QUANT):
+        d = detail // area
+        keep_hf &= d < 48
+        maintain = d < var_t * 4
+    if do_psy & K.PSY_CONTENT_ANALYSIS:
+        keep_hf = xp.where(foliage, False, xp.where(is_text, True, keep_hf))
+        maintain = xp.where(foliage, True,
+                            xp.where(is_text, False, maintain))
+    if do_psy & K.PSY_ADAPTIVE_RINGING:
+        ringing |= avg < 24
+    return ringing, maintain, keep_hf
 
 
 def _intra_analysis_fast(frame, params):
@@ -193,67 +274,41 @@ def _intra_analysis_fast(frame, params):
     bw, bh = p.blk_w, p.blk_h
     mf = MotionField(nbh, nbv)
     lum = frame.view(0)
+    h, w = lum.shape
     subsamp = p.meta.subsamp
     hs, vs = K.fmt_h_shift(subsamp), K.fmt_v_shift(subsamp)
-    cbw, cbh = bw >> hs, bh >> vs
     scale = 2 * p.psyf_all
     do_psy = p.do_psy
-    n = nbh * nbv
+    uvw = frame.view(1).astype(np.int64)
+    vvw = frame.view(2).astype(np.int64)
 
-    blocks = (lum.reshape(nbv, bh, nbh, bw).transpose(0, 2, 1, 3)
-              .reshape(n, bh, bw))
-    f = _batched_features(blocks)
-    area = bw * bh
-    detail = f["detail"]
-    avg = f["avg"]
-    ringing = np.zeros(n, dtype=bool)
-    foliage = np.zeros(n, dtype=bool)
-    is_text = np.zeros(n, dtype=bool)
-    var_t = np.full(n, 16, dtype=np.int64)
-    if do_psy & (K.PSY_ADAPTIVE_RINGING | K.PSY_CONTENT_ANALYSIS):
-        hvar, qtex, npeaks = f["hvar"], f["qtex"], f["npeaks"]
-        luma_var = f["var"] // area
-        luma_tex = f["tex"] // area
-        is_text = np.abs(npeaks - 2) <= 1
-        tf2 = (((qtex == 1) | (qtex == 2)) & (hvar <= 3)
-               & (luma_tex >= 10) & (luma_var >= luma_tex))
-        tf = (((qtex == 2) | (qtex == 3)) & (luma_tex >= 8)
-              & (luma_var >= 2 * luma_tex) & (np.abs(hvar - 5) <= 3))
-        is_text &= (tf | tf2)
-        ub = frame.view(1).astype(np.int64)
-        vb = frame.view(2).astype(np.int64)
+    ring_g = np.zeros((nbv, nbh), dtype=bool)
+    maint_g = np.zeros((nbv, nbh), dtype=bool)
+    keep_g = np.zeros((nbv, nbh), dtype=bool)
+    for (j0, nj, i0, ni, gbw, gbh) in _grid_groups(w, h, bw, bh):
+        y0, x0 = j0 * bh, i0 * bw
+        blocks = (lum[y0:y0 + nj * gbh, x0:x0 + ni * gbw]
+                  .reshape(nj, gbh, ni, gbw).transpose(0, 2, 1, 3)
+                  .reshape(nj * ni, gbh, gbw))
+        f = _batched_features(blocks)
+        cbw, cbh = gbw >> hs, gbh >> vs
+        cy0, cx0 = (j0 * bh) >> vs, (i0 * bw) >> hs
         carea = cbw * cbh
-        uavg = (ub.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+        uavg = (uvw[cy0:cy0 + nj * cbh, cx0:cx0 + ni * cbw]
+                .reshape(nj, cbh, ni, cbw).sum(axis=(1, 3))
                 // carea).reshape(-1)
-        vavg = (vb.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+        vavg = (vvw[cy0:cy0 + nj * cbh, cx0:cx0 + ni * cbw]
+                .reshape(nj, cbh, ni, cbw).sum(axis=(1, 3))
                 // carea).reshape(-1)
-        nature = (uavg < 128) & (vavg < 160)
-        greyish = (np.abs(uavg - 128) < 8) & (np.abs(vavg - 128) < 8)
-        skinnish = ((avg > 80) & (avg < 230) & (np.abs(uavg - 108) < 24)
-                    & (np.abs(vavg - 148) < 24))
-        hifreq = (uavg > 160) & ~greyish & ~skinnish
-        foliage = nature & (avg < 160) & (detail > (36 * area) // max(scale, 1))
-        is_text &= ~foliage
-        ring_cond = foliage | ((hvar <= np.minimum(qtex - 3, 2) * 16)
-                               & (qtex > 1))
-        if do_psy & K.PSY_ADAPTIVE_RINGING:
-            ringing = ~hifreq & ring_cond
-        var_t = np.where(nature | greyish | skinnish, 20,
-                         np.where(~hifreq, 16, 8))
-    maintain = np.ones(n, dtype=bool)
-    keep_hf = np.ones(n, dtype=bool)
-    if do_psy & (K.PSY_CONTENT_ANALYSIS | K.PSY_ADAPTIVE_QUANT):
-        d = detail // area
-        keep_hf &= d < 48
-        maintain = d < var_t * 4
-    if do_psy & K.PSY_CONTENT_ANALYSIS:
-        keep_hf = np.where(foliage, False, np.where(is_text, True, keep_hf))
-        maintain = np.where(foliage, True, np.where(is_text, False, maintain))
-    if do_psy & K.PSY_ADAPTIVE_RINGING:
-        ringing |= avg < 24
-    mf.flags = ((ringing.astype(np.uint32) << K.MV_BIT_RINGING)
-                | (maintain.astype(np.uint32) << K.MV_BIT_MAINTAIN)
-                | (keep_hf.astype(np.uint32) << K.MV_BIT_SKIP))
+        ring, maint, keep = _group_flags(np, f, uavg, vavg, gbw * gbh,
+                                         scale, do_psy)
+        ring_g[j0:j0 + nj, i0:i0 + ni] = ring.reshape(nj, ni)
+        maint_g[j0:j0 + nj, i0:i0 + ni] = maint.reshape(nj, ni)
+        keep_g[j0:j0 + nj, i0:i0 + ni] = keep.reshape(nj, ni)
+    mf.flags = ((ring_g.reshape(-1).astype(np.uint32) << K.MV_BIT_RINGING)
+                | (maint_g.reshape(-1).astype(np.uint32)
+                   << K.MV_BIT_MAINTAIN)
+                | (keep_g.reshape(-1).astype(np.uint32) << K.MV_BIT_SKIP))
     return mf
 
 
@@ -352,8 +407,8 @@ def _intra_analysis_scalar(frame, params):
 def device_intra_flags(pcfg):
     """Returns f(y, u, v) -> (ringing, maintain, keep_hf) bool grids
     (nbv, nbh); y/u/v are the interior planes handed to the batched intra
-    step (uint8, chroma dims from pcfg)."""
-    import jax
+    step (uint8, coef dims from pcfg; rows past the visible height carry
+    padding and are never read — blocks come from the visible region)."""
     import jax.numpy as jnp
     from .hme_wave import isqrt_u32
 
@@ -362,13 +417,13 @@ def device_intra_flags(pcfg):
     bw, bh = p.blk_w, p.blk_h
     nbh, nbv = p.nbh, p.nbv
     hs, vs = K.fmt_h_shift(meta.subsamp), K.fmt_v_shift(meta.subsamp)
-    cbw, cbh = bw >> hs, bh >> vs
     scale = 2 * p.psyf_all
     do_psy = p.do_psy
-    n = nbh * nbv
-    area = bw * bh
+    pw, ph = p.pdims[0]
 
-    def features(blocks):
+    def features(blocks, gbw, gbh):
+        n = blocks.shape[0]
+        area = gbw * gbh
         pix = blocks.astype(jnp.int32)
         s = pix.sum(axis=(1, 2))
         sh = jnp.abs(pix[:, :, 1:] - pix[:, :, :-1]).sum(axis=(1, 2))
@@ -383,7 +438,7 @@ def device_intra_flags(pcfg):
         sh2 = (dh * dh).sum(axis=(1, 2))
         dv = q4[:, 1:, :] - q4[:, :-1, :]
         sv2 = (dv * dv).sum(axis=(1, 2))
-        qtex = isqrt_u32(jnp.maximum(sh2, sv2)) // avg2(bw, bh)
+        qtex = isqrt_u32(jnp.maximum(sh2, sv2)) // avg2(gbw, gbh)
         havg = jnp.maximum(avg, 1)
         quant16 = ((1 << (HISTBITS - 1)) << 16) // havg
         hi = jnp.clip((pix * quant16[:, None, None]) >> 16, 0, NHIST - 1)
@@ -392,89 +447,61 @@ def device_intra_flags(pcfg):
         hm = hist.sum(axis=1) // NHIST
         hvar_raw = ((hist - hm[:, None]) ** 2).sum(axis=1)
         hvar = (hvar_raw * 256) // (NHIST * area * area)
-        w2, h2 = bw // 2, bh // 2
+        w2, h2 = gbw // 2, gbh // 2
         ds = (pix[:, 0:2 * h2:2, 0:2 * w2:2] + pix[:, 0:2 * h2:2, 1:2 * w2:2]
               + pix[:, 1:2 * h2:2, 0:2 * w2:2]
               + pix[:, 1:2 * h2:2, 1:2 * w2:2] + 2) >> 2
         hi2 = jnp.minimum((ds * quant16[:, None, None]) >> 16, NHIST - 1)
-        ph = (hi2[..., None] == jnp.arange(NHIST)).sum(
+        phst = (hi2[..., None] == jnp.arange(NHIST)).sum(
             axis=(1, 2)).astype(jnp.int32)
-        pavg = ph.sum(axis=1) // NHIST
-        maxv = ph.max(axis=1) >> 2
+        pavg = phst.sum(axis=1) // NHIST
+        maxv = phst.max(axis=1) >> 2
         left = jnp.concatenate(
-            [jnp.full((n, 1), -1, ph.dtype), ph[:, :-1]], axis=1)
+            [jnp.full((n, 1), -1, phst.dtype), phst[:, :-1]], axis=1)
         right = jnp.concatenate(
-            [ph[:, 1:], jnp.full((n, 1), -1, ph.dtype)], axis=1)
-        is_peak = ((ph > left) & (ph > right)
-                   & ((ph > maxv[:, None]) | (ph > pavg[:, None])))
+            [phst[:, 1:], jnp.full((n, 1), -1, phst.dtype)], axis=1)
+        is_peak = ((phst > left) & (phst > right)
+                   & ((phst > maxv[:, None]) | (phst > pavg[:, None])))
         return dict(detail=detail, avg=avg, var=var,
                     tex=jnp.maximum(sh, sv), qtex=qtex, hvar=hvar,
                     npeaks=is_peak.sum(axis=1))
 
     def f(y, u, v):
-        blocks = (y[:nbv * bh, :nbh * bw]
-                  .reshape(nbv, bh, nbh, bw).transpose(0, 2, 1, 3)
-                  .reshape(n, bh, bw))
-        ft = features(blocks)
-        detail, avg = ft["detail"], ft["avg"]
-        ringing = jnp.zeros(n, bool)
-        foliage = jnp.zeros(n, bool)
-        is_text = jnp.zeros(n, bool)
-        var_t = jnp.full(n, 16, jnp.int32)
-        if do_psy & (K.PSY_ADAPTIVE_RINGING | K.PSY_CONTENT_ANALYSIS):
-            hvar, qtex, npeaks = ft["hvar"], ft["qtex"], ft["npeaks"]
-            luma_var = ft["var"] // area
-            luma_tex = ft["tex"] // area
-            is_text = jnp.abs(npeaks - 2) <= 1
-            tf2 = (((qtex == 1) | (qtex == 2)) & (hvar <= 3)
-                   & (luma_tex >= 10) & (luma_var >= luma_tex))
-            tf = (((qtex == 2) | (qtex == 3)) & (luma_tex >= 8)
-                  & (luma_var >= 2 * luma_tex) & (jnp.abs(hvar - 5) <= 3))
-            is_text &= (tf | tf2)
+        ui = u.astype(jnp.int32)
+        vi = v.astype(jnp.int32)
+        ring_g = jnp.zeros((nbv, nbh), bool)
+        maint_g = jnp.zeros((nbv, nbh), bool)
+        keep_g = jnp.zeros((nbv, nbh), bool)
+        for (j0, nj, i0, ni, gbw, gbh) in _grid_groups(pw, ph, bw, bh):
+            y0, x0 = j0 * bh, i0 * bw
+            blocks = (y[y0:y0 + nj * gbh, x0:x0 + ni * gbw]
+                      .reshape(nj, gbh, ni, gbw).transpose(0, 2, 1, 3)
+                      .reshape(nj * ni, gbh, gbw))
+            ft = features(blocks, gbw, gbh)
+            cbw, cbh = gbw >> hs, gbh >> vs
+            cy0, cx0 = (j0 * bh) >> vs, (i0 * bw) >> hs
             carea = cbw * cbh
-            ub = u[:nbv * cbh, :nbh * cbw].astype(jnp.int32)
-            vb = v[:nbv * cbh, :nbh * cbw].astype(jnp.int32)
-            uavg = (ub.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+            uavg = (ui[cy0:cy0 + nj * cbh, cx0:cx0 + ni * cbw]
+                    .reshape(nj, cbh, ni, cbw).sum(axis=(1, 3))
                     // carea).reshape(-1)
-            vavg = (vb.reshape(nbv, cbh, nbh, cbw).sum(axis=(1, 3))
+            vavg = (vi[cy0:cy0 + nj * cbh, cx0:cx0 + ni * cbw]
+                    .reshape(nj, cbh, ni, cbw).sum(axis=(1, 3))
                     // carea).reshape(-1)
-            nature = (uavg < 128) & (vavg < 160)
-            greyish = (jnp.abs(uavg - 128) < 8) & (jnp.abs(vavg - 128) < 8)
-            skinnish = ((avg > 80) & (avg < 230) & (jnp.abs(uavg - 108) < 24)
-                        & (jnp.abs(vavg - 148) < 24))
-            hifreq = (uavg > 160) & ~greyish & ~skinnish
-            foliage = nature & (avg < 160) & (detail
-                                              > (36 * area) // max(scale, 1))
-            is_text &= ~foliage
-            ring_cond = foliage | ((hvar <= jnp.minimum(qtex - 3, 2) * 16)
-                                   & (qtex > 1))
-            if do_psy & K.PSY_ADAPTIVE_RINGING:
-                ringing = ~hifreq & ring_cond
-            var_t = jnp.where(nature | greyish | skinnish, 20,
-                              jnp.where(~hifreq, 16, 8))
-        maintain = jnp.ones(n, bool)
-        keep_hf = jnp.ones(n, bool)
-        if do_psy & (K.PSY_CONTENT_ANALYSIS | K.PSY_ADAPTIVE_QUANT):
-            d = detail // area
-            keep_hf &= d < 48
-            maintain = d < var_t * 4
-        if do_psy & K.PSY_CONTENT_ANALYSIS:
-            keep_hf = jnp.where(foliage, False,
-                                jnp.where(is_text, True, keep_hf))
-            maintain = jnp.where(foliage, True,
-                                 jnp.where(is_text, False, maintain))
-        if do_psy & K.PSY_ADAPTIVE_RINGING:
-            ringing |= avg < 24
-        grid = lambda a: a.reshape(nbv, nbh)
-        return grid(ringing), grid(maintain), grid(keep_hf)
+            ring, maint, keep = _group_flags(jnp, ft, uavg, vavg,
+                                             gbw * gbh, scale, do_psy)
+            ring_g = ring_g.at[j0:j0 + nj, i0:i0 + ni].set(
+                ring.reshape(nj, ni))
+            maint_g = maint_g.at[j0:j0 + nj, i0:i0 + ni].set(
+                maint.reshape(nj, ni))
+            keep_g = keep_g.at[j0:j0 + nj, i0:i0 + ni].set(
+                keep.reshape(nj, ni))
+        return ring_g, maint_g, keep_g
 
     return f
 
 
 def device_analysis_ok(pcfg):
-    """True when the device fast path applies (same preconditions as
-    _intra_analysis_fast)."""
+    """True when the vectorized/device analysis applies (grouped fast
+    path; tiny edge slivers stay on the scalar host path)."""
     p = pcfg
-    return (p.meta.width % p.blk_w == 0 and p.meta.height % p.blk_h == 0
-            and (p.blk_w >> K.fmt_h_shift(p.meta.subsamp)) >= 2
-            and (p.blk_h >> K.fmt_v_shift(p.meta.subsamp)) >= 2)
+    return _vector_ok(p.pdims[0][0], p.pdims[0][1], p)

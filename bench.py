@@ -6,10 +6,13 @@ Prints ONE JSON line:
 
 vs_baseline = our fps / single-threaded C reference fps measured on this
 host in the same run (the reference publishes no numbers; BASELINE.md).
-Config: CIF 352x288 4:2:0 intra encode, 128 frames, qp=60 (round-1 scope:
-the P-frame search is still host-bound; see PROGRESS.jsonl). Both sides
-encode the same clip; chunked device batches overlap host serialization
-with device compute.
+Headline config: FHD 1920x1080 4:2:0 intra encode, 32 frames, qp=60 —
+the driver-defined metric resolution (BASELINE.md "1080p encode fps per
+chip"); the produced .dsv is byte-identical to the reference binary's.
+Chunked device batches overlap host serialization with device compute;
+coefficients cross the link in the dense split-band format. When the TPU
+tunnel is unreachable the bench falls back to CIF on CPU (compiling the
+FHD program on the CPU backend would blow the time budget).
 """
 import json
 import os
@@ -20,30 +23,28 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-W, H, NFRAMES = 352, 288, 128
 ARGS = ["-qp=60", "-gop=0"]
 
 
-def ensure_inputs():
-    import numpy as np
+def ensure_inputs(w, h, nframes):
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import mkfixtures
-    path = f"/tmp/dsv2_bench_cif{NFRAMES}.y4m"
+    path = f"/tmp/dsv2_bench_{w}x{h}_{nframes}.y4m"
     if not os.path.exists(path):
-        mkfixtures.write_y4m(path, W, H, NFRAMES)
+        mkfixtures.write_y4m(path, w, h, nframes)
     return path
 
 
-def ref_fps(ref_bin, src):
+def ref_fps(ref_bin, src, nframes):
     t0 = time.perf_counter()
     subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
                     "-out=/tmp/dsv2_bench_ref.dsv", "-y4m=1"] + ARGS,
                    capture_output=True)
     dt = time.perf_counter() - t0
-    return NFRAMES / dt
+    return nframes / dt
 
 
-def our_fps(src, want):
+def our_fps(src, want, nframes, chunk):
     from dsv2_tpu.utils import y4m
     from dsv2_tpu.utils.packet import VideoMeta
     from dsv2_tpu.cli import make_encoder, default_enc_opts
@@ -57,7 +58,7 @@ def our_fps(src, want):
             if p is None:
                 break
             frames.append(p)
-    meta = VideoMeta(width=W, height=H, subsamp=rdr.subsamp,
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
                      fps_num=rdr.fps[0], fps_den=rdr.fps[1],
                      aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
 
@@ -66,18 +67,18 @@ def our_fps(src, want):
 
     # warmup (jit compile of the batched device pipeline, same batch shape)
     enc = mk()
-    encode_intra_batch(enc, frames)
+    encode_intra_batch(enc, frames, chunk=chunk)
     # timed run
     enc = mk()
     t0 = time.perf_counter()
-    out = encode_intra_batch(enc, frames)
+    out = encode_intra_batch(enc, frames, chunk=chunk)
     out += enc.end_of_stream()
     dt = time.perf_counter() - t0
     ours = b"".join(out)
     if ours != want:
         print("# WARNING: stream does not byte-match the reference",
               file=sys.stderr)
-    return NFRAMES / dt
+    return nframes / dt
 
 
 def _pick_platform():
@@ -107,15 +108,21 @@ def main():
             print("# WARNING: TPU tunnel unreachable, benching on CPU",
                   file=sys.stderr)
     dsv2_tpu.enable_compile_cache()
+    if plat == "cpu":
+        w, h, nframes, chunk, metric = 352, 288, 64, 16, \
+            "cif_intra_encode_fps_cpu"
+    else:
+        w, h, nframes, chunk, metric = 1920, 1080, 32, 8, \
+            "fhd_intra_encode_fps"
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,
                              check=True).stdout.strip()
-    src = ensure_inputs()
-    c_fps = ref_fps(os.path.join(ref_dir, "dsv2"), src)
+    src = ensure_inputs(w, h, nframes)
+    c_fps = ref_fps(os.path.join(ref_dir, "dsv2"), src, nframes)
     want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
-    fps = our_fps(src, want)
+    fps = our_fps(src, want, nframes, chunk)
     print(json.dumps({
-        "metric": "cif_intra_encode_fps",
+        "metric": metric,
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / c_fps, 4),

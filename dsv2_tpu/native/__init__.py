@@ -80,6 +80,10 @@ def lib():
                 C.POINTER(C.c_int32), C.POINTER(C.c_int8),
                 C.POINTER(Seg), C.c_int,
                 C.POINTER(C.c_uint8), C.c_int64]
+            L.dsvn_expand_rows.restype = C.c_int32
+            L.dsvn_expand_rows.argtypes = [
+                C.POINTER(C.c_int8), C.POINTER(C.c_int32), C.c_int64,
+                C.c_int32, C.POINTER(C.c_int8), C.c_int64]
             L.dsvn_luma_avg_ds.restype = C.c_int32
             L.dsvn_luma_avg_ds.argtypes = [
                 C.POINTER(C.c_uint8), C.c_int64, C.c_int32, C.c_int32,
@@ -214,6 +218,19 @@ def scan_encode_d8(llband, rest8, segments):
         cap = buf.size * 4
     _scan_bufs.used = int(n)
     return buf[:n].tobytes()
+
+
+def expand_rows(packed, rowids, segb, total):
+    """Expand segment-compacted HF rows (nonzero rows first + original
+    row ids) back into the flat dense int8 layout."""
+    pk = np.ascontiguousarray(packed, dtype=np.int8).reshape(-1)
+    ri = np.ascontiguousarray(rowids, dtype=np.int32)
+    dense = np.empty(total, dtype=np.int8)
+    r = lib().dsvn_expand_rows(_i8p(pk), _i32p(ri), ri.size, int(segb),
+                               _i8p(dense), total)
+    if r != 0:
+        raise ValueError("segment row id out of range")
+    return dense
 
 
 def unpack_scan(seg, total):

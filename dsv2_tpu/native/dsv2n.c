@@ -1370,6 +1370,25 @@ API int64_t dsvn_scan_enc_d8(const int32_t *ll, const int8_t *rest,
     return (int64_t)(w.bit >> 3);
 }
 
+/* Expand segment-compacted HF rows back into the flat dense int8 layout:
+ * the device ships only the rows containing nonzeros (row-gathered to the
+ * buffer front) plus their original row ids; all-zero rows are implied.
+ * dense (total bytes) is fully rewritten. Returns 0, or -1 on a row id
+ * out of range. */
+API int32_t dsvn_expand_rows(const int8_t *packed, const int32_t *rowids,
+                             int64_t nrows, int32_t segb,
+                             int8_t *dense, int64_t total)
+{
+    int64_t k;
+    memset(dense, 0, (size_t)total);
+    for (k = 0; k < nrows; k++) {
+        int64_t off = (int64_t)rowids[k] * segb;
+        if (off < 0 || off + segb > total) return -1;
+        memcpy(dense + off, packed + k * segb, (size_t)segb);
+    }
+    return 0;
+}
+
 /* ------------------------------------------------------------------ */
 /* Whole-packet assembly: intra picture packets for a frame batch.    */
 /* The bit layout mirrors the encoder session's Python serializer      */

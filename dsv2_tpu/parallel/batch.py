@@ -35,9 +35,28 @@ from . import xfer
 from .xfer import pack_segment, merge_rows, slice_packed
 from ..utils.trace import stage as _stage
 
+SEGB = 256  # segment-sparse HF payload granularity (bytes per row)
+
+
 def pcfg_total(pcfg, c):
     """Scan length of plane c (longer than cw*ch at odd tilings)."""
     return hzcc.total_scan_coefs(*pcfg.cdims[c])
+
+
+def _seg_layout(pcfg):
+    """(rest_n, padded rest_n, padded base) per plane for the
+    segment-sparse layout."""
+    rests, pads, bases = [], [], []
+    pos = 0
+    for c in range(3):
+        ll_n = hzcc.scan_segments(*pcfg.cdims[c])[0][0]
+        rest = pcfg_total(pcfg, c) - ll_n
+        pad = -rest % SEGB
+        rests.append(rest)
+        pads.append(rest + pad)
+        bases.append(pos)
+        pos += rest + pad
+    return rests, pads, bases, pos
 
 
 @functools.lru_cache(maxsize=None)
@@ -70,7 +89,9 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
             if xfer.MODE == "dense":
                 ll_n = hzcc.scan_segments(*pcfg.cdims[c])[0][0]
                 ll32, r8, n, ovf = xfer.dense_out(v, ll_n)
-                return (px, r8, ll32, ovf.astype(jnp.int32), v,
+                pad = -r8.shape[0] % SEGB
+                rp = jnp.pad(r8, (0, pad))
+                return (px, rp, ll32, ovf.astype(jnp.int32), v,
                         jnp.zeros(0, jnp.int32), n, coefs[0, 0])
             row, used, fb, vals_c, pos_c, n = pack_segment(v)
             return px, row, used, fb, vals_c, pos_c, n, coefs[0, 0]
@@ -96,8 +117,16 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
         outs = [jax.vmap(one_plane(c))(xs, bd, qs)
                 for c, xs in enumerate((xs0, xs1, xs2))]
         if xfer.MODE == "dense":
+            # segment-sparse HF payload: all-zero SEGB-byte rows are
+            # implied; nonzero rows gather to the buffer front (one
+            # bucketed prefix fetch) with their original row ids
+            rows = jnp.concatenate([o[1] for o in outs],
+                                   axis=1).reshape(-1, SEGB)
+            nz = jnp.any(rows != 0, axis=1)
+            perm = jnp.argsort(~nz, stable=True).astype(jnp.int32)
             buf = (jnp.concatenate([o[2] for o in outs], axis=1),
-                   jnp.concatenate([o[1] for o in outs], axis=1))
+                   jnp.take(rows, perm, axis=0), perm,
+                   nz.sum(dtype=jnp.int32))
             # metadata, one fetch per chunk: nnz, ll, ll_n, overflow per
             # plane (c-major), each (nfr,)
             smalls = jnp.concatenate(
@@ -317,13 +346,19 @@ def _start_fetch(ctx):
     the copy starts without consulting the metadata."""
     buf, smalls, pxs_dev, fb_dev, need_recon, flbd = ctx["dev"]
     nfr = len(ctx["datas"])
-    if isinstance(buf, tuple):  # dense split-band, fixed-shape
-        for b in buf:
-            b.copy_to_host_async()
+    if isinstance(buf, tuple):  # dense split-band, segment-sparse HF
+        llbuf, packed_rows, perm, nrows = buf
+        llbuf.copy_to_host_async()
+        k = int(np.asarray(nrows))  # compute overlapped host prep already
+        kb = min(-(-max(k, 1) // 512) * 512, packed_rows.shape[0])
+        pk = packed_rows[:kb]
+        pm = perm[:kb]
+        pk.copy_to_host_async()
+        pm.copy_to_host_async()
         if need_recon:
             for px in pxs_dev:
                 px.copy_to_host_async()
-        ctx["fetch"] = (None, None, None, None, buf)
+        ctx["fetch"] = (None, None, None, None, (llbuf, pk, pm, k))
         return
     sm = np.asarray(smalls)
     per = nfr * 4
@@ -384,8 +419,8 @@ def _serialize_chunk(enc, ctx):
     from ..utils import log
     ns, lls, used_flat, fbs, packed_dev = ctx["fetch"]
     if ns is None:
-        # dense split-band transfer: fixed layout, metadata read only
-        # decides the HF-overflow fallback (low-qp / lossless content)
+        # dense split-band transfer, segment-sparse HF rows: the metadata
+        # read decides the HF-overflow fallback (low-qp / lossless)
         sm = np.asarray(smalls)
         per = nfr * 4
         ns, lls, ll_ns, ovfs = [], [], [], []
@@ -395,11 +430,14 @@ def _serialize_chunk(enc, ctx):
             lls.append(seg[nfr:2 * nfr])
             ll_ns.append(int(seg[2 * nfr]))
             ovfs.append(seg[3 * nfr:4 * nfr])
-        llflat = np.asarray(packed_dev[0])  # (nfr, Lsum); copies started
-        r8flat = np.asarray(packed_dev[1])  # (nfr, Rsum)
-        rests = [pcfg_total(pcfg, c) - ll_ns[c] for c in range(3)]
+        llbuf, pk, pm, k = packed_dev
+        llflat = np.asarray(llbuf)          # (nfr, Lsum); copies started
+        rests, rpads, rbases_l, rall = _seg_layout(pcfg)
+        r8flat = native.expand_rows(
+            np.asarray(pk)[:k], np.asarray(pm)[:k], SEGB,
+            nfr * rall).reshape(nfr, rall)
+        rbases = rbases_l
         lbases = np.concatenate([[0], np.cumsum(ll_ns)[:-1]])
-        rbases = np.concatenate([[0], np.cumsum(rests)[:-1]])
         if (not any(int(ovfs[c][fi]) for c in range(3)
                     for fi in range(nfr))
                 and log.get_level() < log.LEVEL_INFO):

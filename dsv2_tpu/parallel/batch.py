@@ -165,7 +165,7 @@ def encode_intra_batch(enc, frame_planes, chunk=16):
             # chunk's compute: device work runs in-order, so a fetch issued
             # after dispatch would stall behind the next chunk
             with _stage("batch.fetch"):
-                _start_fetch(pending)
+                _start_fetch(enc, pending)
         with _stage("batch.dispatch"):
             _dispatch_chunk(enc, ctx)
         if pending is not None:
@@ -174,7 +174,7 @@ def encode_intra_batch(enc, frame_planes, chunk=16):
         pending = ctx
     if pending is not None:
         with _stage("batch.fetch"):
-            _start_fetch(pending)
+            _start_fetch(enc, pending)
         with _stage("batch.serialize"):
             out.extend(_serialize_chunk(enc, pending))
     return out
@@ -335,22 +335,29 @@ def _dispatch_chunk(enc, ctx):
                           need_recon, ctx["analyze"])
     buf, smalls, pxs_dev, fb_dev, flbd = fn(xs[0], xs[1], xs[2], bds, qs)
     smalls.copy_to_host_async()
+    if isinstance(buf, tuple):
+        # dense mode: start every metadata/fixed-size copy right away so
+        # the fetch stage only waits for the variable-length row prefix
+        buf[0].copy_to_host_async()   # llbuf
+        buf[3].copy_to_host_async()   # nonzero-row count
     if ctx["analyze"]:
         flbd[0].copy_to_host_async()
     ctx["dev"] = (buf, smalls, pxs_dev, fb_dev, need_recon, flbd)
 
 
-def _start_fetch(ctx):
-    """Blocking metadata read (chunk compute has overlapped host prep),
-    then enqueue the payload d2h copy. Dense payloads are fixed-shape, so
-    the copy starts without consulting the metadata."""
+def _start_fetch(enc, ctx):
+    """Enqueue the payload d2h copies WITHOUT blocking (so the next
+    chunk's dispatch + uploads overlap this chunk's compute). The
+    variable-length nonzero-row prefix is fetched at an adaptive guessed
+    length; the exact count is read at serialize time and a rare tail
+    fetch patches an under-guess."""
     buf, smalls, pxs_dev, fb_dev, need_recon, flbd = ctx["dev"]
     nfr = len(ctx["datas"])
     if isinstance(buf, tuple):  # dense split-band, segment-sparse HF
         llbuf, packed_rows, perm, nrows = buf
-        llbuf.copy_to_host_async()
-        k = int(np.asarray(nrows))  # compute overlapped host prep already
-        kb = min(-(-max(k, 1) // 512) * 512, packed_rows.shape[0])
+        total_rows = packed_rows.shape[0]
+        guess = getattr(enc, "_seg_guess", total_rows)
+        kb = min(-(-max(guess, 1) // 512) * 512, total_rows)
         pk = packed_rows[:kb]
         pm = perm[:kb]
         pk.copy_to_host_async()
@@ -358,7 +365,8 @@ def _start_fetch(ctx):
         if need_recon:
             for px in pxs_dev:
                 px.copy_to_host_async()
-        ctx["fetch"] = (None, None, None, None, (llbuf, pk, pm, k))
+        ctx["fetch"] = (None, None, None, None,
+                        (llbuf, pk, pm, kb, packed_rows, perm, nrows))
         return
     sm = np.asarray(smalls)
     per = nfr * 4
@@ -430,12 +438,22 @@ def _serialize_chunk(enc, ctx):
             lls.append(seg[nfr:2 * nfr])
             ll_ns.append(int(seg[2 * nfr]))
             ovfs.append(seg[3 * nfr:4 * nfr])
-        llbuf, pk, pm, k = packed_dev
+        llbuf, pk, pm, kb, packed_rows, perm, nrows = packed_dev
         llflat = np.asarray(llbuf)          # (nfr, Lsum); copies started
+        k = int(np.asarray(nrows))
+        enc._seg_guess = k + (k >> 2) + 256  # adapt the next prefix guess
+        if k <= kb:
+            pkh = np.asarray(pk)[:k]
+            pmh = np.asarray(pm)[:k]
+        else:  # under-guess: one tail fetch patches the miss
+            kb2 = min(-(-k // 512) * 512, packed_rows.shape[0])
+            pkh = np.concatenate(
+                [np.asarray(pk), np.asarray(packed_rows[kb:kb2])])[:k]
+            pmh = np.concatenate(
+                [np.asarray(pm), np.asarray(perm[kb:kb2])])[:k]
         rests, rpads, rbases_l, rall = _seg_layout(pcfg)
         r8flat = native.expand_rows(
-            np.asarray(pk)[:k], np.asarray(pm)[:k], SEGB,
-            nfr * rall).reshape(nfr, rall)
+            pkh, pmh, SEGB, nfr * rall).reshape(nfr, rall)
         rbases = rbases_l
         lbases = np.concatenate([[0], np.cumsum(ll_ns)[:-1]])
         if (not any(int(ovfs[c][fi]) for c in range(3)

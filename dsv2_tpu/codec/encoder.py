@@ -15,7 +15,7 @@ from ..bitstream import BitWriter
 from ..core import constants as K
 from ..core import intmath as im
 from ..core.frame import Frame, plane_dims, coef_dims, ds2x_luma, B
-from ..ops import sbt, hzcc, mc, blockanalysis
+from ..ops import sbt, hzcc, blockanalysis
 from ..utils import packet
 from ..utils.packet import VideoMeta
 from . import plane as planecode
@@ -603,46 +603,6 @@ class Encoder:
         return out
 
     # -- P-frame machinery ----------------------------------------------------
-
-    def _sub_pred(self, d):
-        """Prediction + residual subtraction (ref: dsv_sub_pred via
-        encode_picture, dsv_encoder.c:1125)."""
-        p = d.params
-        meta = self.meta
-        mf = d.final_mvs
-        pcfg = _PCfg(meta, p.blk_w, p.blk_h, True, p.lossless, p.do_psy)
-        pred = Frame(meta.subsamp, meta.width, meta.height, border=True)
-        for c in range(3):
-            mcc = pcfg.mc_cfg(c)
-            pr = mc.make_predict(mcc)(
-                d.refdata.residual.planes[c],
-                mf.grid(mf.x).astype(np.int32),
-                mf.grid(mf.y).astype(np.int32),
-                mf.grid(mf.flags).astype(np.int32),
-                mf.grid(mf.submask).astype(np.int32),
-                mf.grid(mf.dc).astype(np.int32),
-                np.int32(p.temporal_mc))
-            pred.planes[c][B:B + mcc.gh, B:B + mcc.gw] = np.asarray(pr)
-            res_canvas = d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw]
-            res2 = mc.make_subtract(mcc)(
-                res_canvas, pr, mf.grid(mf.flags).astype(np.int32))
-            d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = np.asarray(res2)
-        return pred
-
-    def _add_res(self, d, pred, pcfg, inter_filter):
-        """Reconstruction for the reference chain (ref: dsv_add_res via
-        dsv_encoder.c:1166-1172)."""
-        p = d.params
-        mf = d.final_mvs
-        for c in range(3):
-            mcc = pcfg.mc_cfg(c)
-            res_canvas = d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw]
-            pred_canvas = pred.planes[c][B:B + mcc.gh, B:B + mcc.gw]
-            recon = mc.make_reconstruct(mcc)(
-                res_canvas, pred_canvas, mf.grid(mf.flags).astype(np.int32))
-            d.residual.planes[c][B:B + mcc.gh, B:B + mcc.gw] = np.asarray(recon)
-        apply_inloop_filters(d.residual, mf, pcfg, d.quant, inter_filter,
-                             p.temporal_mc)
 
     def _motion_est(self, d):
         from . import hme

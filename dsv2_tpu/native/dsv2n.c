@@ -265,48 +265,51 @@ API uint32_t dsvn_scan_dec(const uint8_t *buf, uint32_t lim,
 
 #define FDIM 4
 
-#define LPF6(e0, i0, e1, i1) ((5 * ((e0) + (i0)) + 3 * ((e1) + (i1)) + 8) >> 4)
-
-static int flat6(int e2, int e1, int e0, int i0, int i1, int i2, int avg, int t)
+/* Six-tap flatness test + boundary smoothing shared by both filter
+ * orientations. Taps t[0..5] run across the boundary, three per side;
+ * when every tap sits within `thr` of the lowpass estimate, c[0..4]
+ * receives the smoothed tap band (the edge pass writes c[0..3] onto
+ * taps 1..4, the interior pass writes c[1..4]). Returns nonzero when
+ * the smoothing fired. (ref: bmc.c:51-119 bit layout) */
+static int filt6(const int t[6], int thr, int c[5])
 {
-    return iabs(e0 - avg) < t && iabs(i0 - avg) < t &&
-           iabs(e1 - avg) < t && iabs(i1 - avg) < t &&
-           iabs(e2 - avg) < t && iabs(i2 - avg) < t;
+    int lp = (5 * (t[2] + t[3]) + 3 * (t[1] + t[4]) + 8) >> 4;
+    int k, lp5;
+
+    for (k = 0; k < 6; k++)
+        if (iabs(t[k] - lp) >= thr) return 0;
+    lp5 = 5 * lp;
+    c[0] = (3 * (lp + t[1]) + 2 * t[0] + 4) >> 3;
+    c[1] = (lp5 + 2 * t[1] + t[0] + 4) >> 3;
+    c[2] = lp;
+    c[3] = (lp5 + 2 * t[4] + t[5] + 4) >> 3;
+    c[4] = (3 * (lp + t[4]) + 2 * t[5] + 4) >> 3;
+    return 1;
 }
 
 static void hfilt(uint8_t *b, int w, int h, int s,
                   int x, int y, int edge, int thE, int thM)
 {
-    int line, top, bot, in_edge;
+    int yy, y0, y1, in_edge;
 
     if (x < FDIM || x > w - FDIM || (edge && thE <= 0) || thM <= 0) return;
-    top = x + iclamp(y, 0, h - 1) * s;
-    bot = x + iclamp(y + FDIM, 0, h - 1) * s;
-    in_edge = x < (w - FDIM - FDIM);
+    y0 = iclamp(y, 0, h - 1);
+    y1 = iclamp(y + FDIM, 0, h - 1);
+    in_edge = x < (w - 2 * FDIM);
     if (!edge) thE = thM;
-    for (line = top; line < bot; line += s) {
-        int e2 = b[line - 3], e1 = b[line - 2], e0 = b[line - 1];
-        int i0 = b[line + 0], i1 = b[line + 1], i2 = b[line + 2];
-        int avg = LPF6(e0, i0, e1, i1);
-        if (flat6(e2, e1, e0, i0, i1, i2, avg, thE)) {
-            b[line - 2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
-            b[line + 0] = (uint8_t)avg;
-            avg *= 5;
-            b[line - 1] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
-            b[line + 1] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
-        }
+    for (yy = y0; yy < y1; yy++) {
+        uint8_t *row = b + yy * s + x;
+        int t[6], c[5], k;
+
+        for (k = 0; k < 6; k++) t[k] = row[k - 3];
+        if (filt6(t, thE, c))
+            for (k = 0; k < 4; k++) row[k - 2] = (uint8_t)c[k];
         if (in_edge) {
-            int k = line + FDIM;
-            i2 = b[k - 2]; i1 = b[k - 1]; i0 = b[k + 0];
-            e0 = b[k + 1]; e1 = b[k + 2]; e2 = b[k + 3];
-            avg = LPF6(e0, i0, e1, i1);
-            if (flat6(e2, e1, e0, i0, i1, i2, avg, thM)) {
-                b[k + 0] = (uint8_t)avg;
-                b[k + 2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
-                avg *= 5;
-                b[k - 1] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
-                b[k + 1] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
-            }
+            uint8_t *mid = row + FDIM;
+
+            for (k = 0; k < 6; k++) t[k] = mid[k - 2];
+            if (filt6(t, thM, c))
+                for (k = 0; k < 4; k++) mid[k - 1] = (uint8_t)c[k + 1];
         }
     }
 }
@@ -314,90 +317,78 @@ static void hfilt(uint8_t *b, int w, int h, int s,
 static void vfilt(uint8_t *b, int w, int h, int s,
                   int x, int y, int edge, int thE, int thM)
 {
-    int beg, end, i, s2 = 2 * s, s3 = 3 * s, in_edge;
-    uint8_t *bk = b + FDIM * s;
+    int xx, x0, x1, in_edge;
 
     if (y < FDIM || y > h - FDIM || (edge && thE <= 0) || thM <= 0) return;
-    beg = iclamp(x, 0, w - 1) + y * s;
-    end = iclamp(x + FDIM, 0, w - 1) + y * s;
-    in_edge = y < (h - FDIM - FDIM);
+    x0 = iclamp(x, 0, w - 1);
+    x1 = iclamp(x + FDIM, 0, w - 1);
+    in_edge = y < (h - 2 * FDIM);
     if (!edge) thE = thM;
-    for (i = beg; i < end; i++) {
-        int e2 = b[i - s3], e1 = b[i - s2], e0 = b[i - s];
-        int i0 = b[i + 0], i1 = b[i + s], i2 = b[i + s2];
-        int avg = LPF6(e0, i0, e1, i1);
-        if (flat6(e2, e1, e0, i0, i1, i2, avg, thE)) {
-            b[i - s2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
-            b[i + 0] = (uint8_t)avg;
-            avg *= 5;
-            b[i - s] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
-            b[i + s] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
-        }
+    for (xx = x0; xx < x1; xx++) {
+        uint8_t *col = b + y * s + xx;
+        int t[6], c[5], k;
+
+        for (k = 0; k < 6; k++) t[k] = col[(k - 3) * s];
+        if (filt6(t, thE, c))
+            for (k = 0; k < 4; k++) col[(k - 2) * s] = (uint8_t)c[k];
         if (in_edge) {
-            i2 = bk[i - s2]; i1 = bk[i - s]; i0 = bk[i + 0];
-            e0 = bk[i + s]; e1 = bk[i + s2]; e2 = bk[i + s3];
-            avg = LPF6(e0, i0, e1, i1);
-            if (flat6(e2, e1, e0, i0, i1, i2, avg, thM)) {
-                bk[i + 0] = (uint8_t)avg;
-                bk[i + s2] = (uint8_t)((3 * (avg + e1) + 2 * e2 + 4) >> 3);
-                avg *= 5;
-                bk[i - s] = (uint8_t)((avg + 2 * i1 + i2 + 4) >> 3);
-                bk[i + s] = (uint8_t)((avg + 2 * e1 + e2 + 4) >> 3);
-            }
+            uint8_t *mid = col + FDIM * s;
+
+            for (k = 0; k < 6; k++) t[k] = mid[(k - 2) * s];
+            if (filt6(t, thM, c))
+                for (k = 0; k < 4; k++) mid[(k - 1) * s] = (uint8_t)c[k + 1];
         }
+    }
+}
+
+/* four 2x2 quadrant averages of a 4x4 tile */
+static void quad4(const uint8_t *a, int as, int q[4])
+{
+    int i;
+    for (i = 0; i < 4; i++) {
+        const uint8_t *p = a + (i >> 1) * 2 * as + (i & 1) * 2;
+        q[i] = (p[0] + p[1] + p[as] + p[as + 1] + 2) >> 2;
     }
 }
 
 /* downsampled smoothing factor (ref: bmc.c:193-222) */
 static unsigned dsfactor(const uint8_t *a, int as)
 {
-    int d0, d1, d2, d3;
-    unsigned sh, sv;
+    int q[4];
+    unsigned g1, g2, rise, fall;
 
-    d0 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
-    d1 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
-    a += 2 * as;
-    d2 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
-    d3 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
-    sh = (unsigned)iabs((d0 + d1) - (d3 + d2));
-    sv = (unsigned)iabs((d2 + d1) - (d3 + d0));
-    if ((sh > sv ? sh : sv) < 8) return 0;
-    d2 = 255 - d2;
-    d3 = 255 - d3;
-    sh = (unsigned)iabs(d0 - d1 + d2 - d3);
-    sv = (unsigned)iabs(d0 + d1 - d2 - d3) >> 2;
-    if (sh > sv) return (3 * sh + sv + 2) >> 2;
-    return (3 * sv + sh + 2) >> 2;
+    quad4(a, as, q);
+    g1 = (unsigned)iabs((q[0] + q[1]) - (q[3] + q[2]));
+    g2 = (unsigned)iabs((q[2] + q[1]) - (q[3] + q[0]));
+    if ((g1 > g2 ? g1 : g2) < 8) return 0;
+    q[2] = 255 - q[2];
+    q[3] = 255 - q[3];
+    rise = (unsigned)iabs(q[0] - q[1] + q[2] - q[3]);
+    fall = (unsigned)iabs(q[0] + q[1] - q[2] - q[3]) >> 2;
+    if (rise > fall) return (3 * rise + fall + 2) >> 2;
+    return (3 * fall + rise + 2) >> 2;
 }
 
 /* 4x4 haar energy + downsampled energy (ref: bmc.c:224-270) */
 static void tile_energy(const uint8_t *a, int as,
                         int *psh, int *psv, int *pslh, int *pslv)
 {
-    int x, y, sh = 0, sv = 0, hh;
-    int d0, d1, d2, d3;
-    const uint8_t *p = a;
+    int i, sh = 0, sv = 0, q[4], d;
 
-    for (y = 0; y < 4; y += 2) {
-        const uint8_t *ra = p + y * as;
-        const uint8_t *rb = ra + as;
-        for (x = 0; x < 4; x += 2) {
-            int x0 = ra[x], x1 = ra[x + 1], x2 = rb[x], x3 = rb[x + 1];
-            hh = iabs(x0 - x1 - x2 + x3) >> 1;
-            sh += iabs(x0 - x1 + x2 - x3) + hh;
-            sv += iabs(x0 + x1 - x2 - x3) + hh;
-        }
+    for (i = 0; i < 4; i++) {
+        const uint8_t *p = a + (i >> 1) * 2 * as + (i & 1) * 2;
+        int w0 = p[0], w1 = p[1], w2 = p[as], w3 = p[as + 1];
+
+        d = iabs(w0 - w1 - w2 + w3) >> 1;
+        sh += iabs(w0 - w1 + w2 - w3) + d;
+        sv += iabs(w0 + w1 - w2 - w3) + d;
     }
     *psh = sh;
     *psv = sv;
-    d0 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
-    d1 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
-    a += 2 * as;
-    d2 = (a[0] + a[1] + a[as + 0] + a[as + 1] + 2) >> 2;
-    d3 = (a[2] + a[3] + a[as + 2] + a[as + 3] + 2) >> 2;
-    hh = iabs(d0 - d1 - d2 + d3) >> 1;
-    *pslh = iabs(d0 - d1 + d2 - d3) + hh;
-    *pslv = iabs(d0 + d1 - d2 - d3) + hh;
+    quad4(a, as, q);
+    d = iabs(q[0] - q[1] - q[2] + q[3]) >> 1;
+    *pslh = iabs(q[0] - q[1] + q[2] - q[3]) + d;
+    *pslv = iabs(q[0] + q[1] - q[2] - q[3]) + d;
 }
 
 /* histogram de-gradient sharpener (ref: bmc.c:272-337) */
@@ -405,43 +396,36 @@ static void tile_energy(const uint8_t *a, int as,
 
 static void degrad(uint8_t *a, int as)
 {
-    uint8_t hist[NHIST];
-    uint16_t sums[NHIST];
-    int x, y, lo = -1, hi = -1, alo, ahi, flo, fhi, mid;
-    uint8_t *p = a;
+    int count[NHIST], total[NHIST];
+    int i, b, first = -1, last = -1, mid;
+    int lo_avg, hi_avg, lo_n, hi_n;
 
-    memset(hist, 0, sizeof(hist));
-    memset(sums, 0, sizeof(sums));
-    for (y = 0; y < 4; y++) {
-        for (x = 0; x < 4; x++) {
-            int t = p[x] >> 4;
-            hist[t]++;
-            sums[t] = (uint16_t)(sums[t] + p[x]);
-        }
-        p += as;
+    memset(count, 0, sizeof(count));
+    memset(total, 0, sizeof(total));
+    for (i = 0; i < 16; i++) {
+        int px = a[(i >> 2) * as + (i & 3)];
+        count[px >> 4]++;
+        total[px >> 4] += px;
     }
-    for (x = 0; x < NHIST; x++) {
-        if (hist[x]) {
-            if (lo == -1) lo = x;
-            hi = x;
-        }
+    for (b = 0; b < NHIST; b++) {
+        if (!count[b]) continue;
+        if (first < 0) first = b;
+        last = b;
     }
-    if (lo >= hi) return;
-    alo = sums[lo] / hist[lo];
-    ahi = sums[hi] / hist[hi];
-    if (alo == 0) alo = 1;
-    if (ahi == 0) ahi = 1;
-    flo = hist[lo];
-    fhi = hist[hi];
-    mid = (alo + ahi + 1) >> 1;
-    p = a;
-    for (y = 0; y < 4; y++) {
-        for (x = 0; x < 4; x++) {
-            int os = p[x];
-            if (os < mid) p[x] = (uint8_t)(os + ((flo * (alo - os)) / 16));
-            else if (os > mid) p[x] = (uint8_t)(os + ((fhi * (ahi - os)) / 16));
-        }
-        p += as;
+    if (first >= last) return;
+    lo_n = count[first];
+    hi_n = count[last];
+    lo_avg = total[first] / lo_n;
+    hi_avg = total[last] / hi_n;
+    if (!lo_avg) lo_avg = 1;
+    if (!hi_avg) hi_avg = 1;
+    mid = (lo_avg + hi_avg + 1) >> 1;
+    for (i = 0; i < 16; i++) {
+        uint8_t *px = a + (i >> 2) * as + (i & 3);
+        int v = *px;
+
+        if (v < mid) *px = (uint8_t)(v + lo_n * (lo_avg - v) / 16);
+        else if (v > mid) *px = (uint8_t)(v + hi_n * (hi_avg - v) / 16);
     }
 }
 

@@ -2,23 +2,36 @@
 
 Backends:
 - "host": python orchestration over native metric primitives
-  (ops/hme_search) — the bit-exactness oracle and the current
-  single-stream default.
-- "wave": the whole pyramid search as one XLA program (ops/hme_wave),
-  byte-identical output. Pays off with frame-lockstep batching (multiple
-  GOP streams per dispatch); single-frame dispatch underutilizes the TPU,
-  so it is opt-in for now (enc.hme_backend = "wave" or DSV2_HME=wave).
-(ref: src/hme.c)
+  (ops/hme_search) — the bit-exactness oracle.
+- "wave": the whole pyramid search as one XLA program (ops/hme_wave).
+- "pallas": the same search with the per-diagonal wavefront as Pallas
+  grid steps (ops/hme_pallas) — removes the TPU's ~1 ms/iteration XLA
+  loop floor; THE fast path on real TPU hardware.
+- "auto" (default): pallas on a real accelerator (single-stream AND
+  lockstep — the kernels don't pay the XLA loop floor, so they win even
+  unbatched), host on CPU (where the native metric primitives beat
+  XLA:CPU retracing and keep the test suite compile time sane).
+All backends produce byte-identical streams (ref: src/hme.c).
 """
 import os
 
 
+def _auto_backend(enc):
+    import jax
+    if jax.default_backend() not in ("cpu",):
+        return "pallas"
+    return "host"
+
+
 def motion_est(enc, d):
     backend = getattr(enc, "hme_backend", None) or os.environ.get(
-        "DSV2_HME", "host")
+        "DSV2_HME", "auto")
     if backend == "auto":
-        backend = "host"
-    if backend == "wave":
+        backend = _auto_backend(enc)
+    if backend == "pallas":
+        from ..ops import hme_pallas
+        hme_pallas.motion_est(enc, d)
+    elif backend == "wave":
         from ..ops import hme_wave
         hme_wave.motion_est(enc, d)
     else:

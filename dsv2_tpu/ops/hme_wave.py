@@ -12,6 +12,7 @@ metrics over static windows.
 
 Bit-exact with ops/hme_search (the host oracle); integer-only.
 """
+import contextlib
 import functools
 from typing import NamedTuple
 
@@ -30,6 +31,73 @@ NC = 26            # candidate slots: zero, parent-avg, pred, 3 spatial,
                    # 9 temporal, global, 9 inliers
 RECT = np.array([[0, 0], [1, 0], [-1, 0], [0, 1], [0, -1],
                  [-1, -1], [1, -1], [-1, 1], [1, 1]], dtype=np.int32)
+
+# ---------------------------------------------------------------------------
+# backend hooks: the per-block compute below is shared between the XLA
+# wavefront program (this module) and the Pallas kernels (ops/hme_pallas).
+# During Pallas kernel tracing the hooks swap plane-window extraction to
+# VMEM roll-reads and enable lax.cond short-circuits (on XLA the same
+# guards are plain masked selects, value-identical).
+# ---------------------------------------------------------------------------
+_READER = None     # (plane, x, y, h, w) -> int32 (h, w) window
+_ROLL = None       # (arr, shift, axis) -> arr (jnp.roll semantics)
+_LAZY = False      # True -> guard() uses lax.cond (skip work per block)
+
+
+@contextlib.contextmanager
+def backend_hooks(reader, roll_fn, lazy):
+    global _READER, _ROLL, _LAZY
+    prev = (_READER, _ROLL, _LAZY)
+    _READER, _ROLL, _LAZY = reader, roll_fn, lazy
+    try:
+        yield
+    finally:
+        _READER, _ROLL, _LAZY = prev
+
+
+def roll(a, shift, axis):
+    if _ROLL is not None:
+        return _ROLL(a, shift, axis)
+    return jnp.roll(a, shift, axis)
+
+
+def guard(pred, fn, default):
+    """where(pred, fn(), default) — with lax.cond under Pallas so the
+    untaken branch costs nothing. fn() and default are value-identical
+    trees when pred is False-masked, so both forms are byte-equal."""
+    if _LAZY:
+        return jax.lax.cond(pred, fn, lambda: default)
+    got = fn()
+    return jax.tree_util.tree_map(
+        lambda a, b: jnp.where(pred, a, b), got, default)
+
+
+def usum(x):
+    """Sum of a uint32 array as uint32 (Mosaic has no unsigned reductions;
+    same-width int casts are modular reinterprets, so the int32 view of the
+    wrapping sum is bit-exact)."""
+    return x.astype(jnp.uint32).astype(jnp.int32).sum().astype(jnp.uint32)
+
+
+def umax(x):
+    """Max of a uint32 array as uint32 (sign-flip order embedding)."""
+    fl = x.astype(jnp.uint32).astype(jnp.int32) ^ jnp.int32(-2147483648)
+    return (fl.max() ^ jnp.int32(-2147483648)).astype(jnp.uint32)
+
+
+def udiv(a, b):
+    """uint32 a // b for 1 <= b < 2**31, via signed div (Mosaic-safe):
+    q1 = 2*((a>>1)//b) is floor(a/b) or one less; fix up by remainder."""
+    au = a.astype(jnp.uint32)
+    bu = b.astype(jnp.uint32)
+    half = (au >> jnp.uint32(1)).astype(jnp.int32)
+    q1 = ((half // b.astype(jnp.int32)) << 1).astype(jnp.uint32)
+    r = au - q1 * bu
+    return q1 + (r >= bu).astype(jnp.uint32)
+
+
+def iota2(n, m, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, (n, m), dim)
 
 
 def isqrt_u32(n):
@@ -128,6 +196,8 @@ def sar_r(v, s):
 
 def window(plane, x, y, h, w):
     """dynamic_slice of a bordered plane at visible coords; int32."""
+    if _READER is not None:
+        return _READER(plane, x, y, h, w)
     return jax.lax.dynamic_slice(
         plane, (B + y, B + x), (h, w)).astype(jnp.int32)
 
@@ -135,40 +205,61 @@ def window(plane, x, y, h, w):
 def masked_sse(a, b, bw, bh):
     """(ref: hme.c:198-242); a/b static windows, bw/bh dynamic."""
     h, w = a.shape
-    ii = jnp.arange(w)[None, :]
-    jj = jnp.arange(h)[:, None]
+    ii = iota2(h, w, 1)
+    jj = iota2(h, w, 0)
     m = (ii < bw) & (jj < bh)
     d = jnp.where(m, a - b, 0)
-    acc = (d * d).astype(jnp.uint32).sum().astype(jnp.int32)
+    acc = usum(d * d).astype(jnp.int32)
     return jnp.where((bw == 0) | (bh == 0), I32MAX, acc)
-
-
-def _quads(a):
-    return a[0::2, 0::2], a[0::2, 1::2], a[1::2, 0::2], a[1::2, 1::2]
 
 
 def _uavg4(a, b, c, d):
     return (a + b + c + d + 2) >> 2
 
 
+# The reference's 2x2-quadrant metric decompositions (a1=X[0::2,0::2],
+# a2=X[0::2,1::2], a3=X[1::2,0::2], a4=X[1::2,1::2]) are computed here in
+# PIXEL space: each per-quad value lands on its cell's even-even "rep"
+# pixel via unit rolls, and the quad-grid reduction masks to those reps.
+# Bit-identical to the strided-slice form (rep (2r,2c) never reads a
+# wrapped element for even-sized windows) and Mosaic-friendly (the MLIR
+# verifier rejects non-unit strided slices).
+
+def _uavg4_lat(x, s):
+    """uavg4(a1,a2,a3,a4) at reps (2sr, 2sc); cell neighbors at stride s."""
+    xr = x + roll(x, -s, 1)
+    return ((xr + roll(xr, -s, 0)) + 2) >> 2
+
+
+def _tex_lat(x, s):
+    """uavg4(|a1-a2|, |a2-a3|, |a3-a4|, |a4-a1|) at reps (2sr, 2sc)."""
+    r1 = roll(x, -s, 1)
+    r0 = roll(x, -s, 0)
+    r01 = roll(r0, -s, 1)
+    return (jnp.abs(x - r1) + jnp.abs(r1 - r0) + jnp.abs(r0 - r01)
+            + jnp.abs(r01 - x) + 2) >> 2
+
+
+def _lat_mask(h, w, bw, bh, s=1):
+    """Rep positions (2sr, 2sc) of quads (r, c) with r < bh//2, c < bw//2."""
+    yy = iota2(h, w, 0)
+    xx = iota2(h, w, 1)
+    return ((yy % (2 * s) == 0) & (xx % (2 * s) == 0)
+            & (yy < s * ((bh // 2) * 2)) & (xx < s * ((bw // 2) * 2)))
+
+
 def masked_metr_acc(a, b, bw, bh, ew, tw, aw):
     """(ref: hme.c:126-196). ew/tw/aw dynamic scalars."""
-    a1, a2, a3, a4 = _quads(a)
-    b1, b2, b3, b4 = _quads(b)
-    qh, qw = a1.shape
-    qm = ((jnp.arange(qw)[None, :] < (bw // 2))
-          & (jnp.arange(qh)[:, None] < (bh // 2)))
-    se = _uavg4(jnp.abs(a1 - b1), jnp.abs(a2 - b2), jnp.abs(a3 - b3),
-                jnp.abs(a4 - b4))
-    ta = _uavg4(jnp.abs(a1 - a2), jnp.abs(a2 - a3), jnp.abs(a3 - a4),
-                jnp.abs(a4 - a1))
-    tb = _uavg4(jnp.abs(b1 - b2), jnp.abs(b2 - b3), jnp.abs(b3 - b4),
-                jnp.abs(b4 - b1))
-    s0 = _uavg4(a1, a2, a3, a4)
-    s1 = _uavg4(b1, b2, b3, b4)
+    h, w = a.shape
+    qm = _lat_mask(h, w, bw, bh)
+    se = _uavg4_lat(jnp.abs(a - b), 1)
+    ta = _tex_lat(a, 1)
+    tb = _tex_lat(b, 1)
+    s0 = _uavg4_lat(a, 1)
+    s1 = _uavg4_lat(b, 1)
     t = (((se * se) << ew) + (((ta - tb) ** 2) << tw)
          + (((s0 - s1) ** 2) << aw))
-    return jnp.where(qm, t, 0).astype(jnp.uint32).sum()
+    return usum(jnp.where(qm, t, 0))
 
 
 def metric_return(acc, bw, bh):
@@ -194,16 +285,16 @@ def hier_metr(level, a, b, bw, bh, ew, tw, aw):
 def block_feat_detail(a, bw, bh):
     """(detail, avg, var, tex) over the masked window."""
     h, w = a.shape
-    ii = jnp.arange(w)[None, :]
-    jj = jnp.arange(h)[:, None]
+    ii = iota2(h, w, 1)
+    jj = iota2(h, w, 0)
     m = (ii < bw) & (jj < bh)
     area = bw * bh
     s = jnp.where(m, a, 0).astype(jnp.int32).sum()
     dh = jnp.abs(a[:, 1:] - a[:, :-1])
-    mh = (ii[:, 1:] < bw) & (jj < bh)
+    mh = (ii[:, 1:] < bw) & (jj[:, 1:] < bh)
     sh = jnp.where(mh, dh, 0).astype(jnp.int32).sum()
     dv = jnp.abs(a[1:, :] - a[:-1, :])
-    mv_ = (ii < bw) & (jj[1:, :] < bh)
+    mv_ = (ii[1:, :] < bw) & (jj[1:, :] < bh)
     sv = jnp.where(mv_, dv, 0).astype(jnp.int32).sum()
     avg = s // jnp.maximum(area, 1)
     var = jnp.where(m, jnp.abs(a - avg), 0).astype(jnp.int32).sum()
@@ -216,62 +307,60 @@ def block_feat_qtex(a, bw, bh):
     """quant_tex (ref: hme.c:586-617)."""
     h, w = a.shape
     q = a >> 4
-    ii = jnp.arange(w)[None, :]
-    jj = jnp.arange(h)[:, None]
+    ii = iota2(h, w, 1)
+    jj = iota2(h, w, 0)
     dh = q[:, :-1] - q[:, 1:]
-    mh = (ii[:, 1:] < bw) & (jj < bh)
-    sh = jnp.where(mh, dh * dh, 0).astype(jnp.uint32).sum()
+    mh = (ii[:, 1:] < bw) & (jj[:, 1:] < bh)
+    sh = usum(jnp.where(mh, dh * dh, 0))
     dv = q[1:, :] - q[:-1, :]
-    mv_ = (ii < bw) & (jj[1:, :] < bh)
-    sv = jnp.where(mv_, dv * dv, 0).astype(jnp.uint32).sum()
+    mv_ = (ii[1:, :] < bw) & (jj[1:, :] < bh)
+    sv = usum(jnp.where(mv_, dv * dv, 0))
     return isqrt_u32(jnp.maximum(sh, sv)) // ((bw + bh + 1) >> 1)
 
 
 def _hist16(idx, m):
-    oh = (idx[..., None] == jnp.arange(16)[None, None, :])
-    return jnp.where(m[..., None], oh, False).sum(axis=(0, 1))
+    """(1, 16) int32 histogram of idx values in 0..15 over mask m."""
+    return jnp.concatenate(
+        [((idx == b) & m).sum().astype(jnp.int32).reshape(1, 1)
+         for b in range(16)], axis=1)
 
 
 def block_feat_hvar(a, bw, bh, avg):
     """(ref: hme.c:711-749)."""
     h, w = a.shape
-    ii = jnp.arange(w)[None, :]
-    jj = jnp.arange(h)[:, None]
-    m = (ii < bw) & (jj < bh)
+    m = (iota2(h, w, 1) < bw) & (iota2(h, w, 0) < bh)
     area = jnp.maximum(bw * bh, 1)
     havg = jnp.maximum(avg, 1)
     q16 = ((8 << 16) // havg).astype(jnp.int32)
     hi = jnp.clip((a.astype(jnp.int32) * q16) >> 16, 0, 15)
-    hist = _hist16(hi, m).astype(jnp.int32)
+    hist = _hist16(hi, m)
     hm = hist.sum() // 16
-    hv = ((hist - hm) ** 2).astype(jnp.uint32).sum()
-    return ((hv * 256) // (16 * area * area).astype(jnp.uint32)
-            ).astype(jnp.int32)
+    hv = usum((hist - hm) ** 2)
+    return udiv(hv * jnp.uint32(256),
+                (16 * area * area).astype(jnp.uint32)).astype(jnp.int32)
 
 
 def block_feat_peaks(a, bw, bh, avg):
     """(ref: hme.c:624-692)."""
-    h, w = a.shape
     havg = jnp.maximum(avg, 1)
     q16 = ((8 << 16) // havg).astype(jnp.int32)
-    a1, a2, a3, a4 = _quads(a)
-    ds = _uavg4(a1, a2, a3, a4).astype(jnp.int32)
-    qh, qw = ds.shape
-    qm = ((jnp.arange(qw)[None, :] < (bw // 2))
-          & (jnp.arange(qh)[:, None] < (bh // 2)))
+    h, w = a.shape
+    ds = _uavg4_lat(a, 1).astype(jnp.int32)
+    qm = _lat_mask(h, w, bw, bh)
     hi = jnp.minimum((ds * q16) >> 16, 15)
-    hist = _hist16(hi, qm).astype(jnp.int32)
+    hist = _hist16(hi, qm)
     pavg = hist.sum() // 16
     maxv = hist.max() >> 2
-    left = jnp.concatenate([jnp.array([-1]), hist[:-1]])
-    right = jnp.concatenate([hist[1:], jnp.array([-1])])
+    neg1 = jnp.full((1, 1), -1, jnp.int32)
+    left = jnp.concatenate([neg1, hist[:, :-1]], axis=1)
+    right = jnp.concatenate([hist[:, 1:], neg1], axis=1)
     pk = (hist > left) & (hist > right) & ((hist > maxv) | (hist > pavg))
     return pk.sum()
 
 
 def masked_avg(a, bw, bh):
     h, w = a.shape
-    m = ((jnp.arange(w)[None, :] < bw) & (jnp.arange(h)[:, None] < bh))
+    m = (iota2(h, w, 1) < bw) & (iota2(h, w, 0) < bh)
     s = jnp.where(m, a, 0).astype(jnp.int32).sum()
     return s // jnp.maximum(bw * bh, 1)
 
@@ -285,13 +374,21 @@ HPD = 34
 QPD = 68
 
 
+def _interleave(a, b, axis):
+    """[a0, b0, a1, b1, ...] along axis; a/b same shape (Mosaic-safe:
+    repeat + roll + iota-select instead of strided scatter)."""
+    n = a.shape[axis] * 2
+    ra = jnp.repeat(a, 2, axis=axis)
+    rb = roll(jnp.repeat(b, 2, axis=axis), 1, axis)
+    par = jax.lax.broadcasted_iota(jnp.int32, ra.shape, axis) % 2
+    return jnp.where(par == 0, ra, rb)
+
+
 def qpel_grid(refwin):
     """refwin: (21, 21) int32; (1, 1) is the probe origin."""
     r = refwin
-    cols = jnp.arange(SPD)
     hbuf = 5 * (r[:, 1:SPD + 1] + r[:, 2:SPD + 2]) - (r[:, 0:SPD]
                                                       + r[:, 3:SPD + 3])
-    hg = jnp.zeros((HPD + 1, HPD + 1), jnp.int32)
     fr = r[1:1 + SPD, 1:1 + SPD]
     hh = jnp.clip((5 * (r[1:1 + SPD, 1:1 + SPD] + r[1:1 + SPD, 2:2 + SPD])
                    - (r[1:1 + SPD, 0:SPD] + r[1:1 + SPD, 3:3 + SPD]) + 4) >> 3,
@@ -302,37 +399,37 @@ def qpel_grid(refwin):
     dg = 5 * (hbuf[1:1 + SPD] + hbuf[2:2 + SPD]) - (hbuf[0:SPD]
                                                     + hbuf[3:3 + SPD])
     dg = jnp.clip((dg + 32) >> 6, 0, 255)
-    hg = hg.at[0:2 * SPD:2, 0:2 * SPD:2].set(fr)
-    hg = hg.at[0:2 * SPD:2, 1:2 * SPD:2].set(hh)
-    hg = hg.at[1:2 * SPD:2, 0:2 * SPD:2].set(vv)
-    hg = hg.at[1:2 * SPD:2, 1:2 * SPD:2].set(dg)
+    # interleaved half-pel grid core (34, 34), zero-padded to (35, 35)
+    core = _interleave(_interleave(fr, hh, 1), _interleave(vv, dg, 1), 0)
+    z_row = jnp.zeros((1, HPD), jnp.int32)
+    z_col = jnp.zeros((HPD + 1, 1), jnp.int32)
+    hg = jnp.concatenate(
+        [jnp.concatenate([core, z_row], axis=0), z_col], axis=1)
     h0 = hg[:HPD, :HPD]
     hx = hg[:HPD, 1:HPD + 1]
     hy = hg[1:HPD + 1, :HPD]
     hxy = hg[1:HPD + 1, 1:HPD + 1]
-    q = jnp.zeros((QPD, QPD), jnp.int32)
-    q = q.at[0::2, 0::2].set(h0)
-    q = q.at[0::2, 1::2].set((h0 + hx + 1) >> 1)
-    q = q.at[1::2, 0::2].set((h0 + hy + 1) >> 1)
-    q = q.at[1::2, 1::2].set(_uavg4(h0, hx, hy, hxy))
+    q = _interleave(
+        _interleave(h0, (h0 + hx + 1) >> 1, 1),
+        _interleave((h0 + hy + 1) >> 1, _uavg4(h0, hx, hy, hxy), 1), 0)
     return q
 
 
 def qpsad(srcsp, q, t0, t1, ew, tw, aw):
-    """(ref: hme.c:244-269). srcsp: (16,16) int32; t0/t1 dynamic in [-3,3]."""
-    sub = jax.lax.dynamic_slice(q, (4 + t1, 4 + t0), (61, 61))[::4, ::4]
-    a1, a2, a3, a4 = _quads(srcsp)
-    b1, b2, b3, b4 = _quads(sub)
-    se = _uavg4(jnp.abs(a1 - b1), jnp.abs(a2 - b2), jnp.abs(a3 - b3),
-                jnp.abs(a4 - b4))
-    ta = _uavg4(jnp.abs(a1 - a2), jnp.abs(a2 - a3), jnp.abs(a3 - a4),
-                jnp.abs(a4 - a1))
-    tb = _uavg4(jnp.abs(b1 - b2), jnp.abs(b2 - b3), jnp.abs(b3 - b4),
-                jnp.abs(b4 - b1))
-    s0 = _uavg4(a1, a2, a3, a4)
-    s1 = _uavg4(b1, b2, b3, b4)
-    acc = (((se * se) << ew) + (((ta - tb) ** 2) << tw)
-           + (((s0 - s1) ** 2) << aw)).astype(jnp.uint32).sum()
+    """(ref: hme.c:244-269). srcsp: (16,16) int32; t0/t1 dynamic in [-3,3].
+    The probe compares srcsp with q[4+t1::4, 4+t0::4]; both live here on a
+    stride-4 lattice of a (64,64) canvas so the quad math stays unit-roll."""
+    qs = roll(roll(q, QPD - (4 + t1), 0), QPD - (4 + t0), 1)
+    sub_l = qs[:64, :64]
+    src_l = jnp.repeat(jnp.repeat(srcsp, 4, axis=0), 4, axis=1)
+    se = _uavg4_lat(jnp.abs(src_l - sub_l), 4)
+    ta = _tex_lat(src_l, 4)
+    tb = _tex_lat(sub_l, 4)
+    s0 = _uavg4_lat(src_l, 4)
+    s1 = _uavg4_lat(sub_l, 4)
+    t = (((se * se) << ew) + (((ta - tb) ** 2) << tw)
+         + (((s0 - s1) ** 2) << aw))
+    acc = usum(jnp.where(_lat_mask(64, 64, 16, 16, 4), t, 0))
     return metric_return(acc, 16, 16)
 
 
@@ -343,35 +440,28 @@ def qpsad(srcsp, q, t0, t1, ew, tw, aw):
 def err_intra(a, b, bw, bh, avg_sb, avg_src, ratio):
     """psy = (0, 1, 2) as at the call site (ref: hme.c:917-919).
     Returns (intra_sb, intra_src, inter) as uint32."""
-    a1, a2, a3, a4 = _quads(a)
-    b1, b2, b3, b4 = _quads(b)
-    qh, qw = a1.shape
-    qm = ((jnp.arange(qw)[None, :] < (bw // 2))
-          & (jnp.arange(qh)[:, None] < (bh // 2)))
+    h, w = a.shape
+    qm = _lat_mask(h, w, bw, bh)
     ratio_u = ratio.astype(jnp.uint32)
-    s0 = _uavg4(a1, a2, a3, a4)
-    s1 = _uavg4(b1, b2, b3, b4)
-    ta = _uavg4(jnp.abs(a1 - a2), jnp.abs(a2 - a3), jnp.abs(a3 - a4),
-                jnp.abs(a4 - a1))
-    tb = _uavg4(jnp.abs(b1 - b2), jnp.abs(b2 - b3), jnp.abs(b3 - b4),
-                jnp.abs(b4 - b1))
-    ae = _uavg4(jnp.abs(a1 - b1), jnp.abs(a2 - b2), jnp.abs(a3 - b3),
-                jnp.abs(a4 - b4))
-    inter = (((ae * ae).astype(jnp.uint32) * ratio_u) >> 5)
+    s0 = _uavg4_lat(a, 1)
+    s1 = _uavg4_lat(b, 1)
+    ta = _tex_lat(a, 1)
+    tb = _tex_lat(b, 1)
+    ae = _uavg4_lat(jnp.abs(a - b), 1)
+    inter = (((ae * ae).astype(jnp.uint32) * ratio_u) >> jnp.uint32(5))
     inter = inter + (((ta - tb) ** 2) << 1).astype(jnp.uint32)
     inter = inter + (((s0 - s1) ** 2) << 2).astype(jnp.uint32)
-    inter = jnp.where(qm, inter, 0).sum()
+    inter = usum(jnp.where(qm, inter, 0))
 
     def intra_term(avgv):
-        aev = _uavg4(jnp.abs(a1 - avgv), jnp.abs(a2 - avgv),
-                     jnp.abs(a3 - avgv), jnp.abs(a4 - avgv))
+        aev = _uavg4_lat(jnp.abs(a - avgv), 1)
         t = ((aev * aev).astype(jnp.uint32)
              + ((ta * ta) << 1).astype(jnp.uint32)
              + (((s0 - avgv) ** 2) << 3).astype(jnp.uint32))
-        return jnp.where(qm, t, 0).sum()
+        return usum(jnp.where(qm, t, 0))
 
     return (intra_term(avg_sb), intra_term(avg_src),
-            (inter * ratio_u) >> 5)
+            (inter * ratio_u) >> jnp.uint32(5))
 
 
 # ---------------------------------------------------------------------------
@@ -427,26 +517,29 @@ def _refine_loop(cfg, level, src_w, ref_pl, bx, by, bw, bh, psy,
                        tvx * step * 4, tvy * step * 4, quant,
                        1 if level > 1 else 0)
 
-    rectx = jnp.array([RECT[k][0] for k in range(5)], jnp.int32)
-    recty = jnp.array([RECT[k][1] for k in range(5)], jnp.int32)
+    def probe(tvx, tvy, pred):
+        """(sc_raw, sc) of a probe, computed only under pred (value-equal
+        to the masked form: consumers read it only where pred holds)."""
+        def f():
+            r = metric(tvx, tvy)
+            return r, r + cost(tvx, tvy)
+        return guard(pred, f, (jnp.int32(I32MAX), jnp.int32(I32MAX)))
 
     def body(st):
-        bestx, besty, best, metr, good, done = st
-        # the 5 probe metrics share (bestx, besty) -> one vmapped metric;
-        # only the strictly-sequential improvement gating stays unrolled
-        # (tiny scalar ops)
-        tvxs = bestx + rectx
-        tvys = besty + recty
-        sc_raws = jax.vmap(metric)(tvxs, tvys)
-        scs = sc_raws + jax.vmap(cost)(tvxs, tvys)
+        bestx, besty, best, m1, m2, m3, m4, good, done = st
+        # probes share the pre-loop (bestx, besty); the strictly-sequential
+        # improvement gating stays unrolled (ref: hme.c:1300-1345)
+        bx0, by0 = bestx, besty
         improved = jnp.bool_(False)
+        metr = [m1, m2, m3, m4]
         for k in range(5):
-            tvx, tvy = tvxs[k], tvys[k]
-            sc_raw, sc = sc_raws[k], scs[k]
+            tvx = bx0 + int(RECT[k][0])
+            tvy = by0 + int(RECT[k][1])
             inval = invalid_block(bx + tvx, by + tvy, bw, bh, 0, fw, fh)
             do = (~improved) & (~inval)
+            sc_raw, sc = probe(tvx, tvy, do)
             if 1 <= k <= 4:
-                metr = metr.at[k - 1].set(jnp.where(do, sc_raw, metr[k - 1]))
+                metr[k - 1] = jnp.where(do, sc_raw, metr[k - 1])
             if level == 0:
                 ge = do & (tvx == 0) & (tvy == 0) & (sc_raw <= qthresh)
             else:
@@ -458,44 +551,84 @@ def _refine_loop(cfg, level, src_w, ref_pl, bx, by, bw, bh, psy,
             good = good | ge
             done = done | ge
             improved = improved | better | ge
+        m1, m2, m3, m4 = metr
         # diagonal probe only when the 5-point pass had no improvement
-        tvx = bestx + jnp.where(metr[0] <= metr[1], 1, -1)
-        tvy = besty + jnp.where(metr[2] <= metr[3], 1, -1)
+        tvx = bestx + jnp.where(m1 <= m2, 1, -1)
+        tvy = besty + jnp.where(m3 <= m4, 1, -1)
         inval = invalid_block(bx + tvx, by + tvy, bw, bh, 0, fw, fh)
         do = (~improved) & (~done)
-        sc = metric(tvx, tvy) + cost(tvx, tvy)
+        _, sc = probe(tvx, tvy, do & ~inval)
         better = do & (~inval) & (best > sc)
         bestx = jnp.where(better, tvx, bestx)
         besty = jnp.where(better, tvy, besty)
         best = jnp.where(better, sc, best)
         done = done | (do & ~better)
-        return bestx, besty, best, metr, good, done
+        return bestx, besty, best, m1, m2, m3, m4, good, done
 
-    def cond(st):
-        return ~st[5]
-
-    def masked_body(_, st):
-        new = body(st)
-        done = st[5]
-        return tuple(jnp.where(done, a, b) for a, b in zip(st, new))
-
-    metr0 = jnp.full((4,), I32MAX, jnp.int32)
-    st = (bestx, besty, best, metr0, jnp.bool_(False), jnp.bool_(False))
-    # On TPU every while_loop iteration pays a ~1 ms scalar-unit
-    # condition sync (this dominated the whole-search profile). The walk
-    # almost always converges within a few steps, so run a fixed masked
-    # prefix first and leave the while only for the rare stragglers.
-    st = jax.lax.fori_loop(0, 8, masked_body, st)
-    st = jax.lax.while_loop(cond, lambda s: body(s), st)
-    return st[0], st[1], st[2], st[4]
+    mI = jnp.int32(I32MAX)
+    st = (bestx, besty, best, mI, mI, mI, mI,
+          jnp.bool_(False), jnp.bool_(False))
+    st = jax.lax.while_loop(lambda s: ~s[8], body, st)
+    return st[0], st[1], st[2], st[7]
 
 
-def _block_search(cfg, level, carry, parent_x, parent_y, srcl, refl, ogrl,
-                  tmv_x, tmv_y, gx, gy, quant, i, j, lane_valid):
-    """Candidate search + refine for one block (vmapped over a diagonal).
-    Returns a dict of per-block results (level-0 decisions happen in
-    _level0_graph). (ref: hme.c:1413-1630)."""
+def gather_ctx(cfg, level, carry, parent_x, parent_y, tmv_x, tmv_y, i, j):
+    """Every grid-array read one block needs, gathered up front: median
+    predictor, spatial/temporal/parent candidate values, left/top neighbor
+    vectors for neighbordif. The XLA wavefront reads the carry fields;
+    the Pallas backend builds the identical dict from per-diagonal
+    pre-gathered inputs + its SMEM carry ring (ref: hme.c:1202-1298)."""
     fx, fy, fskip = carry["fx"], carry["fy"], carry["fskip"]
+    step = 1 << level
+    g = {"pred": movec_pred(fx, fy, i, j)}
+
+    def rd(f, x, y):
+        return f[jnp.clip(y, 0, cfg.nbv - 1), jnp.clip(x, 0, cfg.nbh - 1)]
+
+    spat = []
+    for dx_, dy_ in ((-1, 0), (0, -1), (-1, -1)):
+        xi = i + dx_ * step
+        yj = j + dy_ * step
+        ok = (xi >= 0) & (yj >= 0)
+        spat.append((jnp.where(ok, rd(fx, xi, yj), 0),
+                     jnp.where(ok, rd(fy, xi, yj), 0), ok))
+    g["spat"] = tuple(spat)
+    if level < cfg.pyramid_levels:
+        pmask = ~((step << 1) - 1)
+        pi = i & pmask
+        pj = j & pmask
+        par = []
+        for n in range(9):
+            ptx = pi + int(_PTS[n, 0]) * step
+            pty = pj + int(_PTS[n, 1]) * step
+            ok = ((ptx >= 0) & (ptx < cfg.nbh)
+                  & (pty >= 0) & (pty < cfg.nbv))
+            par.append((jnp.where(ok, rd(parent_x, ptx, pty), 0),
+                        jnp.where(ok, rd(parent_y, ptx, pty), 0), ok))
+        g["par"] = tuple(par)
+    if cfg.has_tmv:
+        tl = []
+        for n in range(9):
+            tx = i + int(RECT[n][0]) * step
+            ty = j + int(RECT[n][1]) * step
+            ok = (tx >= 0) & (tx < cfg.nbh) & (ty >= 0) & (ty < cfg.nbv)
+            tl.append((jnp.where(ok, rd(tmv_x, tx, ty), 0),
+                       jnp.where(ok, rd(tmv_y, tx, ty), 0), ok))
+        g["tmv"] = tuple(tl)
+        g["tmv_c"] = (rd(tmv_x, i, j), rd(tmv_y, i, j))
+    nbr = []
+    for xi, yj, ok in ((i - 1, j, i > 0), (i, j - 1, j > 0)):
+        nbr.append((rd(fx, xi, yj), rd(fy, xi, yj),
+                    rd(fskip, xi, yj), ok))
+    g["nbr"] = tuple(nbr)
+    return g
+
+
+def _block_search(cfg, level, g, srcl, refl, ogrl, gx, gy, quant, i, j,
+                  lane_valid):
+    """Candidate search + refine for one block. g = gather_ctx output.
+    Returns a dict of per-block results (level-0 decisions happen in
+    _level0_decide). (ref: hme.c:1413-1630)."""
     step = 1 << level
     fw, fh = cfg.dims[level]
     y_w, y_h = cfg.blk_w, cfg.blk_h
@@ -534,98 +667,85 @@ def _block_search(cfg, level, carry, parent_x, parent_y, srcl, refl, ogrl,
         aw = jnp.where(smooth, 2, 1)
         aw = jnp.where(var_src > 24 * bw * bh, 0, aw)
 
-    # ---- candidates (ref: hme.c:1443-1528) ----
-    cand_x = jnp.zeros((NC,), jnp.int32)
-    cand_y = jnp.zeros((NC,), jnp.int32)
-    cand_ok = jnp.zeros((NC,), bool).at[0].set(True)
+    # ---- candidates (ref: hme.c:1443-1528), streamed in slot order ----
+    # Scores depend only on the candidate VALUE (cost, bias and metric are
+    # all value-determined), so evaluating each (dx, dy) once and keeping
+    # the first strict minimum is exactly the serial argmin; value-equal
+    # duplicates are skipped (the reference dedupes too, hme.c:1166-1182).
     lax_ = jnp.int32(0)
     lay_ = jnp.int32(0)
+    cands = [(jnp.int32(0), jnp.int32(0), jnp.bool_(True))]
     if level < cfg.pyramid_levels:
-        pmask = ~((step << 1) - 1)
-        pi = i & pmask
-        pj = j & pmask
-        ptx = pi + _PTS[:, 0] * step
-        pty = pj + _PTS[:, 1] * step
-        pok = (ptx >= 0) & (ptx < cfg.nbh) & (pty >= 0) & (pty < cfg.nbv)
-        pxv = jnp.where(pok, parent_x[jnp.clip(pty, 0, cfg.nbv - 1),
-                                      jnp.clip(ptx, 0, cfg.nbh - 1)], 0)
-        pyv = jnp.where(pok, parent_y[jnp.clip(pty, 0, cfg.nbv - 1),
-                                      jnp.clip(ptx, 0, cfg.nbh - 1)], 0)
-        npar = pok.sum().astype(jnp.int32)
-        lax0 = jint.divt(jnp.where(pok, pxv, 0).sum(), jnp.maximum(npar, 1))
-        lay0 = jint.divt(jnp.where(pok, pyv, 0).sum(), jnp.maximum(npar, 1))
-        dist = jnp.where(pok, (pxv - lax0) ** 2 + (pyv - lay0) ** 2, 0)
-        avgd = dist.sum() // jnp.maximum(npar, 1)
-        ssd = jnp.where(pok, (dist - avgd) ** 2, 0).astype(jnp.int32).sum()
-        thresh = avgd + isqrt_u32(jint.divt(ssd, jnp.maximum(npar, 1)))
-        inl = pok & (dist <= thresh)
-        nl = inl.sum().astype(jnp.int32)
-        lax_ = jint.divt(jnp.where(inl, pxv, 0).sum(), jnp.maximum(nl, 1))
-        lay_ = jint.divt(jnp.where(inl, pyv, 0).sum(), jnp.maximum(nl, 1))
-        cand_x = cand_x.at[1].set(lax_)
-        cand_y = cand_y.at[1].set(lay_)
-        cand_ok = cand_ok.at[1].set(True)
+        par = g["par"]
+        pok_n = [p[2].astype(jnp.int32) for p in par]
+        npar = sum(pok_n)
+        nd1 = jnp.maximum(npar, 1)
+        lax0 = jint.divt(sum(p[0] for p in par), nd1)
+        lay0 = jint.divt(sum(p[1] for p in par), nd1)
+        dists = [jnp.where(p[2], (p[0] - lax0) ** 2 + (p[1] - lay0) ** 2, 0)
+                 for p in par]
+        avgd = sum(dists) // nd1
+        ssd = sum(jnp.where(p[2], (d - avgd) ** 2, 0)
+                  for p, d in zip(par, dists)).astype(jnp.int32)
+        thresh = avgd + isqrt_u32(jint.divt(ssd, nd1))
+        inls = [p[2] & (d <= thresh) for p, d in zip(par, dists)]
+        nl = jnp.maximum(sum(il.astype(jnp.int32) for il in inls), 1)
+        lax_ = jint.divt(sum(jnp.where(il, p[0], 0)
+                             for p, il in zip(par, inls)), nl)
+        lay_ = jint.divt(sum(jnp.where(il, p[1], 0)
+                             for p, il in zip(par, inls)), nl)
+        cands.append((lax_, lay_, jnp.bool_(True)))             # slot 1
         if level == 0:
-            ppx, ppy = movec_pred(fx, fy, i, j)
-            cand_x = cand_x.at[2].set(sar_r(ppx, 2))
-            cand_y = cand_y.at[2].set(sar_r(ppy, 2))
-            cand_ok = cand_ok.at[2].set(True)
-        # spatial left/top/topleft at the level's stride
-        for si, (dx_, dy_) in enumerate(((-1, 0), (0, -1), (-1, -1))):
-            xi = i + dx_ * step
-            yj = j + dy_ * step
-            ok = (xi >= 0) & (yj >= 0)
-            vx = jnp.where(ok, fx[jnp.clip(yj, 0, cfg.nbv - 1),
-                                  jnp.clip(xi, 0, cfg.nbh - 1)], 0)
-            vy = jnp.where(ok, fy[jnp.clip(yj, 0, cfg.nbv - 1),
-                                  jnp.clip(xi, 0, cfg.nbh - 1)], 0)
-            cand_x = cand_x.at[3 + si].set(sar_r(vx, 2))
-            cand_y = cand_y.at[3 + si].set(sar_r(vy, 2))
-            cand_ok = cand_ok.at[3 + si].set(ok)
+            ppx, ppy = g["pred"]
+            cands.append((sar_r(ppx, 2), sar_r(ppy, 2),
+                          jnp.bool_(True)))                      # slot 2
+        for vx, vy, ok in g["spat"]:                             # slots 3-5
+            cands.append((sar_r(vx, 2), sar_r(vy, 2), ok))
         if cfg.has_tmv:
-            tx = i + RECT[:, 0] * step
-            ty = j + RECT[:, 1] * step
-            tok = (tx >= 0) & (tx < cfg.nbh) & (ty >= 0) & (ty < cfg.nbv)
-            tvx = jnp.where(tok, tmv_x[jnp.clip(ty, 0, cfg.nbv - 1),
-                                       jnp.clip(tx, 0, cfg.nbh - 1)], 0)
-            tvy = jnp.where(tok, tmv_y[jnp.clip(ty, 0, cfg.nbv - 1),
-                                       jnp.clip(tx, 0, cfg.nbh - 1)], 0)
-            cand_x = jax.lax.dynamic_update_slice(cand_x, sar_r(tvx, 2), (6,))
-            cand_y = jax.lax.dynamic_update_slice(cand_y, sar_r(tvy, 2), (6,))
-            cand_ok = jax.lax.dynamic_update_slice(cand_ok, tok, (6,))
-        cand_x = cand_x.at[15].set(gx)
-        cand_y = cand_y.at[15].set(gy)
-        cand_ok = cand_ok.at[15].set(True)
-        cand_x = jax.lax.dynamic_update_slice(cand_x, pxv, (16,))
-        cand_y = jax.lax.dynamic_update_slice(cand_y, pyv, (16,))
-        cand_ok = jax.lax.dynamic_update_slice(cand_ok, inl, (16,))
-    # scale to level resolution (ref: hme.c:1522-1526)
-    cand_x = sar(cand_x, level)
-    cand_y = sar(cand_y, level)
+            for tvx, tvy, tok in g["tmv"]:                       # slots 6-14
+                cands.append((sar_r(tvx, 2), sar_r(tvy, 2), tok))
+        cands.append((gx, gy, jnp.bool_(True)))                  # slot 15
+        for (pxv, pyv, _), il in zip(par, inls):                 # slots 16-24
+            cands.append((pxv, pyv, il))
 
-    # ---- evaluate candidates ----
-    def eval_cand(dx, dy, ok):
-        inval = invalid_block(bx + dx, by + dy, bw, bh, 0, fw, fh)
+    def eval_cand(dx, dy):
         rw = window(refl, bx + dx, by + dy, y_h, y_w)
         if level > 1:
             raw = masked_sse(src_w, rw, bw, bh)
         else:
             raw = masked_metr(src_w, rw, bw, bh, ew, tw, aw)
-        sc = raw + mv_cost(*movec_pred(fx, fy, i, j), y_w, y_h,
-                           cfg.vid_w, cfg.vid_h, dx * step * 4, dy * step * 4,
-                           quant, 1 if level > 1 else 0)
+        sc = raw + mv_cost(g["pred"][0], g["pred"][1], y_w, y_h,
+                           cfg.vid_w, cfg.vid_h, dx * step * 4,
+                           dy * step * 4, quant, 1 if level > 1 else 0)
         sc = jnp.where((dx == lax_) & (dy == lay_),
                        jnp.maximum(sc - (motion_bias >> level), 0), sc)
-        use = ok & (~inval)
-        return jnp.where(use, sc, I32MAX), jnp.where(use, raw, I32MAX), use
+        return raw, sc
 
-    scores, raws, uses = jax.vmap(eval_cand)(cand_x, cand_y, cand_ok)
-    best_k = jnp.argmin(scores)  # first minimum, like the serial strict <
-    best_score = scores[best_k]
-    best_score = jnp.where(uses.any(), best_score, I32MAX)
-    score_zero = jnp.where(uses[0], raws[0], I32MAX)
-    dx = cand_x[best_k]
-    dy = cand_y[best_k]
+    mI = jnp.int32(I32MAX)
+    best_score = mI
+    score_zero = mI
+    bdx = jnp.int32(0)
+    bdy = jnp.int32(0)
+    seen = []
+    for slot, (cx, cy, ok) in enumerate(cands):
+        # scale to level resolution (ref: hme.c:1522-1526)
+        dx = sar(cx, level)
+        dy = sar(cy, level)
+        inval = invalid_block(bx + dx, by + dy, bw, bh, 0, fw, fh)
+        use = ok & (~inval)
+        dup = jnp.bool_(False)
+        for sdx, sdy, sev in seen:
+            dup = dup | (sev & (sdx == dx) & (sdy == dy))
+        raw, sc = guard(use & ~dup, lambda dx=dx, dy=dy: eval_cand(dx, dy),
+                        (mI, mI))
+        if slot == 0:
+            score_zero = jnp.where(use, raw, mI)
+        better = sc < best_score
+        best_score = jnp.where(better, sc, best_score)
+        bdx = jnp.where(better, dx, bdx)
+        bdy = jnp.where(better, dy, bdy)
+        seen.append((dx, dy, use))
+    dx, dy = bdx, bdy
 
     # ---- good-enough vs source reference (ref: hme.c:1569-1584) ----
     qthresh = ((quant * bw * bh) >> 11)
@@ -634,18 +754,21 @@ def _block_search(cfg, level, carry, parent_x, parent_y, srcl, refl, ogrl,
     ogr_w = window(ogrl, bx, by, y_h, y_w)
     zoscore = masked_metr(src_w, ogr_w, bw, bh, ew, tw, aw)
     ge0 = zoscore < qthresh
-    best0 = jnp.where(ge0, jnp.where(level == 0, score_zero, 0), best_score)
+    best0_ge = jnp.where(level == 0, score_zero, 0)
+    best0 = jnp.where(ge0, best0_ge, best_score)
     dx = jnp.where(ge0, 0, dx)
     dy = jnp.where(ge0, 0, dy)
 
-    # ---- greedy refine ----
-    px_, py_ = movec_pred(fx, fy, i, j)
-    rdx, rdy, rbest, rgood = _refine_loop(
-        cfg, level, src_w, refl, bx, by, bw, bh, (ew, tw, aw),
-        dx, dy, best0, qthresh, px_, py_, quant, fw, fh)
+    # ---- greedy refine (skipped entirely on good-enough-zero) ----
+    px_, py_ = g["pred"]
+    rdx, rdy, rbest, rgood = guard(
+        ~ge0, lambda: _refine_loop(
+            cfg, level, src_w, refl, bx, by, bw, bh, (ew, tw, aw),
+            dx, dy, best0, qthresh, px_, py_, quant, fw, fh),
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
     dx = jnp.where(ge0, 0, rdx)
     dy = jnp.where(ge0, 0, rdy)
-    best = jnp.where(ge0, best0, rbest)
+    best = jnp.where(ge0, best0_ge, rbest)
     good = ge0 | (rgood & ~ge0)
     return dict(valid=valid, i=i, j=j, bx=bx, by=by, bw=bw, bh=bh,
                 dx=dx, dy=dy, best=best, good=good, lax=lax_, lay=lay_,
@@ -680,8 +803,9 @@ def refine_level_graph(cfg, level, srcl, refl, ogrl, parent_x, parent_y,
         carry = dict(fx=fx, fy=fy, fskip=fskip)
 
         def one(i_, j_, ok_):
-            r = _block_search(cfg, level, carry, parent_x, parent_y,
-                              srcl, refl, ogrl, tmv_x, tmv_y, gx, gy,
+            g = gather_ctx(cfg, level, carry, parent_x, parent_y,
+                           tmv_x, tmv_y, i_, j_)
+            r = _block_search(cfg, level, g, srcl, refl, ogrl, gx, gy,
                               quant, i_, j_, ok_)
             return r["dx"] * step, r["dy"] * step, r["valid"]
 
@@ -711,90 +835,89 @@ def global_motion_graph(cfg, level, fx, fy):
 def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
             px_, py_, quant, fw, fh):
     """(ref: hme.c:1051-1164). Returns (best, sub_x, sub_y)."""
-    ew, tw, aw = psy
-    y_w, y_h = cfg.blk_w, cfg.blk_h
-    src_w = window(srcl, bx, by, y_h, y_w)
-    yarea = bw * bh
-    dx4 = (1, -1, 0, 0)
-    dy4 = (0, 0, 1, -1)
-    quad = []
-    for n in range(4):
-        rw = window(refl, bx + fpx + dx4[n], by + fpy + dy4[n], y_h, y_w)
-        quad.append(masked_sse(src_w, rw, bw, bh))
-    area_ratio = (8 * (16 * 16)) // jnp.maximum(yarea, 1)
-    iarea_ratio = (8 * yarea) // (16 * 16)
-    best = ((best_fp.astype(jnp.uint32) * area_ratio.astype(jnp.uint32))
-            >> 3).astype(jnp.int32)
-    xx = bx + ((bw >> 1) - 8)
-    yy = by + ((bh >> 1) - 8)
-    refwin = window(refl, xx + fpx - 2, yy + fpy - 2, 21, 21)
-    q = qpel_grid(refwin)
-    srcsp = window(srcl, xx, yy, 16, 16)
-    # primary/secondary direction pick (ref: hme.c:1108-1133)
-    prix = jnp.where(quad[3] >= quad[2], 0, 0)
-    priy = jnp.where(quad[3] >= quad[2], 1, -1)
-    secx = jnp.where(quad[1] >= quad[0], 1, -1)
-    secy = jnp.int32(0)
-    ms1 = jnp.where(quad[1] >= quad[0], quad[0], quad[1])
-    ms2 = jnp.where(quad[3] >= quad[2], quad[2], quad[3])
-    swap = ms2 > ms1
-    prix, secx = jnp.where(swap, secx, prix), jnp.where(swap, prix, secx)
-    priy, secy = jnp.where(swap, secy, priy), jnp.where(swap, priy, secy)
-    diagx = prix + secx
-    diagy = priy + secy
-    # all 7 probes as one vmapped metric; the reference's sequential
-    # strict-improvement update is equivalent to picking the FIRST probe
-    # attaining the masked minimum (jnp.argmin returns the first)
-    t0s = jnp.stack([prix << 1, prix, secx << 1, secx, diagx << 1, diagx,
-                     prix + diagx])
-    t1s = jnp.stack([priy << 1, priy, secy << 1, secy, diagy << 1, diagy,
-                     priy + diagy])
-    if cfg.effort < 8:
-        do_probe = ((t0s | t1s) & 1) == 0  # half-pel only at low effort
-    else:
-        do_probe = jnp.ones(7, bool)
-
-    def probe(t0, t1):
-        sc = qpsad(srcsp, q, t0, t1, ew, tw, aw)
-        return sc + mv_cost(px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
-                            fpx * 4 + t0, fpy * 4 + t1, quant, 0)
-
-    scores = jnp.where(do_probe, jax.vmap(probe)(t0s, t1s), I32MAX)
-    k = jnp.argmin(scores)
-    better = scores[k] < best
-    bestvx = jnp.where(better, t0s[k], 0)
-    bestvy = jnp.where(better, t1s[k], 0)
-    best = jnp.minimum(best, scores[k])
-    ret = ((best.astype(jnp.uint32) * iarea_ratio.astype(jnp.uint32))
-           >> 3).astype(jnp.int32)
     zerofp = best_fp == 0
+
+    def body():
+        ew, tw, aw = psy
+        y_w, y_h = cfg.blk_w, cfg.blk_h
+        src_w = window(srcl, bx, by, y_h, y_w)
+        yarea = bw * bh
+        dx4 = (1, -1, 0, 0)
+        dy4 = (0, 0, 1, -1)
+        quad = []
+        for n in range(4):
+            rw = window(refl, bx + fpx + dx4[n], by + fpy + dy4[n], y_h, y_w)
+            quad.append(masked_sse(src_w, rw, bw, bh))
+        area_ratio = (8 * (16 * 16)) // jnp.maximum(yarea, 1)
+        iarea_ratio = (8 * yarea) // (16 * 16)
+        best = ((best_fp.astype(jnp.uint32) * area_ratio.astype(jnp.uint32))
+                >> jnp.uint32(3)).astype(jnp.int32)
+        xx = bx + ((bw >> 1) - 8)
+        yy = by + ((bh >> 1) - 8)
+        refwin = window(refl, xx + fpx - 2, yy + fpy - 2, 21, 21)
+        q = qpel_grid(refwin)
+        srcsp = window(srcl, xx, yy, 16, 16)
+        # primary/secondary direction pick (ref: hme.c:1108-1133)
+        prix = jnp.int32(0)
+        priy = jnp.where(quad[3] >= quad[2], 1, -1)
+        secx = jnp.where(quad[1] >= quad[0], 1, -1)
+        secy = jnp.int32(0)
+        ms1 = jnp.where(quad[1] >= quad[0], quad[0], quad[1])
+        ms2 = jnp.where(quad[3] >= quad[2], quad[2], quad[3])
+        swap = ms2 > ms1
+        prix, secx = jnp.where(swap, secx, prix), jnp.where(swap, prix, secx)
+        priy, secy = jnp.where(swap, secy, priy), jnp.where(swap, priy, secy)
+        diagx = prix + secx
+        diagy = priy + secy
+        # the 7 probes streamed in order; first strict minimum == the
+        # reference's sequential strict-improvement update
+        probes = [(prix << 1, priy << 1), (prix, priy),
+                  (secx << 1, secy << 1), (secx, secy),
+                  (diagx << 1, diagy << 1), (diagx, diagy),
+                  (prix + diagx, priy + diagy)]
+        mI = jnp.int32(I32MAX)
+        msc = mI
+        mt0 = jnp.int32(0)
+        mt1 = jnp.int32(0)
+        for t0, t1 in probes:
+            if cfg.effort < 8:
+                do = ((t0 | t1) & 1) == 0  # half-pel only at low effort
+            else:
+                do = jnp.bool_(True)
+            sc = guard(do, lambda t0=t0, t1=t1: qpsad(
+                srcsp, q, t0, t1, ew, tw, aw) + mv_cost(
+                px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
+                fpx * 4 + t0, fpy * 4 + t1, quant, 0), mI)
+            take = sc < msc
+            msc = jnp.where(take, sc, msc)
+            mt0 = jnp.where(take, t0, mt0)
+            mt1 = jnp.where(take, t1, mt1)
+        better = msc < best
+        bestvx = jnp.where(better, mt0, 0)
+        bestvy = jnp.where(better, mt1, 0)
+        best = jnp.minimum(best, msc)
+        ret = ((best.astype(jnp.uint32) * iarea_ratio.astype(jnp.uint32))
+               >> jnp.uint32(3)).astype(jnp.int32)
+        return ret, bestvx, bestvy
+
+    ret, bestvx, bestvy = guard(
+        ~zerofp, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
     return (jnp.where(zerofp, best_fp, ret),
             jnp.where(zerofp, 0, bestvx), jnp.where(zerofp, 0, bestvy))
 
 
 def _max_subblock_err(pl_a, pl_b, x0, y0, rx, ry, qw, qh, bw2, bh2, psy):
     """One plane of yuv_max_subblock_err (ref: hme.c:369-409).
-    qw/qh: static quadrant window dims; bw2/bh2 dynamic. The four quadrants
-    are one vmapped metric (4x fewer, 4x wider ops than unrolling)."""
+    qw/qh: static quadrant window dims; bw2/bh2 dynamic."""
     ew, tw, aw = psy
-    fo = jnp.array([0, 1, 0, 1], jnp.int32)
-    go = jnp.array([0, 0, 1, 1], jnp.int32)
-
-    def quad(f, g):
-        a = window(pl_a, x0 + f * bw2, y0 + g * bh2, qh, qw)
-        b = window(pl_b, rx + f * bw2, ry + g * bh2, qh, qw)
-        return masked_metr_acc(a, b, bw2, bh2, ew, tw, aw)
-
-    return jax.vmap(quad)(fo, go).max()
-
-
-def _max_subblock_err_multi(pl_a, pl_b, x0, y0, rxs, rys, qw, qh, bw2, bh2,
-                            psy):
-    """_max_subblock_err at several reference origins as ONE vmapped op
-    (the skip test probes (x0,y0) and the noxmit test the motion-compensated
-    origin; both share source and planes)."""
-    return jax.vmap(lambda rx, ry: _max_subblock_err(
-        pl_a, pl_b, x0, y0, rx, ry, qw, qh, bw2, bh2, psy))(rxs, rys)
+    accs = []
+    for f, g_ in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        a = window(pl_a, x0 + f * bw2, y0 + g_ * bh2, qh, qw)
+        b = window(pl_b, rx + f * bw2, ry + g_ * bh2, qh, qw)
+        accs.append(masked_metr_acc(a, b, bw2, bh2, ew, tw, aw))
+    m = jnp.maximum(jnp.maximum(accs[0], accs[1]),
+                    jnp.maximum(accs[2], accs[3]))
+    return m
 
 
 def _calc_eprm(src_w, ref_w, bw, bh, avg_src, avg_ref):
@@ -808,10 +931,11 @@ def _calc_eprm(src_w, ref_w, bw, bh, avg_src, avg_ref):
     return clipi, clipd, clipr
 
 
-def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
-                   ref_u, ref_v, tmv_x, tmv_y, quant, skip_thresh):
+def _level0_decide(cfg, r, g, srcl, refl, ogrl, src_u, src_v,
+                   ref_u, ref_v, quant, skip_thresh):
     """Mode decisions at the base level (ref: hme.c:1598-1821). r = result
-    dict from _block_search. Returns per-block outputs + stat deltas."""
+    dict from _block_search, g = gather_ctx. Returns per-block outputs +
+    stat deltas."""
     i, j = r["i"], r["j"]
     bx, by, bw, bh = r["bx"], r["by"], r["bw"], r["bh"]
     fw, fh = cfg.dims[0]
@@ -820,33 +944,35 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
     psy = r["psy"]
     ew, tw, aw = psy
     src_w = r["src_w"]
-    fx, fy, fskip = carry["fx"], carry["fy"], carry["fskip"]
     quant_rd = (quant * quant).astype(jnp.uint32)
-    skipt = (quant_rd >> 19).astype(jnp.int32)
+    skipt = (quant_rd >> jnp.uint32(19)).astype(jnp.int32)
     good = r["good"]
     fpelx0, fpely0 = r["dx"], r["dy"]
     best = jnp.where((fpelx0 == r["lax"]) & (fpely0 == r["lay"]),
                      r["best"] + r["motion_bias"], r["best"])
     best_fp = best
-    px_, py_ = movec_pred(fx, fy, i, j)
+    px_, py_ = g["pred"]
 
     sub_x = jnp.int32(0)
     sub_y = jnp.int32(0)
     fpelx, fpely = fpelx0, fpely0
     if cfg.effort >= 4:
+        z3 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
         cond1 = ~invalid_block(bx + r["lax"], by + r["lay"], bw, bh, 4,
                                fw, fh)
-        ret1, sx1, sy1 = _subpel(cfg, srcl, refl, bx, by, bw, bh,
-                                 r["lax"], r["lay"], best_fp, psy,
-                                 px_, py_, quant, fw, fh)
+        ret1, sx1, sy1 = guard(
+            cond1, lambda: _subpel(cfg, srcl, refl, bx, by, bw, bh,
+                                   r["lax"], r["lay"], best_fp, psy,
+                                   px_, py_, quant, fw, fh), z3)
         found1 = cond1 & ((sx1 != 0) | (sy1 != 0))
         best = jnp.where(cond1, ret1, best)
         cond2 = ((~found1) & (~good)
                  & ~invalid_block(bx + fpelx0, by + fpely0, bw, bh, 4,
                                   fw, fh))
-        ret2, sx2, sy2 = _subpel(cfg, srcl, refl, bx, by, bw, bh,
-                                 fpelx0, fpely0, best_fp, psy,
-                                 px_, py_, quant, fw, fh)
+        ret2, sx2, sy2 = guard(
+            cond2, lambda: _subpel(cfg, srcl, refl, bx, by, bw, bh,
+                                   fpelx0, fpely0, best_fp, psy,
+                                   px_, py_, quant, fw, fh), z3)
         best = jnp.where(cond2, ret2, best)
         sub_x = jnp.where(cond2, sx2, jnp.where(found1, sx1, 0))
         sub_y = jnp.where(cond2, sy2, jnp.where(found1, sy1, 0))
@@ -902,27 +1028,12 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
     oobx = i * y_w + sar(mvx, 2)
     ooby = j * y_h + sar(mvy, 2)
     oob = (oobx < 0) | (ooby < 0) | (oobx >= limx) | (ooby >= limy)
-    nd0, nd1 = _neighbordif_self(fx, fy, fskip, i, j, mvx, mvy)
+    nd0, nd1 = _neighbordif_self(g, mvx, mvy)
     neidif = (nd0 + nd1) // 3
 
     # ---- skip test (ref: hme.c:1694-1729) ----
     do_skip = not (cfg.skip_thresh_neg or cfg.lossless)
     do_nox = not cfg.lossless
-    if do_skip and do_nox:
-        # both tests need max-subblock errors on all 3 planes; batch the
-        # two reference origins per plane into one op
-        zy = _max_subblock_err_multi(
-            srcl, refl, bx, by, jnp.stack([bx, bx + fpelx]),
-            jnp.stack([by, by + fpely]), y_w // 2, y_h // 2,
-            bw // 2, bh // 2, psy)
-        zu = _max_subblock_err_multi(
-            src_u, ref_u, cbx, cby, jnp.stack([cbx, cbmx]),
-            jnp.stack([cby, cbmy]), cw_max // 2, ch_max // 2,
-            cbw // 2, cbh // 2, psy)
-        zv = _max_subblock_err_multi(
-            src_v, ref_v, cbx, cby, jnp.stack([cbx, cbmx]),
-            jnp.stack([cby, cbmy]), cw_max // 2, ch_max // 2,
-            cbw // 2, cbh // 2, psy)
     if not do_skip:
         skip = jnp.bool_(False)
     else:
@@ -936,20 +1047,17 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
                                     .astype(jnp.uint32)), sth)
         sth = jnp.maximum(sth, yarea.astype(jnp.uint32))
         sth = jnp.where(good, sth * 2, sth)
-        if do_nox:
-            z0, z1, z2 = zy[0], zu[0], zv[0]
-        else:
-            z0 = _max_subblock_err(srcl, refl, bx, by, bx, by,
-                                   y_w // 2, y_h // 2, bw // 2, bh // 2, psy)
-            z1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbx, cby,
-                                   cw_max // 2, ch_max // 2,
-                                   cbw // 2, cbh // 2, psy)
-            z2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbx, cby,
-                                   cw_max // 2, ch_max // 2,
-                                   cbw // 2, cbh // 2, psy)
+        z0 = _max_subblock_err(srcl, refl, bx, by, bx, by,
+                               y_w // 2, y_h // 2, bw // 2, bh // 2, psy)
+        z1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbx, cby,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
+        z2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbx, cby,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
         ratio_u = ratio.astype(jnp.uint32)
         cth = (chroma_ratio.astype(jnp.uint32) * sth
-               * jnp.maximum(skipt, 1).astype(jnp.uint32)) >> 5
+               * jnp.maximum(skipt, 1).astype(jnp.uint32)) >> jnp.uint32(5)
         z0s = ((z0 * ratio_u) >> 5) + (((avg_src - avg_ref.astype(jnp.int32))
                                         ** 2) * yarea).astype(jnp.uint32)
         z1s = (z1 * ratio_u) >> 5
@@ -966,18 +1074,15 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
         c_prereq = (~greyish) & (avg_c_dif <= 2)
         xth = (skipt * yarea).astype(jnp.int32)
         carea = 4 * cbw * cbh
-        if do_skip:
-            b0, b1, b2 = zy[1], zu[1], zv[1]
-        else:
-            b0 = _max_subblock_err(srcl, refl, bx, by, bx + fpelx,
-                                   by + fpely, y_w // 2, y_h // 2,
-                                   bw // 2, bh // 2, psy)
-            b1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbmx, cbmy,
-                                   cw_max // 2, ch_max // 2,
-                                   cbw // 2, cbh // 2, psy)
-            b2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbmx, cbmy,
-                                   cw_max // 2, ch_max // 2,
-                                   cbw // 2, cbh // 2, psy)
+        b0 = _max_subblock_err(srcl, refl, bx, by, bx + fpelx,
+                               by + fpely, y_w // 2, y_h // 2,
+                               bw // 2, bh // 2, psy)
+        b1 = _max_subblock_err(src_u, ref_u, cbx, cby, cbmx, cbmy,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
+        b2 = _max_subblock_err(src_v, ref_v, cbx, cby, cbmx, cbmy,
+                               cw_max // 2, ch_max // 2,
+                               cbw // 2, cbh // 2, psy)
         xth = (xth.astype(jnp.uint32) + ipolvar.astype(jnp.uint32)
                ).astype(jnp.int32)
         xth = jnp.maximum(xth - yarea * neidif * 2, 0)
@@ -1008,21 +1113,18 @@ def _level0_decide(cfg, r, carry, srcl, refl, ogrl, src_u, src_v,
                 neidif=neidif, cb=(cbx, cby, cbmx, cbmy, cbw, cbh))
 
 
-def _neighbordif_self(fx, fy, fskip, i, j, cmx, cmy):
-    """neighbordif2 with the current block's (not yet scattered) vector."""
-    def nb(x, y, ok):
-        yy = jnp.clip(y, 0, fx.shape[0] - 1)
-        xx = jnp.clip(x, 0, fx.shape[1] - 1)
-        vx, vy = fx[yy, xx], fy[yy, xx]
-        use = ok & ((vx != 0) | (vy != 0)) & (fskip[yy, xx] == 0)
-        return jnp.where(use, vx, cmx), jnp.where(use, vy, cmy)
-
-    vx0, vy0 = nb(i - 1, j, i > 0)
-    vx1, vy1 = nb(i, j - 1, j > 0)
-    d0 = jnp.abs(vx0 - cmx) + jnp.abs(vy0 - cmy)
-    d1 = jnp.abs(vx1 - cmx) + jnp.abs(vy1 - cmy)
+def _neighbordif_self(g, cmx, cmy):
+    """neighbordif2 with the current block's (not yet scattered) vector;
+    left/top neighbor (vx, vy, skip, ok) come pre-gathered in g["nbr"]
+    (ref: dsv.c:402-438)."""
+    ds = []
+    for vx, vy, sk, ok in g["nbr"]:
+        use = ok & ((vx != 0) | (vy != 0)) & (sk == 0)
+        nvx = jnp.where(use, vx, cmx)
+        nvy = jnp.where(use, vy, cmy)
+        ds.append(jnp.abs(nvx - cmx) + jnp.abs(nvy - cmy))
     small = (jnp.abs(cmx) < 2) & (jnp.abs(cmy) < 2)
-    return jnp.where(small, 0, d0), jnp.where(small, 0, d1)
+    return jnp.where(small, 0, ds[0]), jnp.where(small, 0, ds[1])
 
 
 def _test_intra_y(cfg, d0, srcl, refl, bx, by, fpelx, fpely, bw, bh,
@@ -1047,18 +1149,13 @@ def _test_intra_y(cfg, d0, srcl, refl, bx, by, fpelx, fpely, bw, bh,
     nsub = jnp.int32(0)
     qw, qh = y_w // 2, y_h // 2
     ratio_u = ratio.astype(jnp.uint32)
-    bits = jnp.array([K.MASK_INTRA00, K.MASK_INTRA01,
-                      K.MASK_INTRA10, K.MASK_INTRA11], jnp.int32)
-    fo = jnp.array([0, 1, 0, 1], jnp.int32)
-    go = jnp.array([0, 0, 1, 1], jnp.int32)
 
-    # detail_src decays when a sub-block is taken, so the 4 sub-blocks are
-    # a 4-step scan (one graph instance), not an unroll
-    def sub(carry, xs):
-        submask, avg_tot, err_sub, err_src, nsub, detail_src = carry
-        f, g, bit = xs
-        src_d = window(srcl, bx + f * sbw, by + g * sbh, qh, qw)
-        mvr_d = window(refl, bx + fpelx + f * sbw, by + fpely + g * sbh,
+    # detail_src decays when a sub-block is taken -> sequential over the
+    # 4 sub-blocks, unrolled (Mosaic has no xs-scan)
+    for f, g_, bit in ((0, 0, K.MASK_INTRA00), (1, 0, K.MASK_INTRA01),
+                       (0, 1, K.MASK_INTRA10), (1, 1, K.MASK_INTRA11)):
+        src_d = window(srcl, bx + f * sbw, by + g_ * sbh, qh, qw)
+        mvr_d = window(refl, bx + fpelx + f * sbw, by + fpely + g_ * sbh,
                        qh, qw)
         rdet, avg_sub, _, _ = block_feat_detail(mvr_d, sbw, sbh)
         local_detail, avg_local, _, _ = block_feat_detail(src_d, sbw, sbh)
@@ -1086,11 +1183,6 @@ def _test_intra_y(cfg, d0, srcl, refl, bx, by, fpelx, fpely, bw, bh,
                             dc.astype(jnp.int32)), 0)
         nsub = nsub + jnp.where(take, 1, 0)
         detail_src = jnp.where(take, detail_src * 4 // 5, detail_src)
-        return (submask, avg_tot, err_sub, err_src, nsub, detail_src), None
-
-    (submask, avg_tot, err_sub, err_src, nsub, detail_src), _ = \
-        jax.lax.scan(sub, (submask, avg_tot, err_sub, err_src, nsub,
-                           detail_src + jnp.int32(0)), (fo, go, bits))
     intra = submask != 0
     dc_out = jnp.where(
         intra & (err_src < err_sub),
@@ -1119,30 +1211,87 @@ def _test_intra_c(cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra):
                | (mad.astype(jnp.uint32) <= thr.astype(jnp.uint32))
                | (thr.astype(jnp.uint32) > 64) | small_mv)
     avg_ramp = (avg_src * avg_src) >> 8
-    bits = jnp.array([K.MASK_INTRA00, K.MASK_INTRA01,
-                      K.MASK_INTRA10, K.MASK_INTRA11], jnp.int32)
-    fo = jnp.array([0, 1, 0, 1], jnp.int32)
-    go = jnp.array([0, 0, 1, 1], jnp.int32)
 
-    # each sub-block only reads the INITIAL submask bit -> independent,
-    # one vmapped instance
-    def sub(f, g, bit):
+    # each sub-block only reads the INITIAL submask bit -> independent
+    add = jnp.int32(0)
+    for f, g_, bit in ((0, 0, K.MASK_INTRA00), (1, 0, K.MASK_INTRA01),
+                       (0, 1, K.MASK_INTRA10), (1, 1, K.MASK_INTRA11)):
         already = (submask & bit) != 0
-        us = masked_avg(window(src_u, cbx + f * sbw, cby + g * sbh,
+        us = masked_avg(window(src_u, cbx + f * sbw, cby + g_ * sbh,
                                qh, qw), sbw, sbh)
-        vs_a = masked_avg(window(src_v, cbx + f * sbw, cby + g * sbh,
+        vs_a = masked_avg(window(src_v, cbx + f * sbw, cby + g_ * sbh,
                                  qh, qw), sbw, sbh)
-        ur = masked_avg(window(ref_u, cbmx + f * sbw, cbmy + g * sbh,
+        ur = masked_avg(window(ref_u, cbmx + f * sbw, cbmy + g_ * sbh,
                                qh, qw), sbw, sbh)
-        vr = masked_avg(window(ref_v, cbmx + f * sbw, cbmy + g * sbh,
+        vr = masked_avg(window(ref_v, cbmx + f * sbw, cbmy + g_ * sbh,
                                qh, qw), sbw, sbh)
         dif = (((us - ur) ** 2 + (vs_a - vr) ** 2) * avg_ramp) >> 8
         take = ((~blocked) & (~already)
                 & (dif.astype(jnp.uint32) > thr.astype(jnp.uint32)))
-        return jnp.where(take, bit, 0)
-
-    submask = submask | jax.vmap(sub)(fo, go, bits).sum()
+        add = add + jnp.where(take, bit, 0)
+    submask = submask | add
     return submask, submask != 0
+
+
+def level0_block(cfg, g, srcl, refl, ogrl, src_u, src_v, ref_u, ref_v,
+                 gx, gy, quant, skip_thresh, i_, j_, ok_):
+    """Complete base-level pipeline for one block: search + subpel + mode
+    decisions + intra tests + flag assembly (ref: hme.c:1598-1833).
+    Shared verbatim by the XLA wavefront and the Pallas kernel."""
+    r = _block_search(cfg, 0, g, srcl, refl, ogrl, gx, gy,
+                      quant, i_, j_, ok_)
+    d0 = _level0_decide(cfg, r, g, srcl, refl, ogrl,
+                        src_u, src_v, ref_u, ref_v, quant, skip_thresh)
+    d0["bwbh"] = r["bw"] * r["bh"]
+    # intra tests (ref: hme.c:1779-1788)
+    if cfg.has_tmv:
+        rmx, rmy = g["tmv_c"]
+    else:
+        rmx, rmy = d0["mvx"], d0["mvy"]
+    fpelx = d0["fpelx"]
+    fpely = d0["fpely"]
+    submask, dc, intra = _test_intra_y(
+        cfg, d0, srcl, refl, r["bx"], r["by"],
+        fpelx, fpely, r["bw"], r["bh"], rmx, rmy, cfg.psyf_all)
+    submask, intra = _test_intra_c(
+        cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra)
+    # EPRM merge (ref: hme.c:1801-1820)
+    eprmi, eprmd, eprmr = d0["eprmi"], d0["eprmd"], d0["eprmr"]
+    m_intra = jnp.where((dc & K.SRC_DC_PRED) != 0, eprmd, eprmi)
+    m_intra = m_intra | ((submask != K.MASK_ALL_INTRA) & eprmr)
+    m_inter = eprmr | ((submask != 0) & eprmi)
+    eprm = jnp.where(intra, m_intra, m_inter)
+    mvx = jnp.where(intra, fpelx * 4, d0["mvx"])
+    mvy = jnp.where(intra, fpely * 4, d0["mvy"])
+    simc = d0["simcmplx"] & ~(intra | eprm)
+    skip = d0["skip"]
+    # skip overrides everything (ref: hme.c:1722-1728)
+    mvx = jnp.where(skip, 0, mvx)
+    mvy = jnp.where(skip, 0, mvy)
+    intra = intra & ~skip
+    eprm = eprm & ~skip
+    simc = simc & ~skip
+    noxy = d0["noxmity"] & ~skip
+    noxc = d0["noxmitc"] & ~skip
+    maint = d0["maintain"]  # set before the skip test, kept
+    err = jnp.where(skip | noxy, 0, d0["mad"]) & 0xFFFF
+    flags = (intra.astype(jnp.int32) << K.MV_BIT_INTRA
+             | eprm.astype(jnp.int32) << K.MV_BIT_EPRM
+             | maint.astype(jnp.int32) << K.MV_BIT_MAINTAIN
+             | skip.astype(jnp.int32) << K.MV_BIT_SKIP
+             | noxy.astype(jnp.int32) << K.MV_BIT_NOXMITY
+             | noxc.astype(jnp.int32) << K.MV_BIT_NOXMITC
+             | simc.astype(jnp.int32) << K.MV_BIT_SIMCMPLX)
+    # stats (ref: hme.c:1789-1799, 1825-1831)
+    v = r["valid"]
+    terr = jnp.where(v & ~skip & ~noxy, d0["mad"], 0)
+    ndiff = jnp.where(
+        v & ~skip, (d0["ogrmad"] > 11).astype(jnp.int32)
+        + (d0["avg_c_dif"] >= 32).astype(jnp.int32), 0)
+    nelig = jnp.where(v & (d0["best"] > 0), 1, 0)
+    nintra = jnp.where(v & intra, 1, 0)
+    return (mvx, mvy, flags, err, dc, submask,
+            skip.astype(jnp.uint8), v, terr, ndiff, nelig, nintra)
 
 
 def refine_level0_graph(cfg, srcs, refs, ogrl, parent_x, parent_y,
@@ -1170,65 +1319,11 @@ def refine_level0_graph(cfg, srcs, refs, ogrl, parent_x, parent_y,
         j = b * step
 
         def one(i_, j_, ok_):
-            r = _block_search(cfg, level, carry, parent_x, parent_y,
-                              srcl, refl, ogrl, tmv_x, tmv_y, gx, gy,
-                              quant, i_, j_, ok_)
-            d0 = _level0_decide(cfg, r, carry, srcl, refl, ogrl,
-                                src_u, src_v, ref_u, ref_v, tmv_x, tmv_y,
-                                quant, skip_thresh)
-            d0["bwbh"] = r["bw"] * r["bh"]
-            # intra tests (ref: hme.c:1779-1788)
-            if cfg.has_tmv:
-                rmx = tmv_x[jnp.clip(j_, 0, cfg.nbv - 1),
-                            jnp.clip(i_, 0, cfg.nbh - 1)]
-                rmy = tmv_y[jnp.clip(j_, 0, cfg.nbv - 1),
-                            jnp.clip(i_, 0, cfg.nbh - 1)]
-            else:
-                rmx, rmy = d0["mvx"], d0["mvy"]
-            fpelx = d0["fpelx"]
-            fpely = d0["fpely"]
-            submask, dc, intra = _test_intra_y(
-                cfg, d0, srcl, refl, r["bx"], r["by"],
-                fpelx, fpely, r["bw"], r["bh"], rmx, rmy, cfg.psyf_all)
-            submask, intra = _test_intra_c(
-                cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra)
-            # EPRM merge (ref: hme.c:1801-1820)
-            eprmi, eprmd, eprmr = d0["eprmi"], d0["eprmd"], d0["eprmr"]
-            m_intra = jnp.where((dc & K.SRC_DC_PRED) != 0, eprmd, eprmi)
-            m_intra = m_intra | ((submask != K.MASK_ALL_INTRA) & eprmr)
-            m_inter = eprmr | ((submask != 0) & eprmi)
-            eprm = jnp.where(intra, m_intra, m_inter)
-            mvx = jnp.where(intra, fpelx * 4, d0["mvx"])
-            mvy = jnp.where(intra, fpely * 4, d0["mvy"])
-            simc = d0["simcmplx"] & ~(intra | eprm)
-            skip = d0["skip"]
-            # skip overrides everything (ref: hme.c:1722-1728)
-            mvx = jnp.where(skip, 0, mvx)
-            mvy = jnp.where(skip, 0, mvy)
-            intra = intra & ~skip
-            eprm = eprm & ~skip
-            simc = simc & ~skip
-            noxy = d0["noxmity"] & ~skip
-            noxc = d0["noxmitc"] & ~skip
-            maint = d0["maintain"]  # set before the skip test, kept
-            err = jnp.where(skip | noxy, 0, d0["mad"]) & 0xFFFF
-            flags = (intra.astype(jnp.int32) << K.MV_BIT_INTRA
-                     | eprm.astype(jnp.int32) << K.MV_BIT_EPRM
-                     | maint.astype(jnp.int32) << K.MV_BIT_MAINTAIN
-                     | skip.astype(jnp.int32) << K.MV_BIT_SKIP
-                     | noxy.astype(jnp.int32) << K.MV_BIT_NOXMITY
-                     | noxc.astype(jnp.int32) << K.MV_BIT_NOXMITC
-                     | simc.astype(jnp.int32) << K.MV_BIT_SIMCMPLX)
-            # stats (ref: hme.c:1789-1799, 1825-1831)
-            v = r["valid"]
-            terr = jnp.where(v & ~skip & ~noxy, d0["mad"], 0)
-            ndiff = jnp.where(
-                v & ~skip, (d0["ogrmad"] > 11).astype(jnp.int32)
-                + (d0["avg_c_dif"] >= 32).astype(jnp.int32), 0)
-            nelig = jnp.where(v & (d0["best"] > 0), 1, 0)
-            nintra = jnp.where(v & intra, 1, 0)
-            return (mvx, mvy, flags, err, dc, submask,
-                    skip.astype(jnp.uint8), v, terr, ndiff, nelig, nintra)
+            g = gather_ctx(cfg, level, carry, parent_x, parent_y,
+                           tmv_x, tmv_y, i_, j_)
+            return level0_block(cfg, g, srcl, refl, ogrl, src_u, src_v,
+                                ref_u, ref_v, gx, gy, quant, skip_thresh,
+                                i_, j_, ok_)
 
         (ox, oy, ofl, oerr, odc, osm, oskip, ov, terr, ndiff, nelig,
          nintra) = jax.vmap(one)(i, j, lane_ok)

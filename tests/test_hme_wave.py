@@ -39,6 +39,15 @@ def test_wave_equals_host(fixtures_dir):
     assert a == b
 
 
+def test_pallas_equals_host_tiny(fixtures_dir):
+    """Pallas kernels (interpret mode on CPU) vs the host oracle."""
+    a = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+                            "host", 5, gop=5)
+    b = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+                            "pallas", 5, gop=5)
+    assert a == b
+
+
 def test_wave_equals_host_odd_dims(fixtures_dir):
     a = encode_with_backend(fixtures_dir, "odd100x62_420_4f.y4m", "host", 4)
     b = encode_with_backend(fixtures_dir, "odd100x62_420_4f.y4m", "wave", 4)

@@ -333,6 +333,20 @@ def _level0_call(cfg, shapes):
 
 
 @functools.lru_cache(maxsize=None)
+def _valid_mask(cfg, level):
+    """(nd, lpad) bool: slots the kernel's k-loop actually writes. The
+    kernel only loops k < lmax and guards by lane_ok, so slots beyond the
+    diagonal's run hold garbage SMEM — mask them before any sum/unskew
+    (the unskew zero slot (0, lpad-1) is one of them)."""
+    _, _, ok, _, _ = _diag_tables(cfg, level)
+    return jnp.asarray(ok)
+
+
+def _masked_rows(cfg, level, rows):
+    return jnp.where(_valid_mask(cfg, level)[:, None, :], rows, 0)
+
+
+@functools.lru_cache(maxsize=None)
 def _unskew_idx(cfg, level):
     """(nbv, nbh) flat indices into (nd*lpad) skewed rows; positions the
     level never writes map to a guaranteed-zero slot (d=0, k=lpad-1)."""
@@ -377,7 +391,8 @@ def make_motion_est(cfg):
                               gx, gx, gx, gx]).astype(jnp.int32)
             planes = (srcs[level], refs[level], ogrs[level])
             shapes = tuple((p.shape, str(p.dtype)) for p in planes)
-            rows = _level_call(cfg, level, shapes)(cand, scal, *planes)
+            rows = _masked_rows(cfg, level, _level_call(cfg, level, shapes)(
+                cand, scal, *planes))
             fx = _unskew(cfg, level, rows, 0)
             fy = _unskew(cfg, level, rows, 1)
             gx, gy = hw.global_motion_graph(cfg, level, fx, fy)
@@ -387,7 +402,8 @@ def make_motion_est(cfg):
                           gx, gx, gx, gx]).astype(jnp.int32)
         planes = (srcs[0], refs[0], ogrs[0]) + tuple(chroma)
         shapes = tuple((p.shape, str(p.dtype)) for p in planes)
-        rows = _level0_call(cfg, shapes)(cand, scal, *planes)
+        rows = _masked_rows(cfg, 0, _level0_call(cfg, shapes)(
+            cand, scal, *planes))
         st = dict(
             fx=_unskew(cfg, 0, rows, 0),
             fy=_unskew(cfg, 0, rows, 1),

@@ -290,11 +290,14 @@ def block_feat_detail(a, bw, bh):
     m = (ii < bw) & (jj < bh)
     area = bw * bh
     s = jnp.where(m, a, 0).astype(jnp.int32).sum()
+    # masks built as fresh shifted iotas, not iota slices: Mosaic's layout
+    # pass aborts on extract_strided_slice of a replicated (broadcast-iota)
+    # vector, so ii[:, 1:] etc. cannot appear inside the Pallas kernel
     dh = jnp.abs(a[:, 1:] - a[:, :-1])
-    mh = (ii[:, 1:] < bw) & (jj[:, 1:] < bh)
+    mh = ((iota2(h, w - 1, 1) + 1 < bw) & (iota2(h, w - 1, 0) < bh))
     sh = jnp.where(mh, dh, 0).astype(jnp.int32).sum()
     dv = jnp.abs(a[1:, :] - a[:-1, :])
-    mv_ = (ii[1:, :] < bw) & (jj[1:, :] < bh)
+    mv_ = ((iota2(h - 1, w, 1) < bw) & (iota2(h - 1, w, 0) + 1 < bh))
     sv = jnp.where(mv_, dv, 0).astype(jnp.int32).sum()
     avg = s // jnp.maximum(area, 1)
     var = jnp.where(m, jnp.abs(a - avg), 0).astype(jnp.int32).sum()
@@ -307,13 +310,12 @@ def block_feat_qtex(a, bw, bh):
     """quant_tex (ref: hme.c:586-617)."""
     h, w = a.shape
     q = a >> 4
-    ii = iota2(h, w, 1)
-    jj = iota2(h, w, 0)
+    # shifted-iota masks (see block_feat_detail: no iota slices in-kernel)
     dh = q[:, :-1] - q[:, 1:]
-    mh = (ii[:, 1:] < bw) & (jj[:, 1:] < bh)
+    mh = ((iota2(h, w - 1, 1) + 1 < bw) & (iota2(h, w - 1, 0) < bh))
     sh = usum(jnp.where(mh, dh * dh, 0))
     dv = q[1:, :] - q[:-1, :]
-    mv_ = (ii[1:, :] < bw) & (jj[1:, :] < bh)
+    mv_ = ((iota2(h - 1, w, 1) < bw) & (iota2(h - 1, w, 0) + 1 < bh))
     sv = usum(jnp.where(mv_, dv * dv, 0))
     return isqrt_u32(jnp.maximum(sh, sv)) // ((bw + bh + 1) >> 1)
 
@@ -374,14 +376,27 @@ HPD = 34
 QPD = 68
 
 
+def _ilv_rows(a, b):
+    """Row interleave [a0; b0; a1; b1; ...]: a sublane-merging reshape,
+    which Mosaic lowers (lane-dim reshapes and jnp.repeat along lanes it
+    does not)."""
+    h, w = a.shape
+    return jnp.stack([a, b], axis=1).reshape(2 * h, w)
+
+
+def _rep_rows(a, k):
+    """jnp.repeat(a, k, axis=0) via broadcast + sublane-merging reshape."""
+    h, w = a.shape
+    return jnp.broadcast_to(a[:, None, :], (h, k, w)).reshape(k * h, w)
+
+
 def _interleave(a, b, axis):
-    """[a0, b0, a1, b1, ...] along axis; a/b same shape (Mosaic-safe:
-    repeat + roll + iota-select instead of strided scatter)."""
-    n = a.shape[axis] * 2
-    ra = jnp.repeat(a, 2, axis=axis)
-    rb = roll(jnp.repeat(b, 2, axis=axis), 1, axis)
-    par = jax.lax.broadcasted_iota(jnp.int32, ra.shape, axis) % 2
-    return jnp.where(par == 0, ra, rb)
+    """[a0, b0, a1, b1, ...] along axis; a/b same shape. Lane interleave
+    rides the transpose trick (Mosaic supports transpose + sublane
+    reshapes; it rejects lane-dim reshapes/strided scatter)."""
+    if axis == 0:
+        return _ilv_rows(a, b)
+    return _ilv_rows(a.T, b.T).T
 
 
 def qpel_grid(refwin):
@@ -419,9 +434,13 @@ def qpsad(srcsp, q, t0, t1, ew, tw, aw):
     """(ref: hme.c:244-269). srcsp: (16,16) int32; t0/t1 dynamic in [-3,3].
     The probe compares srcsp with q[4+t1::4, 4+t0::4]; both live here on a
     stride-4 lattice of a (64,64) canvas so the quad math stays unit-roll."""
-    qs = roll(roll(q, QPD - (4 + t1), 0), QPD - (4 + t0), 1)
+    # pad to tile-aligned dims before the dynamic rolls (Mosaic lowers
+    # dynamic rotates only on x8/x128 extents); every wrapped position is
+    # outside the lattice mask in both backends, so values are unchanged
+    qp_ = jnp.pad(q, ((0, 72 - QPD), (0, 128 - QPD)))
+    qs = roll(roll(qp_, 72 - (4 + t1), 0), 128 - (4 + t0), 1)
     sub_l = qs[:64, :64]
-    src_l = jnp.repeat(jnp.repeat(srcsp, 4, axis=0), 4, axis=1)
+    src_l = _rep_rows(_rep_rows(srcsp, 4).T, 4).T
     se = _uavg4_lat(jnp.abs(src_l - sub_l), 4)
     ta = _tex_lat(src_l, 4)
     tb = _tex_lat(sub_l, 4)

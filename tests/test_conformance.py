@@ -1,0 +1,84 @@
+"""Independent conformance decoder vs the reference's d28dec binary.
+
+dsv2_tpu.conformance is a self-contained second decode implementation
+(numpy only, no imports from the main codec); here it must byte-match the
+reference's own standalone decoder on reference-encoded streams across
+frame types, chroma formats, odd dims and lossless.
+"""
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from dsv2_tpu.conformance import decode_file
+
+FIX = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.mark.parametrize("fixture,args", [
+    ("tiny64x48_420_6f", ["-qp=60", "-gop=6"]),
+    ("odd100x62_420_4f", ["-qp=50", "-gop=4"]),
+    ("tiny64x48_444_4f", ["-qp=60", "-gop=4"]),
+    ("tiny64x48_411_4f", ["-qp=60", "-gop=4"]),
+    ("tiny64x48_420_6f", ["-qp=1", "-gop=3"]),          # lossless I+P
+    ("tiny64x48_420_6f", ["-qp=200", "-gop=6", "-effort=4"]),
+])
+def test_conformance_vs_d28dec(tmp_path, ref_build, fixture, args):
+    dsv2 = os.path.join(ref_build, "dsv2")
+    d28dec = os.path.join(ref_build, "d28dec")
+    src = os.path.join(FIX, fixture + ".y4m")
+    enc = str(tmp_path / "s.dsv")
+    refy = str(tmp_path / "ref.y4m")
+    oury = str(tmp_path / "our.y4m")
+    # the reference binary's exit code is nonzero even on success
+    subprocess.run([dsv2, "e", "-y", "-inp=" + src, "-out=" + enc,
+                    "-y4m=1"] + args, capture_output=True)
+    assert os.path.getsize(enc) > 0
+    subprocess.run([d28dec, "-y", "-inp=" + enc, "-out=" + refy,
+                    "-y4m=1"], check=True, capture_output=True)
+    decode_file(enc, oury)
+    with open(refy, "rb") as a, open(oury, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_conformance_vs_own_encoder(tmp_path, ref_build):
+    """The conformance decoder must also decode OUR encoder's streams
+    (which are byte-identical to the reference's, but this closes the
+    loop without assuming that)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from dsv2_tpu.utils import y4m
+    from dsv2_tpu.utils.packet import VideoMeta
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
+
+    src = os.path.join(FIX, "tiny64x48_420_6f.y4m")
+    frames = []
+    with open(src, "rb") as f:
+        rdr = y4m.Y4MReader(f)
+        while True:
+            p = rdr.read_frame()
+            if p is None:
+                break
+            frames.append(p)
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1])
+    enc = make_encoder(meta, default_enc_opts(qp=60, gop=6))
+    out = b""
+    for fr in frames:
+        out += b"".join(bytes(c) for c in enc.encode_frame(fr))
+    out += b"".join(bytes(c) for c in enc.end_of_stream())
+    p = str(tmp_path / "own.dsv")
+    with open(p, "wb") as f:
+        f.write(out)
+    got = decode_file(p)
+    assert len(got) == len(frames)
+    # cross-check against the reference's standalone decoder
+    d28dec = os.path.join(ref_build, "d28dec")
+    refy = str(tmp_path / "ref.y4m")
+    oury = str(tmp_path / "our.y4m")
+    subprocess.run([d28dec, "-y", "-inp=" + p, "-out=" + refy, "-y4m=1"],
+                   check=True, capture_output=True)
+    decode_file(p, oury)
+    with open(refy, "rb") as a, open(oury, "rb") as b:
+        assert a.read() == b.read()

@@ -176,7 +176,7 @@ def make_i_chain_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
             pw, ph = pcfg.pdims[c]
             vis.append(recons[c][:ph, :pw])
         if not lossless:
-            vis[0] = filters.intra_filter_graph(
+            vis[0] = filters.impl().intra_filter_graph(
                 pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
                 vis[0], bd, fq, fthresh * do_filter)
         chain = _chain_outputs(pcfg, levels, vis)
@@ -215,13 +215,13 @@ def make_p_chain_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
             pw, ph = pcfg.pdims[c]
             vis.append(recons[c][:ph, :pw])
         if not lossless:
-            vis[0] = filters.luma_filter_graph(
+            vis[0] = filters.impl().luma_filter_graph(
                 pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
                 blk_w, blk_h, inter_sharpen, vis[0], mvx, mvy, flags,
                 submask, fq, fthresh, do_filter, tmc)
             for c in (1, 2):
                 mcc = pcfg.mc_cfg(c)
-                vis[c] = filters.chroma_filter_graph(
+                vis[c] = filters.impl().chroma_filter_graph(
                     pcfg.pdims[c][0], pcfg.pdims[c][1], pcfg.nbh,
                     pcfg.nbv, mcc.bw, mcc.bh, vis[c],
                     mvx, mvy, flags, q)
@@ -290,7 +290,7 @@ def make_id_chain_step(w, h, subsamp, blk_w, blk_h, lossless):
             pw, ph = pcfg.pdims[c]
             vis.append(pxs[c][:ph, :pw])
         if not lossless:
-            vis[0] = filters.intra_filter_graph(
+            vis[0] = filters.impl().intra_filter_graph(
                 pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
                 vis[0], bd, fq, fthresh * do_filter)
         chain = [framedev.extend_plane_graph(vis[c], *pcfg.pdims[c])
@@ -320,13 +320,13 @@ def make_pd_chain_step(w, h, subsamp, blk_w, blk_h, lossless,
             pw, ph = pcfg.pdims[c]
             vis.append(recons[c][:ph, :pw])
         if not lossless:
-            vis[0] = filters.luma_filter_graph(
+            vis[0] = filters.impl().luma_filter_graph(
                 pcfg.pdims[0][0], pcfg.pdims[0][1], pcfg.nbh, pcfg.nbv,
                 blk_w, blk_h, inter_sharpen, vis[0], mvx, mvy, flags,
                 submask, fq, fthresh, do_filter, tmc)
             for c in (1, 2):
                 mcc = pcfg.mc_cfg(c)
-                vis[c] = filters.chroma_filter_graph(
+                vis[c] = filters.impl().chroma_filter_graph(
                     pcfg.pdims[c][0], pcfg.pdims[c][1], pcfg.nbh,
                     pcfg.nbv, mcc.bw, mcc.bh, vis[c], mvx, mvy, flags, q)
         chain = [framedev.extend_plane_graph(vis[c], *pcfg.pdims[c])

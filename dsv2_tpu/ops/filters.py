@@ -22,6 +22,8 @@ dsvn_luma_filter / dsvn_chroma_filter), itself byte-checked against the
 reference binary by the e2e suites.
 """
 import functools
+import os
+import sys
 from typing import NamedTuple
 
 import numpy as np
@@ -30,6 +32,20 @@ import jax.numpy as jnp
 
 from ..core import constants as K
 from . import jint
+
+
+def impl():
+    """The in-loop filter implementation for the current backend: the
+    Pallas wavefront kernels (ops/filters_pl) on an accelerator — they
+    replace this module's fori-loop scan, whose per-iteration scalar-sync
+    floor costs ~370 ms per CIF luma pass on TPU — and this XLA module on
+    CPU. DSV2_FILTERS=xla|pallas overrides."""
+    mode = os.environ.get("DSV2_FILTERS", "auto")
+    if mode == "pallas" or (mode == "auto"
+                            and jax.default_backend() != "cpu"):
+        from . import filters_pl
+        return filters_pl
+    return sys.modules[__name__]
 
 F_STABLE = 1 << K.STABLE_BIT
 F_MAINTAIN = 1 << K.MAINTAIN_BIT

@@ -122,3 +122,44 @@ def test_chroma_filter_parity(w, h, nbh, nbv, bw, bh):
         assert np.array_equal(got, ref), (
             f"chroma filter mismatch {w}x{h} bw={bw} bh={bh} "
             f"trial {trial}: {int((got != ref).sum())} px")
+
+
+def test_pallas_filters_parity_interpret():
+    """The Pallas wavefront kernels (ops/filters_pl, interpret mode on
+    CPU) must match the XLA wavefront graphs element-for-element; the XLA
+    graphs are themselves checked against the native C above."""
+    import jax.numpy as jnp
+    from dsv2_tpu.ops import filters_pl
+
+    rng = np.random.default_rng(77)
+    pw, ph, nbh, nbv = 100, 62, 7, 4
+    vis = _rand_plane(rng, pw, ph)
+    bd = rng.integers(0, 64, (nbv, nbh)).astype(np.int32)
+    mvx = rng.integers(-40, 40, (nbv, nbh)).astype(np.int32)
+    mvy = rng.integers(-40, 40, (nbv, nbh)).astype(np.int32)
+    flags = rng.integers(0, 256, (nbv, nbh)).astype(np.int32)
+    sub = rng.integers(0, 16, (nbv, nbh)).astype(np.int32)
+    fq = jnp.int32(900)
+    fth = jnp.int32(160)
+    a = np.asarray(filters.intra_filter_graph(
+        pw, ph, nbh, nbv, jnp.asarray(vis), jnp.asarray(bd), fq, fth))
+    b = np.asarray(filters_pl.intra_filter_graph(
+        pw, ph, nbh, nbv, jnp.asarray(vis), jnp.asarray(bd), fq, fth))
+    assert np.array_equal(a, b)
+    args = (jnp.asarray(vis), jnp.asarray(mvx), jnp.asarray(mvy),
+            jnp.asarray(flags), jnp.asarray(sub), fq, fth,
+            jnp.int32(1), jnp.int32(1))
+    a = np.asarray(filters.luma_filter_graph(pw, ph, nbh, nbv, 16, 16, 1,
+                                             *args))
+    b = np.asarray(filters_pl.luma_filter_graph(pw, ph, nbh, nbv, 16, 16,
+                                                1, *args))
+    assert np.array_equal(a, b)
+    cw_, ch_ = pw // 2, ph // 2
+    visc = _rand_plane(rng, cw_, ch_)
+    a = np.asarray(filters.chroma_filter_graph(
+        cw_, ch_, nbh, nbv, 8, 8, jnp.asarray(visc), jnp.asarray(mvx),
+        jnp.asarray(mvy), jnp.asarray(flags), jnp.int32(700)))
+    b = np.asarray(filters_pl.chroma_filter_graph(
+        cw_, ch_, nbh, nbv, 8, 8, jnp.asarray(visc), jnp.asarray(mvx),
+        jnp.asarray(mvy), jnp.asarray(flags), jnp.int32(700)))
+    assert np.array_equal(a, b)

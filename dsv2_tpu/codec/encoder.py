@@ -263,12 +263,11 @@ class Encoder:
 
     def _devchain(self):
         """Device-resident reference chain: recon, in-loop filters, border
-        extension and ME pyramids never leave the device. Requires the
-        wave (on-device) motion search; the host HME backend reads the
-        reference pixels on the host."""
-        backend = getattr(self, "hme_backend", None) or os.environ.get(
-            "DSV2_HME", "host")
-        return backend == "wave" and self.gop != K.GOP_INTRA
+        extension and ME pyramids never leave the device. Requires an
+        on-device motion search (wave or pallas); the host HME backend
+        reads the reference pixels on the host."""
+        from . import hme
+        return hme.is_device_backend(self) and self.gop != K.GOP_INTRA
 
     def _encode_one(self, d):
         """(ref: encode_one_frame, dsv_encoder.c:1184-1317)."""

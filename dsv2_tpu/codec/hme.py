@@ -23,11 +23,24 @@ def _auto_backend(enc):
     return "host"
 
 
-def motion_est(enc, d):
+def resolve_backend(enc):
+    """The effective backend for this encoder (shared policy: the encoder's
+    device-chain gate must agree with the dispatch below)."""
     backend = getattr(enc, "hme_backend", None) or os.environ.get(
         "DSV2_HME", "auto")
     if backend == "auto":
         backend = _auto_backend(enc)
+    return backend
+
+
+def is_device_backend(enc):
+    """True when the search runs on device (wave XLA or pallas kernels) —
+    the encoder keeps the whole reference chain device-resident then."""
+    return resolve_backend(enc) in ("wave", "pallas")
+
+
+def motion_est(enc, d):
+    backend = resolve_backend(enc)
     if backend == "pallas":
         from ..ops import hme_pallas
         hme_pallas.motion_est(enc, d)

@@ -212,9 +212,9 @@ def _level_call(cfg, level, shapes):
     def kernel(cand_ref, scal_ref, src_ref, ref_ref, ogr_ref,
                out_ref, ring_ref):
         d = pl.program_id(0)
-        gx = scal_ref[0]
-        gy = scal_ref[1]
-        quant = scal_ref[2]
+        gx = scal_ref[0, 0]
+        gy = scal_ref[0, 1]
+        quant = scal_ref[0, 2]
         with hw.backend_hooks(_reader, _roll, True):
             def body(k, _):
                 a = jnp.maximum(0, d - (cb - 1)) + k
@@ -249,7 +249,7 @@ def _level_call(cfg, level, shapes):
             in_specs=[
                 pl.BlockSpec((1, lpad, NCOL), lambda d: (d, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((8,), lambda d: (0,),
+                pl.BlockSpec((1, 8), lambda d: (0, 0),
                              memory_space=pltpu.SMEM),
             ] + [pl.BlockSpec(s[0], lambda d: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -274,10 +274,10 @@ def _level0_call(cfg, shapes):
     def kernel(cand_ref, scal_ref, src_ref, ref_ref, ogr_ref,
                srcu_ref, srcv_ref, refu_ref, refv_ref, out_ref, ring_ref):
         d = pl.program_id(0)
-        gx = scal_ref[0]
-        gy = scal_ref[1]
-        quant = scal_ref[2]
-        skip_thresh = scal_ref[3]
+        gx = scal_ref[0, 0]
+        gy = scal_ref[0, 1]
+        quant = scal_ref[0, 2]
+        skip_thresh = scal_ref[0, 3]
         with hw.backend_hooks(_reader, _roll, True):
             def body(k, _):
                 a = jnp.maximum(0, d - (cb - 1)) + k
@@ -316,7 +316,7 @@ def _level0_call(cfg, shapes):
             in_specs=[
                 pl.BlockSpec((1, lpad, NCOL), lambda d: (d, 0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((8,), lambda d: (0,),
+                pl.BlockSpec((1, 8), lambda d: (0, 0),
                              memory_space=pltpu.SMEM),
             ] + [pl.BlockSpec(s[0], lambda d: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -388,7 +388,7 @@ def make_motion_est(cfg):
         for level in range(npl, 0, -1):
             cand = _pregather(cfg, level, parent_x, parent_y, tmv_x, tmv_y)
             scal = jnp.stack([gx, gy, quant, skip_thresh,
-                              gx, gx, gx, gx]).astype(jnp.int32)
+                              gx, gx, gx, gx]).astype(jnp.int32)[None]
             planes = (srcs[level], refs[level], ogrs[level])
             shapes = tuple((p.shape, str(p.dtype)) for p in planes)
             rows = _masked_rows(cfg, level, _level_call(cfg, level, shapes)(
@@ -399,7 +399,7 @@ def make_motion_est(cfg):
             parent_x, parent_y = fx, fy
         cand = _pregather(cfg, 0, parent_x, parent_y, tmv_x, tmv_y)
         scal = jnp.stack([gx, gy, quant, skip_thresh,
-                          gx, gx, gx, gx]).astype(jnp.int32)
+                          gx, gx, gx, gx]).astype(jnp.int32)[None]
         planes = (srcs[0], refs[0], ogrs[0]) + tuple(chroma)
         shapes = tuple((p.shape, str(p.dtype)) for p in planes)
         rows = _masked_rows(cfg, 0, _level0_call(cfg, shapes)(

@@ -102,6 +102,7 @@ class LockstepBatcher:
         self._active = 0
         self._blocked = 0
         self._queues = {}             # key -> list of [args, out, done]
+        self._seq = 0                 # global submission counter
 
     def thread_begin(self):
         with self._cond:
@@ -121,21 +122,42 @@ class LockstepBatcher:
         merged prefix fetches of big device outputs)."""
         entry = [args, None, False]
         with self._cond:
+            self._seq += 1
+            entry.append(self._seq)
             self._queues.setdefault(key, []).append((entry, builder, post))
             self._blocked += 1
             if self._blocked >= self._active:
                 self._flush_locked()
-            else:
-                while not entry[2]:
-                    self._cond.wait()
+            while not entry[2]:
+                self._cond.wait()
         if isinstance(entry[1], BaseException):
             raise entry[1]
         return entry[1]
 
+    def _pick_queues(self):
+        """Choose which queues to flush. Full-width queues flush as one
+        aligned batch (the LaneRef parent-passthrough fast path). When
+        every thread is blocked but no queue is full — streams drifted
+        out of phase — release ONLY the queue holding the oldest
+        submission: the stragglers advance, catch up with the group
+        ahead, and the batches re-merge at full width (flushing
+        everything instead locks the split in permanently and pads every
+        half batch to full device cost)."""
+        full = {k: v for k, v in self._queues.items()
+                if len(v) >= self._active}
+        if full:
+            for k in full:
+                del self._queues[k]
+            return full
+        oldest_key = min(self._queues,
+                         key=lambda k: min(e[0][3] for e in
+                                           self._queues[k]))
+        return {oldest_key: self._queues.pop(oldest_key)}
+
     def _flush_locked(self):
-        """Dispatch every pending queue (caller holds the lock and is one of
-        the blocked threads)."""
-        queues, self._queues = self._queues, {}
+        """Dispatch the selected queues (caller holds the lock and is one
+        of the blocked threads)."""
+        queues = self._pick_queues()
         n = sum(len(v) for v in queues.values())
         self._blocked -= n
         for key, pending in queues.items():

@@ -50,7 +50,7 @@ def main():
 
     def factory():
         enc = make_encoder(meta, default_enc_opts(qp=60, gop=gop))
-        enc.hme_backend = "wave"
+        enc.hme_backend = os.environ.get("DSV2_BENCHP_HME", "wave")
         return enc
 
     # sequential single-stream baseline (host HME); warm the jit caches

@@ -2,20 +2,28 @@
 """Encoder throughput benchmark vs the reference C encoder.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "extra": {...}}
 
 vs_baseline = our fps / single-threaded C reference fps measured on this
 host in the same run (the reference publishes no numbers; BASELINE.md).
-Headline config: FHD 1920x1080 4:2:0 intra encode, 32 frames, qp=60 —
-the driver-defined metric resolution (BASELINE.md "1080p encode fps per
+
+Headline config: FHD 1920x1080 4:2:0 intra encode, 32 frames, qp=60 — the
+driver-defined metric resolution (BASELINE.md "1080p encode fps per
 chip"); the produced .dsv is byte-identical to the reference binary's.
-Chunked device batches overlap host serialization with device compute;
-coefficients cross the link in the dense split-band format. When the TPU
-tunnel is unreachable the bench falls back to CIF on CPU (compiling the
-FHD program on the CPU backend would blow the time budget).
+Timed runs are MEDIAN-OF-3 for both encoders (the axon tunnel bandwidth
+swings 4-170 MB/s run to run; single-shot numbers are weather).
+
+"extra" carries transfer-independent and P-path numbers:
+  - device_ms_per_frame: pure device compute per 1080p intra frame
+    (repeated dispatch on device-resident inputs, metadata-only fetch)
+  - p_lockstep: CIF 4:2:0 qp=60 gop=12 lockstep x8 P-frame encode
+    (BASELINE.md config-1 class) vs the C encoder on the same input,
+    stream 0 byte-checked against the reference binary's first GOP.
+When the TPU tunnel is unreachable the bench falls back to CIF on CPU.
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -24,6 +32,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 ARGS = ["-qp=60", "-gop=0"]
+P_GOP = 12
+P_WIDTH = 8
 
 
 def ensure_inputs(w, h, nframes):
@@ -35,21 +45,24 @@ def ensure_inputs(w, h, nframes):
     return path
 
 
-def ref_fps(ref_bin, src, nframes):
-    t0 = time.perf_counter()
-    subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
-                    "-out=/tmp/dsv2_bench_ref.dsv", "-y4m=1"] + ARGS,
-                   capture_output=True)
-    dt = time.perf_counter() - t0
-    return nframes / dt
+def median3(fn):
+    vals = [fn() for _ in range(3)]
+    return statistics.median(vals)
 
 
-def our_fps(src, want, nframes, chunk):
+def ref_fps(ref_bin, src, nframes, args, out="/tmp/dsv2_bench_ref.dsv"):
+    def run():
+        t0 = time.perf_counter()
+        subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                        "-out=" + out, "-y4m=1"] + args,
+                       capture_output=True)
+        return nframes / (time.perf_counter() - t0)
+    return median3(run)
+
+
+def read_frames(src):
     from dsv2_tpu.utils import y4m
     from dsv2_tpu.utils.packet import VideoMeta
-    from dsv2_tpu.cli import make_encoder, default_enc_opts
-    from dsv2_tpu.parallel.batch import encode_intra_batch
-
     frames = []
     with open(src, "rb") as f:
         rdr = y4m.Y4MReader(f)
@@ -61,6 +74,14 @@ def our_fps(src, want, nframes, chunk):
     meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
                      fps_num=rdr.fps[0], fps_den=rdr.fps[1],
                      aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+    return frames, meta
+
+
+def our_intra_fps(src, want, nframes, chunk):
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
+    from dsv2_tpu.parallel.batch import encode_intra_batch
+
+    frames, meta = read_frames(src)
 
     def mk():
         return make_encoder(meta, default_enc_opts(qp=60, gop=0))
@@ -68,17 +89,102 @@ def our_fps(src, want, nframes, chunk):
     # warmup (jit compile of the batched device pipeline, same batch shape)
     enc = mk()
     encode_intra_batch(enc, frames, chunk=chunk)
-    # timed run
-    enc = mk()
-    t0 = time.perf_counter()
-    out = encode_intra_batch(enc, frames, chunk=chunk)
-    out += enc.end_of_stream()
-    dt = time.perf_counter() - t0
-    ours = b"".join(out)
-    if ours != want:
-        print("# WARNING: stream does not byte-match the reference",
-              file=sys.stderr)
-    return nframes / dt
+
+    def run():
+        enc = mk()
+        t0 = time.perf_counter()
+        out = encode_intra_batch(enc, frames, chunk=chunk)
+        out += enc.end_of_stream()
+        dt = time.perf_counter() - t0
+        ours = b"".join(out)
+        if ours != want:
+            print("# WARNING: stream does not byte-match the reference",
+                  file=sys.stderr)
+        return nframes / dt
+
+    return median3(run)
+
+
+def device_ms_per_frame(src, chunk):
+    """Pure device compute per intra frame: repeated dispatch of the
+    batched step on device-resident inputs; only the (tiny) metadata
+    vector crosses the link per call."""
+    import numpy as np
+    import jax
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
+    from dsv2_tpu.parallel import batch as pb
+    from dsv2_tpu.core.frame import B
+
+    frames, meta = read_frames(src)
+    enc = make_encoder(meta, default_enc_opts(qp=60, gop=0))
+    ctx = pb._prep_chunk(enc, frames[:chunk])
+    datas, pcfg, p = ctx["datas"], ctx["pcfg"], ctx["p"]
+    xs = [[], [], []]
+    for d in datas:
+        for c in range(3):
+            cw, ch = pcfg.cdims[c]
+            pw, ph = pcfg.pdims[c]
+            arr = d.padded.planes[c]
+            x = np.full((ch, cw), 128, dtype=np.uint8)
+            x[:ph, :] = arr[B:B + ph, B:B + cw]
+            xs[c].append(x)
+    xs = [jax.device_put(np.stack(a)) for a in xs]
+    bds = jax.device_put(np.stack(ctx["blockdatas"]))
+    qs = jax.device_put(np.asarray(ctx["quants"], dtype=np.int32))
+    from dsv2_tpu.core import constants as K
+    fn = pb._device_batch_fn(meta.width, meta.height, meta.subsamp,
+                             p.blk_w, p.blk_h, p.lossless, p.do_psy,
+                             enc.gop != K.GOP_INTRA, ctx["analyze"])
+    out = fn(xs[0], xs[1], xs[2], bds, qs)
+    np.asarray(out[1])  # prime + sync
+
+    def run():
+        t0 = time.perf_counter()
+        o = fn(xs[0], xs[1], xs[2], bds, qs)
+        np.asarray(o[1])  # smalls: tiny fetch forces completion
+        return (time.perf_counter() - t0) * 1000.0 / len(datas)
+
+    return median3(run)
+
+
+def p_lockstep(ref_bin):
+    """CIF lockstep P-frame encode (width x gop streams) vs the C encoder
+    on the identical input; byte-checks stream 0 vs the reference's first
+    GOP."""
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
+    from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
+
+    n = P_WIDTH * P_GOP
+    src = ensure_inputs(352, 288, n)
+    c_fps = ref_fps(ref_bin, src, n, [f"-gop={P_GOP}", "-qp=60"],
+                    out="/tmp/dsv2_bench_pref.dsv")
+    # reference bytes for the first GOP (independent stream semantics)
+    subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                    "-out=/tmp/dsv2_bench_pref0.dsv", "-y4m=1",
+                    f"-gop={P_GOP}", "-qp=60", f"-nfr={P_GOP}"],
+                   capture_output=True)
+    want0 = open("/tmp/dsv2_bench_pref0.dsv", "rb").read()
+
+    frames, meta = read_frames(src)
+    streams = [frames[i:i + P_GOP] for i in range(0, n, P_GOP)]
+
+    def factory():
+        return make_encoder(meta, default_enc_opts(qp=60, gop=P_GOP))
+
+    encode_streams_lockstep(streams, factory, width=P_WIDTH)  # warm
+
+    def run():
+        t0 = time.perf_counter()
+        out = encode_streams_lockstep(streams, factory, width=P_WIDTH)
+        dt = time.perf_counter() - t0
+        if out[0] != want0:
+            print("# WARNING: P stream 0 does not byte-match the reference",
+                  file=sys.stderr)
+        return n / dt
+
+    fps = median3(run)
+    return {"fps": round(fps, 3), "c_fps": round(c_fps, 3),
+            "vs_baseline": round(fps / c_fps, 4)}
 
 
 def _pick_platform():
@@ -117,15 +223,28 @@ def main():
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,
                              check=True).stdout.strip()
+    ref_bin = os.path.join(ref_dir, "dsv2")
     src = ensure_inputs(w, h, nframes)
-    c_fps = ref_fps(os.path.join(ref_dir, "dsv2"), src, nframes)
+    c_fps = ref_fps(ref_bin, src, nframes, ARGS)
     want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
-    fps = our_fps(src, want, nframes, chunk)
+    fps = our_intra_fps(src, want, nframes, chunk)
+    extra = {}
+    try:
+        extra["device_ms_per_frame"] = round(
+            device_ms_per_frame(src, chunk), 3)
+    except Exception as e:  # never lose the headline to an extra
+        print(f"# device-only metric failed: {e!r}", file=sys.stderr)
+    if plat != "cpu":
+        try:
+            extra["p_lockstep"] = p_lockstep(ref_bin)
+        except Exception as e:
+            print(f"# p_lockstep metric failed: {e!r}", file=sys.stderr)
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / c_fps, 4),
+        "extra": extra,
     }))
     print(f"# reference C encoder: {c_fps:.2f} fps (same host, same config)",
           file=sys.stderr)

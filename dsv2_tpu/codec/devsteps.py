@@ -50,6 +50,40 @@ def _ll_ns(pcfg):
     return tuple(hzcc.scan_segments(*pcfg.cdims[c])[0][0] for c in range(3))
 
 
+def blob_cap(total):
+    """Static byte capacity of one plane's device scan blob. Typical
+    entropy-coded planes run ~0.1-0.3 bytes/coefficient; over-cap content
+    raises the per-plane fallback (host re-scan), so the cap trades
+    emission work against fallback rate. DSV2_BLOB_DIV overrides."""
+    import os
+    div = int(os.environ.get("DSV2_BLOB_DIV", "3"))
+    return max(-(-total // div), 4096)
+
+
+def _finish_blob(recons, lls, vs, pcfg):
+    """Blob-transfer finish: each plane's FINAL entropy-coded scan blob
+    (ops/scan_pl), merged into one flat byte buffer at cumsum offsets.
+    smalls keeps the 12-int layout: (nbytes, ll, nbytes, fallback) per
+    plane; the raw int32 scans back the per-plane fallback."""
+    from ..ops import hzcc, scan_pl
+    rows, useds = [], []
+    fbs = []
+    for c, v in enumerate(vs):
+        segs = tuple(hzcc.scan_segments(*pcfg.cdims[c]))
+        total = sum(n for n, _ in segs)
+        blob, nbytes, fb = scan_pl.make_scan_blob(segs, blob_cap(total))(v)
+        rows.append(blob[None])
+        useds.append(jnp.where(fb, 0, nbytes)[None])
+        fbs.append(fb)
+    buf, _ = xfer.merge_rows(rows, useds)
+    smalls = jnp.stack(
+        [jnp.stack([useds[c][0], ll, useds[c][0],
+                    fbs[c].astype(jnp.int32)])
+         for c, ll in enumerate(lls)]).reshape(-1)
+    fbarrs = [(v, None) for v in vs]
+    return recons, buf, smalls, fbarrs
+
+
 def _pcfg(w, h, subsamp, blk_w, blk_h, isP, lossless, do_psy):
     return _PCfg(VideoMeta(width=w, height=h, subsamp=subsamp),
                  blk_w, blk_h, isP, lossless, do_psy)
@@ -86,7 +120,10 @@ def make_p_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy):
             outs.append((recon, coefs[0, 0], v))
         recons = [o[0] for o in outs]
         lls = [o[1] for o in outs]
-        if xfer.MODE == "dense":
+        m = xfer.mode()
+        if m == "blob":
+            return _finish_blob(recons, lls, [o[2] for o in outs], pcfg)
+        if m == "dense":
             return _finish_dense(recons, lls, [o[2] for o in outs],
                                  _ll_ns(pcfg))
         return _finish(recons, lls, [xfer.pack_segment(o[2]) for o in outs])
@@ -117,7 +154,10 @@ def make_i_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
             outs.append((rpx, coefs[0, 0], v))
         recons = [o[0] for o in outs]
         lls = [o[1] for o in outs]
-        if xfer.MODE == "dense":
+        m = xfer.mode()
+        if m == "blob":
+            return _finish_blob(recons, lls, [o[2] for o in outs], pcfg)
+        if m == "dense":
             return _finish_dense(recons, lls, [o[2] for o in outs],
                                  _ll_ns(pcfg))
         return _finish(recons, lls, [xfer.pack_segment(o[2]) for o in outs])
@@ -398,17 +438,22 @@ def fetch_sparse_outs(step_out):
     useds = sm[:, 2].astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(useds)[:-1]])
     packed = xfer.fetch_packed(buf, int(useds.sum()))
+    isblob = xfer.mode() == "blob"
     for c in range(3):
         n, ll, used, fb = (int(x) for x in sm[c])
-        total = fbarrs[c][0].shape[0]
         if fb:
-            vals = np.asarray(fbarrs[c][0])[:n]
-            pos = np.asarray(fbarrs[c][1])[:n]
-            v = np.zeros(total, dtype=np.int32)
-            v[pos] = vals
-            vscans.append(("dense", v))
+            if isblob:  # raw int32 scan, host re-encodes natively
+                vscans.append(("dense", np.asarray(fbarrs[c][0])))
+            else:
+                total = fbarrs[c][0].shape[0]
+                vals = np.asarray(fbarrs[c][0])[:n]
+                pos = np.asarray(fbarrs[c][1])[:n]
+                v = np.zeros(total, dtype=np.int32)
+                v[pos] = vals
+                vscans.append(("dense", v))
         else:
             o = int(offs[c])
-            vscans.append(("packed", packed[o:o + used]))
+            vscans.append(("blob" if isblob else "packed",
+                           packed[o:o + used]))
         lls.append(ll)
     return vscans, lls

@@ -577,6 +577,8 @@ class Encoder:
             if kind == "dense8":
                 planecode.encode_plane_d8(w, payload[0], payload[1],
                                           lls[c], cw, ch)
+            elif kind == "blob":
+                planecode.encode_plane_blob(w, payload, lls[c])
             elif kind == "packed":
                 planecode.encode_plane_packed(w, payload, cw * ch, lls[c],
                                               cw, ch)

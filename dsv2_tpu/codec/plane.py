@@ -68,6 +68,24 @@ def encode_plane_d8(w: BitWriter, llband, rest8, ll_value, cw, ch):
         log.info("encoded plane of size %d bytes", endp - startp)
 
 
+def encode_plane_blob(w: BitWriter, blob, ll_value):
+    """encode_plane from a device-built scan blob (ops/scan_pl): the
+    entropy coding already happened on device — the host just frames it
+    (length slot, SEG(ll), blob bytes, EOP, length patch)."""
+    w.align()
+    startp = w.byte_pos
+    w.put_bits(32, 0)
+    w.put_seg(int(ll_value))
+    w.align()
+    w.concat_bytes(blob.tobytes() if hasattr(blob, "tobytes") else blob)
+    w.put_bits(8, EOP_SYMBOL)
+    w.align()
+    endp = w.byte_pos
+    w.patch_bits(startp * 8, 32, (endp - startp) - 4)
+    if log.get_level() >= log.LEVEL_INFO:
+        log.info("encoded plane of size %d bytes", endp - startp)
+
+
 def decode_plane(r: BitReader, cw, ch):
     """Returns (ok, ll_value, v_scan). Mirrors dsv_decode_plane's framing,
     error detection and skip-by-length behavior."""

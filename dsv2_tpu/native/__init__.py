@@ -73,6 +73,7 @@ def lib():
                 C.POINTER(C.c_int64), C.POINTER(C.c_int64),  # offs_ll, offs
                 C.POINTER(C.c_int64), C.POINTER(C.c_int32),  # lens, lls
                 C.POINTER(Seg), C.POINTER(C.c_int32), C.c_int32,  # segs, eop
+                C.c_int32,                                   # blobmode
                 C.POINTER(C.c_uint8), C.c_int64,
                 C.POINTER(C.c_int64), C.POINTER(C.c_int64)]
             L.dsvn_scan_enc_d8.restype = C.c_int64
@@ -439,7 +440,7 @@ def _pkt_buf(cap):
 def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
                   statbits, intra_filter, stable_bits, ring_bits,
                   maint_bits, packed, offs, lens, lls, segments3, eop,
-                  nnz_total, dense8=None, offs_ll=None):
+                  nnz_total, dense8=None, offs_ll=None, blob=False):
     """Assemble complete intra picture packets for a frame batch straight
     from device-packed plane segments OR (dense8 != None) from the dense
     split-band format: dense8 = (llbuf int32, restbuf int8) with offs_ll /
@@ -494,7 +495,7 @@ def intra_packets(hdr6, fnums, quants, blkw_code, blkh_code, qp_bits,
         ofll.ctypes.data_as(C.POINTER(C.c_int64)),
         of.ctypes.data_as(C.POINTER(C.c_int64)),
         ln.ctypes.data_as(C.POINTER(C.c_int64)), _i32p(ll),
-        sarr, _i32p(seg_n), int(eop),
+        sarr, _i32p(seg_n), int(eop), int(blob),
         _u8p(buf), buf.size,
         po.ctypes.data_as(C.POINTER(C.c_int64)),
         pl.ctypes.data_as(C.POINTER(C.c_int64)))

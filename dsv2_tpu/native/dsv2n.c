@@ -1439,6 +1439,33 @@ static int plane_packed_bw(BW *w, int32_t ll, const uint8_t *seg,
     return 0;
 }
 
+/* plane_packed_bw twin for a device-built scan blob: the entropy coding
+ * already happened on device (ops/scan_pl); the framing here is just the
+ * length slot, SEG(ll), the blob bytes, and the EOP marker. */
+static int plane_blob_bw(BW *w, int32_t ll, const uint8_t *blob,
+                         int64_t nbytes, int eop)
+{
+    uint32_t startp, endp;
+    bw_align(w);
+    startp = w->bit >> 3;
+    bw_bits(w, 32, 0);
+    bw_seg(w, ll);
+    bw_align(w);
+    bw_bytes(w, blob, nbytes);
+    bw_bits(w, 8, (unsigned)eop);
+    bw_align(w);
+    if (w->ovf) return -1;
+    endp = w->bit >> 3;
+    {
+        uint32_t plen = (endp - startp) - 4;
+        w->base[startp + 0] = (uint8_t)(plen >> 24);
+        w->base[startp + 1] = (uint8_t)(plen >> 16);
+        w->base[startp + 2] = (uint8_t)(plen >> 8);
+        w->base[startp + 3] = (uint8_t)plen;
+    }
+    return 0;
+}
+
 /* plane_packed_bw twin for the dense split-band format */
 static int plane_dense8_bw(BW *w, int32_t ll, const int32_t *llband,
                            const int8_t *rest,
@@ -1487,6 +1514,7 @@ API int64_t dsvn_intra_packets(
     const int64_t *offs, const int64_t *lens,
     const int32_t *lls,
     const DSVN_SEG *segs, const int32_t *seg_n, int32_t eop,
+    int32_t blobmode,
     uint8_t *out, int64_t cap, int64_t *pkt_off, int64_t *pkt_len)
 {
     BW w = { out, 0, 0, 0 };
@@ -1537,7 +1565,11 @@ API int64_t dsvn_intra_packets(
         bw_align(&w);
         for (c = 0; c < 3; c++) {
             int64_t k = (int64_t)c * nfr + fi;
-            if (d8rest) {
+            if (blobmode) {
+                if (plane_blob_bw(&w, lls[k], packed + offs[k],
+                                  lens[k], eop) != 0)
+                    goto fail;
+            } else if (d8rest) {
                 if (plane_dense8_bw(&w, lls[k], d8ll + offs_ll[k],
                                     d8rest + offs[k],
                                     ptab[c], psegn[c], eop) != 0)

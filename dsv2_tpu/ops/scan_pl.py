@@ -70,7 +70,7 @@ def _pos_tables(segments):
     for c, d in segments:
         damp[off:off + c] = d
         off += c
-    return jnp.asarray(damp)
+    return damp  # numpy: safe to close over from any trace context
 
 
 # ---------------------------------------------------------------------------
@@ -210,7 +210,8 @@ def make_scan_blob(segments, cap_bytes):
         pos = jnp.zeros(total, jnp.int32).at[tgt].set(idxs, mode="drop")
         act = idxs < nruns                       # live compacted slots
 
-        dmp = jnp.where(act, damp_pos[jnp.clip(pos, 0, total - 1)], 0)
+        dmp = jnp.where(act, jnp.asarray(damp_pos)[
+            jnp.clip(pos, 0, total - 1)], 0)
         isr = act & (dmp >= 0)
         isneg = act & (dmp < 0)
 

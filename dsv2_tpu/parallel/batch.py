@@ -86,13 +86,24 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
                 # gop=0 / non-reference frames: the reconstruction is dead
                 # work (ref keeps no chain; dsv_encoder.c:1296-1301)
                 px = jnp.zeros((1, 1), jnp.uint8)
-            if xfer.MODE == "dense":
+            m = xfer.mode()
+            if m == "dense":
                 ll_n = hzcc.scan_segments(*pcfg.cdims[c])[0][0]
                 ll32, r8, n, ovf = xfer.dense_out(v, ll_n)
                 pad = -r8.shape[0] % SEGB
                 rp = jnp.pad(r8, (0, pad))
                 return (px, rp, ll32, ovf.astype(jnp.int32), v,
                         jnp.zeros(0, jnp.int32), n, coefs[0, 0])
+            if m == "blob":
+                from ..ops import scan_pl
+                from ..codec.devsteps import blob_cap
+                segs = tuple(hzcc.scan_segments(*pcfg.cdims[c]))
+                total = sum(n_ for n_, _ in segs)
+                blob, nbytes, fb = scan_pl.make_scan_blob(
+                    segs, blob_cap(total))(v)
+                used = jnp.where(fb, 0, nbytes)
+                return (px, blob, used, fb.astype(jnp.int32), v,
+                        jnp.zeros(0, jnp.int32), used, coefs[0, 0])
             row, used, fb, vals_c, pos_c, n = pack_segment(v)
             return px, row, used, fb, vals_c, pos_c, n, coefs[0, 0]
         return f
@@ -116,7 +127,7 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
             fl = jnp.zeros_like(bds)
         outs = [jax.vmap(one_plane(c))(xs, bd, qs)
                 for c, xs in enumerate((xs0, xs1, xs2))]
-        if xfer.MODE == "dense":
+        if xfer.mode() == "dense":
             # segment-sparse HF payload: all-zero SEGB-byte rows are
             # implied; nonzero rows gather to the buffer front (one
             # bucketed prefix fetch) with their original row ids
@@ -483,22 +494,26 @@ def _serialize_chunk(enc, ctx):
     else:
         offs_flat = np.concatenate([[0], np.cumsum(used_flat)[:-1]])
         packed = np.asarray(packed_dev)  # copy started in _start_fetch
+        isblob = xfer.mode() == "blob"
 
         if (not any(int(fbs[c][fi]) for c in range(3) for fi in range(nfr))
                 and log.get_level() < log.LEVEL_INFO):
             # fast path: the native runtime assembles every complete packet
-            # in one call straight from the packed segments
+            # in one call straight from the packed segments / device blobs
             return _serialize_chunk_native(enc, ctx, packed, offs_flat,
-                                           used_flat, ns, lls)
+                                           used_flat, ns, lls, blob=isblob)
 
-        # per (plane, frame): the packed segment itself (the native coder
-        # walks only the nonzeros), or a dense array on exception overflow
+        # per (plane, frame): the device blob or packed segment, or a
+        # dense array on the per-plane fallback
         vscans = []
         for c in range(3):
             total_c = pcfg.cdims[c][0] * pcfg.cdims[c][1]
             col = []
             for fi in range(nfr):
                 if fbs[c][fi]:
+                    if isblob:  # raw int32 scan, host re-encodes natively
+                        col.append(("dense", np.asarray(fb_dev[c][0][fi])))
+                        continue
                     # >4096 exception records (extreme content): fetch the
                     # 32-bit compacted arrays for this plane-frame only
                     n = int(ns[c][fi])
@@ -510,7 +525,8 @@ def _serialize_chunk(enc, ctx):
                 else:
                     o = int(offs_flat[c * nfr + fi])
                     u = int(used_flat[c * nfr + fi])
-                    col.append(("packed", packed[o:o + u]))
+                    col.append(("blob" if isblob else "packed",
+                                packed[o:o + u]))
             vscans.append(col)
     pxs = [np.asarray(o) for o in pxs_dev] if need_recon else None
 
@@ -548,6 +564,8 @@ def _serialize_chunk(enc, ctx):
             if kind == "dense8":
                 planecode.encode_plane_d8(w, payload[0], payload[1],
                                           int(lls[c][fi]), cw, ch)
+            elif kind == "blob":
+                planecode.encode_plane_blob(w, payload, int(lls[c][fi]))
             elif kind == "packed":
                 planecode.encode_plane_packed(w, payload, cw * ch,
                                               int(lls[c][fi]), cw, ch)
@@ -570,11 +588,13 @@ def _serialize_chunk(enc, ctx):
     return chunks
 
 
-def _serialize_chunk_native(enc, ctx, packed, offs_flat, used_flat, ns, lls):
+def _serialize_chunk_native(enc, ctx, packed, offs_flat, used_flat, ns, lls,
+                            blob=False):
     """Whole-packet assembly in the native runtime: one C call produces
     every complete intra packet of the chunk straight from the packed
-    segments — or, with used_flat=None, from the flat dense int16 payload
-    with offs_flat holding element offsets (byte-identical either way)."""
+    segments, device-built scan blobs (blob=True: framing is a memcpy),
+    or, with used_flat=None, from the flat dense int16 payload with
+    offs_flat holding element offsets (byte-identical every way)."""
     meta = enc.meta
     datas, pcfg, p = ctx["datas"], ctx["pcfg"], ctx["p"]
     nfr = len(datas)
@@ -616,7 +636,8 @@ def _serialize_chunk_native(enc, ctx, packed, offs_flat, used_flat, ns, lls):
             im.lb2(p.blk_w) - 4, im.lb2(p.blk_h) - 4, K.MAX_QP_BITS,
             statbits, enc.do_intra_filter, stable, ring, maint,
             packed, offs_flat, used_flat, lls_arr, segments3,
-            planecode.EOP_SYMBOL, int(np.concatenate(ns).sum()))
+            planecode.EOP_SYMBOL, int(np.concatenate(ns).sum()),
+            blob=blob)
     pxs = [np.asarray(o) for o in pxs_dev] if need_recon else None
     chunks = []
     for fi, d in enumerate(datas):

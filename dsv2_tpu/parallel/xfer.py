@@ -18,6 +18,12 @@ Two formats, selected by DSV2_XFER (default "dense"):
   scattered into one flat buffer, fetched with a bucketed-length
   transfer, and expanded by the native runtime. Kept for slow-link
   deployments where bytes-on-the-wire dominate.
+
+- "blob": the device builds the FINAL entropy-coded scan blob
+  (ops/scan_pl) and ships only that — entropy-coded size on the wire
+  (~6x under dense on typical content) and the host serializer becomes
+  a memcpy. Default on accelerators; per-plane fallback to the dense
+  int32 fetch + native scan when the blob flags out of contract.
 """
 import os
 
@@ -25,7 +31,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-MODE = os.environ.get("DSV2_XFER", "dense")
+MODE = os.environ.get("DSV2_XFER", "")
+
+
+def mode():
+    """The effective transfer format: explicit DSV2_XFER/set_mode wins;
+    otherwise blob on accelerators, dense on CPU (the blob scan kernel
+    pays off where the link is the bottleneck)."""
+    if MODE:
+        return MODE
+    return "blob" if jax.default_backend() != "cpu" else "dense"
 
 EXC = 4096  # per-segment exception-record capacity (beyond -> fallback)
 _FETCH_BUCKET = 1 << 17  # 128 KiB length buckets keep the slice jit-cached
@@ -35,7 +50,7 @@ def set_mode(mode):
     """Switch the transfer format; drops the jitted step caches that
     baked the previous mode in."""
     global MODE
-    if mode not in ("dense", "packed"):
+    if mode not in ("dense", "packed", "blob"):
         raise ValueError(mode)
     if mode != MODE:
         MODE = mode

@@ -94,6 +94,55 @@ def test_packed_fallback_path(fixtures_dir, monkeypatch):
         bmod._device_batch_fn.cache_clear()
 
 
+def test_blob_transfer_mode(fixtures_dir):
+    """The device-built entropy-blob transfer stays byte-identical to the
+    dense format (both batched intra and the sequential session path)."""
+    from dsv2_tpu.parallel import xfer
+
+    rdr, frames = load(fixtures_dir, "tiny64x48_420_6f.y4m")
+    e1 = mk_enc(rdr)
+    dense = encode_intra_batch(e1, frames) + e1.end_of_stream()
+    xfer.set_mode("blob")
+    try:
+        e2 = mk_enc(rdr)
+        blob = encode_intra_batch(e2, frames) + e2.end_of_stream()
+        e3 = mk_enc(rdr)
+        seq = []
+        for fr in frames:
+            seq.extend(e3.encode_frame(fr))
+        seq.extend(e3.end_of_stream())
+    finally:
+        xfer.set_mode("dense")
+    assert b"".join(blob) == b"".join(dense)
+    assert b"".join(seq) == b"".join(dense)
+
+
+def test_blob_fallback_path(fixtures_dir, monkeypatch):
+    """A tiny blob capacity forces the over-cap fallback for every plane;
+    the host re-scan keeps the stream byte-identical."""
+    from dsv2_tpu.parallel import xfer, batch as bmod
+    from dsv2_tpu.codec import devsteps
+    from dsv2_tpu.ops import scan_pl
+
+    rdr, frames = load(fixtures_dir, "tiny64x48_420_6f.y4m")
+    e1 = mk_enc(rdr)
+    dense = encode_intra_batch(e1, frames) + e1.end_of_stream()
+    xfer.set_mode("blob")
+    monkeypatch.setattr(devsteps, "blob_cap", lambda total: 8)
+    bmod._device_batch_fn.cache_clear()
+    devsteps.make_i_encode_step.cache_clear()
+    scan_pl.make_scan_blob.cache_clear()
+    try:
+        e2 = mk_enc(rdr)
+        out = encode_intra_batch(e2, frames) + e2.end_of_stream()
+    finally:
+        xfer.set_mode("dense")
+        bmod._device_batch_fn.cache_clear()
+        devsteps.make_i_encode_step.cache_clear()
+        scan_pl.make_scan_blob.cache_clear()
+    assert b"".join(out) == b"".join(dense)
+
+
 def test_dense_overflow_fallback(fixtures_dir, monkeypatch):
     """Force the int16-overflow flag so the int32 fallback fetch path is
     exercised (real coefficients never exceed int16 for 8-bit content)."""

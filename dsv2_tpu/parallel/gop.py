@@ -1,26 +1,31 @@
 """Multi-chip parallel encoding over a jax.sharding.Mesh.
 
-The codec's scaling seams (mirrors the reference's process-level GOP
-parallelism, ref: parallel_encode.sh + the closed-GOP bitstream design):
+The multi-chip design is STREAM/GOP-PARALLEL: independent closed GOPs
+(lockstep lanes) shard across the mesh's "gop" axis, so N chips each run
+their own streams' full encode steps inside one SPMD program — the
+TPU-first form of the reference's process-per-GOP parallelism
+(ref: parallel_encode.sh + the closed-GOP bitstream design: every GOP
+starts with a metadata packet and uses relative link offsets, so the
+host byte-concatenates per-GOP streams into one valid .dsv;
+dsv_main.c:136-138, dsv_encoder.c:1247-1251).
 
-- **gop axis (data parallel)**: independent closed GOPs encode concurrently;
-  every GOP starts with a metadata packet and uses relative link offsets, so
-  the host byte-concatenates per-GOP streams into one valid .dsv
-  (ref: dsv_main.c:136-138, dsv_encoder.c:1247-1251).
-- **sp axis (spatial)**: within one frame, the separable wavelet passes and
-  the per-pixel quantizer shard across the plane; XLA inserts the halo /
-  transpose collectives from the sharding annotations.
+Intra-frame SPATIAL sharding was evaluated and deliberately rejected:
+the codec's per-frame hot paths are sequential wavefronts (the in-loop
+filters' block-to-block carries, bmc.c:459-659, and the HME
+left/top/topleft dependency, hme.c:1202-1298), so a width-split frame
+serializes on halo exchanges every few rows — ICI latency-bound with no
+throughput win over adding more streams to the gop axis. Throughput
+scaling comes from lanes (always available: a video has many GOPs), not
+from splitting one frame.
 
-This module provides the device-side batched frame pipeline used by both
-`__graft_entry__.dryrun_multichip` and the batched benchmark, plus the
-host-side GOP splitter/concatenator.
+This module provides the host-side GOP splitter/concatenator, parallel
+decode, and the single-frame step used by the driver's compile check.
 """
 import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import constants as K
 from ..core import intmath as im
@@ -75,22 +80,6 @@ def _quant(coefs, blockdata, q, cfg):
     f = hzcc.make_quantize(cfg)
     dummy = jnp.zeros((cfg.nbv, cfg.nbh), dtype=bool)
     return f(coefs, blockdata, dummy, dummy, q)
-
-
-def make_batched_intra_pipeline(w, h, nbh, nbv, mesh=None):
-    """Batched (B, h, w) intra device pipeline, optionally sharded over a
-    mesh with axes ('gop', 'sp'): batch over gop, plane width over sp."""
-    cfg_s = sbt.SbtCfg(w, h, True, False, False, nbh, nbv)
-    cfg_h = hzcc.HzccCfg(w, h, True, False, False, nbh, nbv, 16, 16,
-                         w, h, K.SUBSAMP_420, K.PSY_ALL)
-    step = device_intra_step(cfg_s, cfg_h)
-    batched = jax.vmap(step, in_axes=(0, 0, None))
-    if mesh is None:
-        return jax.jit(batched)
-    in_sh = (NamedSharding(mesh, P("gop", None, "sp")),
-             NamedSharding(mesh, P("gop", None, None)),
-             NamedSharding(mesh, P()))
-    return jax.jit(batched, in_shardings=in_sh)
 
 
 def split_gops(total_frames, gop):

@@ -20,6 +20,14 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import dsv2_tpu  # noqa: E402
+
+# The suite was compile-bound without this: the per-module clear_caches()
+# below (XLA:CPU segfault workaround) forced full recompiles of the big
+# chain/wave programs on every run. With the persistent cache, cleared
+# executables deserialize in milliseconds instead.
+dsv2_tpu.enable_compile_cache()
+
 import pytest  # noqa: E402
 
 

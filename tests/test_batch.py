@@ -143,6 +143,38 @@ def test_blob_fallback_path(fixtures_dir, monkeypatch):
     assert b"".join(out) == b"".join(dense)
 
 
+def test_blob_lockstep(fixtures_dir):
+    """Lockstep multi-stream encode under the blob transfer (the batcher's
+    bucketed prefix fetch parses blob lengths from the lane metadata)."""
+    import numpy as np
+    from dsv2_tpu.parallel import xfer
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
+    from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
+
+    rng = np.random.default_rng(5)
+    meta = VideoMeta(width=64, height=48)
+    streams = []
+    for i in range(3):
+        frames = []
+        for _ in range(2):
+            y = rng.integers(0, 256, (48, 64), dtype=np.uint8)
+            u = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+            v_ = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+            frames.append((y, u, v_))
+        streams.append(frames)
+
+    def factory():
+        return make_encoder(meta, default_enc_opts(qp=60, gop=2))
+
+    want = encode_streams_lockstep(streams, factory, width=3)
+    xfer.set_mode("blob")
+    try:
+        got = encode_streams_lockstep(streams, factory, width=3)
+    finally:
+        xfer.set_mode("dense")
+    assert got == want
+
+
 def test_dense_overflow_fallback(fixtures_dir, monkeypatch):
     """Force the int16-overflow flag so the int32 fallback fetch path is
     exercised (real coefficients never exceed int16 for 8-bit content)."""

@@ -23,6 +23,7 @@ Byte-identical to ops/hme_wave and ops/hme_search (the host oracle).
 (ref: src/hme.c:1373-1630 refine_level, :2001-2016 dsv_hme)
 """
 import functools
+import os
 
 import numpy as np
 import jax
@@ -61,10 +62,20 @@ def _pad_plane(p):
     return p
 
 
+_ROLL_NARROW = os.environ.get("DSV2_PL_ROLL8", "1") != "0"
+
+
 def _reader(plane, x, y, h, w):
     """window() hook: unaligned (h, w) window of a bordered VMEM plane via
     aligned overfetch + dynamic rotate. Clamps like dynamic_slice (only
-    invalid, masked probes ever hit the clamp)."""
+    invalid, masked probes ever hit the clamp).
+
+    The rotates run at the plane's NARROW dtype and the int32 widening
+    happens after the slice: a (64, 256) uint8 overfetch is 4 vregs per
+    rotate vs 32 once widened — and the window read is the kernel's
+    single hottest op (every candidate metric, refine probe and subpel
+    grid starts with one). DSV2_PL_ROLL8=0 restores widen-first (the
+    fallback if a Mosaic version rejects narrow dynamic rotates)."""
     hp, wp = plane.shape
     sub = 32 if plane.dtype == jnp.uint8 else 8
     oh = -(-(h + sub - 1) // sub) * sub
@@ -73,10 +84,12 @@ def _reader(plane, x, y, h, w):
     xx = jnp.clip(x + B, 0, wp - w)
     ya = pl.multiple_of(jnp.minimum((yy // sub) * sub, hp - oh), sub)
     xa = pl.multiple_of(jnp.minimum((xx // 128) * 128, wp - ow), 128)
-    big = plane[pl.ds(ya, oh), pl.ds(xa, ow)].astype(jnp.int32)
+    big = plane[pl.ds(ya, oh), pl.ds(xa, ow)]
+    if not _ROLL_NARROW:
+        big = big.astype(jnp.int32)
     big = pltpu.roll(big, (-(yy - ya)) % oh, 0)
     big = pltpu.roll(big, (-(xx - xa)) % ow, 1)
-    return big[:h, :w]
+    return big[:h, :w].astype(jnp.int32)
 
 
 def _roll(a, shift, axis):

@@ -430,21 +430,27 @@ def qpel_grid(refwin):
     return q
 
 
-def qpsad(srcsp, q, t0, t1, ew, tw, aw):
-    """(ref: hme.c:244-269). srcsp: (16,16) int32; t0/t1 dynamic in [-3,3].
-    The probe compares srcsp with q[4+t1::4, 4+t0::4]; both live here on a
-    stride-4 lattice of a (64,64) canvas so the quad math stays unit-roll."""
-    # pad to tile-aligned dims before the dynamic rolls (Mosaic lowers
-    # dynamic rotates only on x8/x128 extents); every wrapped position is
-    # outside the lattice mask in both backends, so values are unchanged
+def qpsad_pre(srcsp, q):
+    """Probe-invariant halves of qpsad, hoisted out of the 7-probe loop:
+    the padded quarter-pel canvas and every src-side lattice term."""
     qp_ = jnp.pad(q, ((0, 72 - QPD), (0, 128 - QPD)))
+    src_l = _rep_rows(_rep_rows(srcsp, 4).T, 4).T
+    return qp_, src_l, _tex_lat(src_l, 4), _uavg4_lat(src_l, 4)
+
+
+def qpsad(pre, t0, t1, ew, tw, aw):
+    """(ref: hme.c:244-269). pre = qpsad_pre(srcsp, q); t0/t1 dynamic in
+    [-3,3]. The probe compares srcsp with q[4+t1::4, 4+t0::4]; both live
+    here on a stride-4 lattice of a (64,64) canvas so the quad math stays
+    unit-roll. The canvas is pre-padded to tile-aligned dims before the
+    dynamic rolls (Mosaic lowers dynamic rotates only on x8/x128
+    extents); every wrapped position is outside the lattice mask in both
+    backends, so values are unchanged."""
+    qp_, src_l, ta, s0 = pre
     qs = roll(roll(qp_, 72 - (4 + t1), 0), 128 - (4 + t0), 1)
     sub_l = qs[:64, :64]
-    src_l = _rep_rows(_rep_rows(srcsp, 4).T, 4).T
     se = _uavg4_lat(jnp.abs(src_l - sub_l), 4)
-    ta = _tex_lat(src_l, 4)
     tb = _tex_lat(sub_l, 4)
-    s0 = _uavg4_lat(src_l, 4)
     s1 = _uavg4_lat(sub_l, 4)
     t = (((se * se) << ew) + (((ta - tb) ** 2) << tw)
          + (((s0 - s1) ** 2) << aw))
@@ -876,6 +882,7 @@ def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
         refwin = window(refl, xx + fpx - 2, yy + fpy - 2, 21, 21)
         q = qpel_grid(refwin)
         srcsp = window(srcl, xx, yy, 16, 16)
+        pre = qpsad_pre(srcsp, q)
         # primary/secondary direction pick (ref: hme.c:1108-1133)
         prix = jnp.int32(0)
         priy = jnp.where(quad[3] >= quad[2], 1, -1)
@@ -904,7 +911,7 @@ def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
             else:
                 do = jnp.bool_(True)
             sc = guard(do, lambda t0=t0, t1=t1: qpsad(
-                srcsp, q, t0, t1, ew, tw, aw) + mv_cost(
+                pre, t0, t1, ew, tw, aw) + mv_cost(
                 px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
                 fpx * 4 + t0, fpy * 4 + t1, quant, 0), mI)
             take = sc < msc

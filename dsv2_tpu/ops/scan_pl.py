@@ -79,42 +79,51 @@ def _pos_tables(segments):
 
 @functools.lru_cache(maxsize=None)
 def _vk_call(npad):
-    """fn(e, damp, isr) -> k, all (npad,) int32 padded with isr=0.
+    """fn(e, damp, isr, nnz) -> k, arrays (npad,) int32 padded with isr=0.
     Per element: k = vk >> damp (the rice parameter used for it), then
     vk += 1 if e >= k else max(vk-1, 0), applied only when isr != 0.
-    e = floor(log2(u-1)) (-1 when u == 1) makes 'q != 0' == 'e >= k'."""
+    e = floor(log2(u-1)) (-1 when u == 1) makes 'q != 0' == 'e >= k'.
+    Only the first nnz slots hold live elements: chunks past them skip
+    entirely (grid-step cost only) and the final live chunk's loop stops
+    at the bound — the scalar loop runs ~nnz iterations, not npad."""
     nch = npad // _CHUNK
 
-    def kernel(e_ref, d_ref, r_ref, k_ref, vk_ref):
+    def kernel(n_ref, e_ref, d_ref, r_ref, k_ref, vk_ref):
         c = pl.program_id(0)
 
         @pl.when(c == 0)
         def _():
             vk_ref[0] = 0
 
-        def body(i, vk):
-            d = d_ref[0, i]
-            k = vk >> d
-            k_ref[0, i] = k
-            inc = e_ref[0, i] >= k
-            nvk = jnp.where(inc, vk + 1, jnp.maximum(vk - 1, 0))
-            return jnp.where(r_ref[0, i] != 0, nvk, vk)
+        @pl.when(c * _CHUNK < n_ref[0, 0])
+        def _():
+            def body(i, vk):
+                d = d_ref[0, i]
+                k = vk >> d
+                k_ref[0, i] = k
+                inc = e_ref[0, i] >= k
+                nvk = jnp.where(inc, vk + 1, jnp.maximum(vk - 1, 0))
+                return jnp.where(r_ref[0, i] != 0, nvk, vk)
 
-        vk_ref[0] = jax.lax.fori_loop(0, _CHUNK, body, vk_ref[0])
+            lim = jnp.clip(n_ref[0, 0] - c * _CHUNK, 0, _CHUNK)
+            vk_ref[0] = jax.lax.fori_loop(0, lim, body, vk_ref[0])
 
-    def call(e, damp, isr):
+    def call(e, damp, isr, nnz):
         spec = pl.BlockSpec((1, _CHUNK), lambda c: (c, 0),
                             memory_space=pltpu.SMEM)
+        nspec = pl.BlockSpec((1, 1), lambda c: (0, 0),
+                             memory_space=pltpu.SMEM)
         return pl.pallas_call(
             kernel, grid=(nch,),
             out_shape=jax.ShapeDtypeStruct((nch, _CHUNK), jnp.int32),
-            in_specs=[spec, spec, spec],
+            in_specs=[nspec, spec, spec, spec],
             out_specs=spec,
             scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
             interpret=_interpret(),
             compiler_params=None if _interpret() else pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
-        )(e.reshape(nch, _CHUNK), damp.reshape(nch, _CHUNK),
+        )(nnz.astype(jnp.int32).reshape(1, 1), e.reshape(nch, _CHUNK),
+          damp.reshape(nch, _CHUNK),
           isr.reshape(nch, _CHUNK)).reshape(npad)
 
     return call
@@ -231,7 +240,10 @@ def make_scan_blob(segments, cap_bytes):
             jnp.where(isr, dmp, 0))
         rpad = jnp.zeros(npad, jnp.int32).at[:total].set(
             isr.astype(jnp.int32))
-        k = _vk_call(npad)(epad, dpad, rpad)[:total]
+        k = _vk_call(npad)(epad, dpad, rpad, nruns)[:total]
+        # slots past nruns never get written by the kernel: clamp the
+        # garbage so the (masked-out) shift math below stays defined
+        k = jnp.clip(k, 0, 30)
 
         # record A: UEG(run); run = pos diff - 1 (pos[-1] == -1)
         run = pos - jnp.concatenate([jnp.full(1, -1, jnp.int32),

@@ -36,7 +36,7 @@ def resolve_backend(enc):
 def is_device_backend(enc):
     """True when the search runs on device (wave XLA or pallas kernels) —
     the encoder keeps the whole reference chain device-resident then."""
-    return resolve_backend(enc) in ("wave", "pallas")
+    return resolve_backend(enc) in ("wave", "pallas", "gang")
 
 
 def motion_est(enc, d):
@@ -44,6 +44,9 @@ def motion_est(enc, d):
     if backend == "pallas":
         from ..ops import hme_pallas
         hme_pallas.motion_est(enc, d)
+    elif backend == "gang":
+        from ..ops import hme_gang
+        hme_gang.motion_est(enc, d)
     elif backend == "wave":
         from ..ops import hme_wave
         hme_wave.motion_est(enc, d)

@@ -445,7 +445,9 @@ def qpsad(pre, t0, t1, ew, tw, aw):
     unit-roll. The canvas is pre-padded to tile-aligned dims before the
     dynamic rolls (Mosaic lowers dynamic rotates only on x8/x128
     extents); every wrapped position is outside the lattice mask in both
-    backends, so values are unchanged."""
+    backends, so values are unchanged. Kept as the oracle for
+    qpel_phases/qpsad_ph (tests/test_hme_wave parity); the live subpel
+    path uses the phase-plane form below."""
     qp_, src_l, ta, s0 = pre
     qs = roll(roll(qp_, 72 - (4 + t1), 0), 128 - (4 + t0), 1)
     sub_l = qs[:64, :64]
@@ -455,6 +457,88 @@ def qpsad(pre, t0, t1, ew, tw, aw):
     t = (((se * se) << ew) + (((ta - tb) ** 2) << tw)
          + (((s0 - s1) ** 2) << aw))
     acc = usum(jnp.where(_lat_mask(64, 64, 16, 16, 4), t, 0))
+    return metric_return(acc, 16, 16)
+
+
+def qpel_phases(refwin):
+    """The 16 quarter-pel PHASE PLANES of qpel_grid's (68, 68) canvas:
+    plane[p1][p0][u, v] == q[4u + p1, 4v + p0] (u, v in 0..16), built
+    directly from the four half-pel fields with static shifts — no
+    interleaves, no 64-wide lattice canvas, no dynamic rolls. A probe
+    samples the canvas at stride 4, so it only ever touches one phase
+    plane; qpsad_ph below evaluates the identical metric on (16, 16)
+    arrays (ref: hme.c:787-837 + 244-269)."""
+    r = refwin
+    hbuf = 5 * (r[:, 1:SPD + 1] + r[:, 2:SPD + 2]) - (r[:, 0:SPD]
+                                                      + r[:, 3:SPD + 3])
+    fr = r[1:1 + SPD, 1:1 + SPD]
+    hh = jnp.clip((5 * (r[1:1 + SPD, 1:1 + SPD] + r[1:1 + SPD, 2:2 + SPD])
+                   - (r[1:1 + SPD, 0:SPD] + r[1:1 + SPD, 3:3 + SPD]) + 4) >> 3,
+                  0, 255)
+    vv = jnp.clip((5 * (r[1:1 + SPD, 1:1 + SPD] + r[2:2 + SPD, 1:1 + SPD])
+                   - (r[0:SPD, 1:1 + SPD] + r[3:3 + SPD, 1:1 + SPD]) + 4) >> 3,
+                  0, 255)
+    dg = 5 * (hbuf[1:1 + SPD] + hbuf[2:2 + SPD]) - (hbuf[0:SPD]
+                                                    + hbuf[3:3 + SPD])
+    dg = jnp.clip((dg + 32) >> 6, 0, 255)
+    # F[e1][e0][i, j] == core[2i + e1, 2j + e0], zero-padded to (18, 18)
+    # exactly like the canvas' zero row/col 34 (hme_wave.qpel_grid hg)
+    F = [[jnp.pad(f, ((0, 1), (0, 1))) for f in row]
+         for row in ((fr, hh), (vv, dg))]
+
+    def C(s1, s0):
+        """core[2u + s1, 2v + s0] as a (17, 17) plane; s in 0..2."""
+        f = F[s1 & 1][s0 & 1]
+        return f[(s1 >> 1):(s1 >> 1) + SPD, (s0 >> 1):(s0 >> 1) + SPD]
+
+    planes = []
+    for p1 in range(4):
+        b1, c1 = p1 >> 1, p1 & 1
+        for p0 in range(4):
+            b0, c0 = p0 >> 1, p0 & 1
+            if not c1 and not c0:
+                q = C(b1, b0)
+            elif not c1:
+                q = (C(b1, b0) + C(b1, b0 + 1) + 1) >> 1
+            elif not c0:
+                q = (C(b1, b0) + C(b1 + 1, b0) + 1) >> 1
+            else:
+                q = _uavg4(C(b1, b0), C(b1, b0 + 1),
+                           C(b1 + 1, b0), C(b1 + 1, b0 + 1))
+            planes.append(q)
+    return planes
+
+
+def qpsad_src_pre(srcsp):
+    """Probe-invariant src-side lattice terms for qpsad_ph."""
+    return srcsp, _tex_lat(srcsp, 1), _uavg4_lat(srcsp, 1)
+
+
+def qpsad_ph(spre, planes, t0, t1, ew, tw, aw):
+    """qpsad on the phase planes: byte-identical scores, (16, 16) math.
+    The probe window W[rr, cc] = q[4 + t1 + 4rr, 4 + t0 + 4cc] is phase
+    plane p = ((t1+4)&3, (t0+4)&3) sliced at (a1, a0) = ((t1+4)>>2,
+    (t0+4)>>2); the stride-4 lattice metric on the canvas is the stride-1
+    quad metric on W (reps (8r, 8c) there == reps (2r, 2c) here)."""
+    srcsp, ta, s0 = spre
+    p1 = (t1 + 4) & 3
+    p0 = (t0 + 4) & 3
+    a1 = (t1 + 4) >> 2
+    a0 = (t0 + 4) >> 2
+    p = p1 * 4 + p0
+    sel = planes[0]
+    for k in range(1, 16):
+        sel = jnp.where(p == k, planes[k], sel)
+    quads = [sel[i:i + 16, j:j + 16] for i in range(2) for j in range(2)]
+    sub = jnp.where(a1 == 0,
+                    jnp.where(a0 == 0, quads[0], quads[1]),
+                    jnp.where(a0 == 0, quads[2], quads[3]))
+    se = _uavg4_lat(jnp.abs(srcsp - sub), 1)
+    tb = _tex_lat(sub, 1)
+    s1 = _uavg4_lat(sub, 1)
+    t = (((se * se) << ew) + (((ta - tb) ** 2) << tw)
+         + (((s0 - s1) ** 2) << aw))
+    acc = usum(jnp.where(_lat_mask(16, 16, 16, 16, 1), t, 0))
     return metric_return(acc, 16, 16)
 
 
@@ -880,9 +964,9 @@ def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
         xx = bx + ((bw >> 1) - 8)
         yy = by + ((bh >> 1) - 8)
         refwin = window(refl, xx + fpx - 2, yy + fpy - 2, 21, 21)
-        q = qpel_grid(refwin)
+        planes = qpel_phases(refwin)
         srcsp = window(srcl, xx, yy, 16, 16)
-        pre = qpsad_pre(srcsp, q)
+        spre = qpsad_src_pre(srcsp)
         # primary/secondary direction pick (ref: hme.c:1108-1133)
         prix = jnp.int32(0)
         priy = jnp.where(quad[3] >= quad[2], 1, -1)
@@ -910,8 +994,8 @@ def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
                 do = ((t0 | t1) & 1) == 0  # half-pel only at low effort
             else:
                 do = jnp.bool_(True)
-            sc = guard(do, lambda t0=t0, t1=t1: qpsad(
-                pre, t0, t1, ew, tw, aw) + mv_cost(
+            sc = guard(do, lambda t0=t0, t1=t1: qpsad_ph(
+                spre, planes, t0, t1, ew, tw, aw) + mv_cost(
                 px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
                 fpx * 4 + t0, fpy * 4 + t1, quant, 0), mI)
             take = sc < msc

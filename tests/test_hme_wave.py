@@ -52,3 +52,45 @@ def test_wave_equals_host_odd_dims(fixtures_dir):
     a = encode_with_backend(fixtures_dir, "odd100x62_420_4f.y4m", "host", 4)
     b = encode_with_backend(fixtures_dir, "odd100x62_420_4f.y4m", "wave", 4)
     assert a == b
+
+
+def test_gang_equals_host_tiny(fixtures_dir):
+    """Gang kernels (interpret mode on CPU) vs the host oracle.
+
+    Three frames = I + P (no temporal MVs) + P (temporal MVs): the
+    minimum covering both candidate regimes — interpret-mode gang
+    kernels are minutes per extra P frame on one CPU core."""
+    a = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+                            "host", 3, gop=4)
+    b = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+                            "gang", 3, gop=4)
+    assert a == b
+
+
+def test_qpsad_phase_planes_equal_canvas():
+    """qpsad_ph (16 phase planes, static shifts) vs qpsad (the 68x68
+    canvas oracle) over every probe offset and both psy weight sets."""
+    import jax
+    import jax.numpy as jnp
+    from dsv2_tpu.ops import hme_wave as hw
+
+    rng = np.random.RandomState(11)
+    for trial in range(2):
+        refwin = jnp.asarray(rng.randint(0, 256, (21, 21)), jnp.int32)
+        srcsp = jnp.asarray(rng.randint(0, 256, (16, 16)), jnp.int32)
+        pre = hw.qpsad_pre(srcsp, hw.qpel_grid(refwin))
+        planes = hw.qpel_phases(refwin)
+        spre = hw.qpsad_src_pre(srcsp)
+        w = (2, 1, 0) if trial == 0 else (1, 2, 1)
+        ew, tw, aw = (jnp.int32(v) for v in w)
+
+        @jax.jit
+        def both(t0, t1, ew=ew, tw=tw, aw=aw, pre=pre, planes=planes,
+                 spre=spre):
+            return (hw.qpsad(pre, t0, t1, ew, tw, aw),
+                    hw.qpsad_ph(spre, planes, t0, t1, ew, tw, aw))
+
+        for t1 in range(-3, 4):
+            for t0 in range(-3, 4):
+                a, b = both(jnp.int32(t0), jnp.int32(t1))
+                assert int(a) == int(b), (trial, t0, t1, int(a), int(b))

@@ -1047,7 +1047,9 @@ def _level_call(cfg, level, shapes):
     """Gang pallas_call for one upper pyramid level: same I/O contract as
     hme_pallas._level_call, G blocks per inner iteration."""
     step, ca, cb, nd, lmax, lpad = hp._geom(cfg, level)
-    G = max(1, min(LW // cfg.blk_w, 8))
+    # cap the gang at the longest diagonal: lanes past lmax can never be
+    # live, and every extra lane is Python-unrolled trace/compile cost
+    G = max(1, min(LW // cfg.blk_w, 8, lmax))
     ngr = -(-lmax // G)
 
     def kernel(cand_ref, scal_ref, src_ref, ref_ref, ogr_ref,
@@ -1128,7 +1130,7 @@ def _level0_call(cfg, shapes):
     ganged metrics; the per-lane subpel rides the per-block reader hooks
     (phase-plane qpsad). Same I/O contract as hme_pallas._level0_call."""
     step, ca, cb, nd, lmax, lpad = hp._geom(cfg, 0)
-    G = max(1, min(LW // cfg.blk_w, 8))
+    G = max(1, min(LW // cfg.blk_w, 8, lmax))  # see _level_call
     ngr = -(-lmax // G)
 
     def kernel(cand_ref, scal_ref, src_ref, ref_ref, ogr_ref,

@@ -350,9 +350,12 @@ def _valid_mask(cfg, level):
     """(nd, lpad) bool: slots the kernel's k-loop actually writes. The
     kernel only loops k < lmax and guards by lane_ok, so slots beyond the
     diagonal's run hold garbage SMEM — mask them before any sum/unskew
-    (the unskew zero slot (0, lpad-1) is one of them)."""
+    (the unskew zero slot (0, lpad-1) is one of them). NUMPY on purpose:
+    a cached jnp constant created while tracing one jit program is that
+    trace's tracer, and reusing it from a second program (pallas then
+    gang in one process) is a tracer leak."""
     _, _, ok, _, _ = _diag_tables(cfg, level)
-    return jnp.asarray(ok)
+    return np.ascontiguousarray(ok)
 
 
 def _masked_rows(cfg, level, rows):
@@ -370,7 +373,7 @@ def _unskew_idx(cfg, level):
             d = aa + bb
             k = aa - max(0, d - (cb - 1))
             idx[bb * step, aa * step] = d * lpad + k
-    return jnp.asarray(idx)
+    return idx  # numpy: see _valid_mask on cached-constant tracer leaks
 
 
 def _unskew(cfg, level, rows, f):

@@ -162,7 +162,12 @@ class LockstepBatcher:
         self._blocked -= n
         for key, pending in queues.items():
             try:
-                ck = (key, self.width, self._sharding)
+                # NB: sharding is NOT part of the key — the same jit object
+                # serves sharded and unsharded batches (sharding comes from
+                # the device_put on the inputs below). jit re-lowers per
+                # input sharding but reuses the traced jaxpr, and tracing
+                # the wave program dominates (~60 s vs ~10 s deserialize).
+                ck = (key, self.width)
                 with _fn_lock:
                     fn = _fn_cache.get(ck)
                     if fn is None:

@@ -28,19 +28,31 @@ import dsv2_tpu  # noqa: E402
 # executables deserialize in milliseconds instead.
 dsv2_tpu.enable_compile_cache()
 
+import gc  # noqa: E402
+
 import pytest  # noqa: E402
 
+# Tracing the big XLA programs allocates millions of objects; CPython's
+# gen-2 collections rescan every live object, so collection cost grows
+# with suite progress (measured: test_parallel 119 s standalone vs 271 s
+# late in the suite). Rarer collections + freezing each module's
+# survivors into the permanent generation keeps late modules as fast as
+# early ones. Memory is bounded by the per-module clear below.
+gc.set_threshold(200000, 50, 50)
+gc.freeze()
 
-@pytest.fixture(autouse=True, scope="module")
+
+@pytest.fixture(autouse=(os.environ.get("DSV2_TEST_KEEP_CACHES", "") == ""),
+                scope="module")
 def _reset_jax_caches():
     """Drop compiled executables between test modules: the XLA:CPU JIT
     accumulates per-process state and has been observed to segfault after
     several hundred in-process compilations (late test_sbt cases only when
     the full suite runs in one process)."""
     yield
-    import gc
     jax.clear_caches()
     gc.collect()
+    gc.freeze()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FIXTURES = os.path.join(REPO, "tests", "fixtures")

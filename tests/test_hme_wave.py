@@ -40,11 +40,15 @@ def test_wave_equals_host(fixtures_dir):
 
 
 def test_pallas_equals_host_tiny(fixtures_dir):
-    """Pallas kernels (interpret mode on CPU) vs the host oracle."""
+    """Pallas kernels (interpret mode on CPU) vs the host oracle.
+
+    Three frames = I + P (no temporal MVs) + P (temporal MVs): the
+    minimum covering both candidate regimes — interpret-mode kernels
+    cost ~10 s per extra P frame on one CPU core."""
     a = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
-                            "host", 5, gop=5)
+                            "host", 3, gop=4)
     b = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
-                            "pallas", 5, gop=5)
+                            "pallas", 3, gop=4)
     assert a == b
 
 

@@ -75,7 +75,10 @@ def test_lockstep_streams_match_sequential(fixtures_dir):
             chunks.extend(enc.encode_frame(fr))
         seq.append(b"".join(chunks))
 
-    lock = encode_streams_lockstep(streams, factory)
+    # width=4 (3 streams padded to 4) so the traced vmapped programs are
+    # shared with test_lockstep_mesh_sharded via dynbatch's module-level
+    # jit cache — tracing the wave program dominates these tests' cost
+    lock = encode_streams_lockstep(streams, factory, width=4)
     assert [len(x) for x in lock] == [len(x) for x in seq]
     assert lock == seq
 
@@ -123,8 +126,11 @@ def test_lockstep_mesh_sharded(fixtures_dir):
         pytest.skip("needs multi-device mesh")
     mesh = Mesh(np.array(devs[:4]), ("gop",))
 
+    # gop=2/width=4 matches test_lockstep_streams_match_sequential so the
+    # unsharded programs are already traced (dynbatch._fn_cache); only the
+    # sharded variants trace anew here
     rdr, frames = load(fixtures_dir, "tiny64x48_420_6f.y4m")
-    gop = 3
+    gop = 2
     streams = [frames[i:i + gop] for i in range(0, len(frames), gop)]
 
     meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,

@@ -639,6 +639,11 @@ def _refine_loop(cfg, level, src_w, ref_pl, bx, by, bw, bh, psy,
         # probes share the pre-loop (bestx, besty); the strictly-sequential
         # improvement gating stays unrolled (ref: hme.c:1300-1345)
         bx0, by0 = bestx, besty
+        if not _LAZY:
+            # one vmapped metric body for the 5 probes (XLA only; values
+            # identical to the per-probe evals the gating below consumes)
+            pr_v = jax.vmap(lambda x, y: probe(x, y, jnp.bool_(True)))(
+                bx0 + jnp.asarray(RECT[:5, 0]), by0 + jnp.asarray(RECT[:5, 1]))
         improved = jnp.bool_(False)
         metr = [m1, m2, m3, m4]
         for k in range(5):
@@ -646,7 +651,11 @@ def _refine_loop(cfg, level, src_w, ref_pl, bx, by, bw, bh, psy,
             tvy = by0 + int(RECT[k][1])
             inval = invalid_block(bx + tvx, by + tvy, bw, bh, 0, fw, fh)
             do = (~improved) & (~inval)
-            sc_raw, sc = probe(tvx, tvy, do)
+            if _LAZY:
+                sc_raw, sc = probe(tvx, tvy, do)
+            else:
+                sc_raw = jnp.where(do, pr_v[0][k], jnp.int32(I32MAX))
+                sc = jnp.where(do, pr_v[1][k], jnp.int32(I32MAX))
             if 1 <= k <= 4:
                 metr[k - 1] = jnp.where(do, sc_raw, metr[k - 1])
             if level == 0:
@@ -830,23 +839,58 @@ def _block_search(cfg, level, g, srcl, refl, ogrl, gx, gy, quant, i, j,
                        jnp.maximum(sc - (motion_bias >> level), 0), sc)
         return raw, sc
 
+    # scale to level resolution (ref: hme.c:1522-1526)
+    slots = []
+    for cx, cy, ok in cands:
+        dx = sar(cx, level)
+        dy = sar(cy, level)
+        inval = invalid_block(bx + dx, by + dy, bw, bh, 0, fw, fh)
+        slots.append((dx, dy, ok & (~inval)))
+
     mI = jnp.int32(I32MAX)
+    if _LAZY:
+        # Pallas: one guarded eval per slot (lax.cond skips unused work;
+        # Mosaic cannot lower the batched window gathers below) and the
+        # unrolled pairwise dedup chains
+        def probe_slot(k, dx, dy, pred):
+            return guard(pred, lambda dx=dx, dy=dy: eval_cand(dx, dy),
+                         (mI, mI))
+
+        def dup_slot(k, dx, dy, seen):
+            dup = jnp.bool_(False)
+            for sdx, sdy, sev in seen:
+                dup = dup | (sev & (sdx == dx) & (sdy == dy))
+            return dup
+    else:
+        # XLA: ONE vmapped eval body instead of NC unrolled copies — the
+        # candidate metric dominates the traced graph; vmap is an exact
+        # transform so the per-slot values are unchanged. The pairwise
+        # dedup (dup[k] = any earlier USED slot with the same vector)
+        # collapses to one triangular-masked equality matrix.
+        dxs_v = jnp.stack([s[0] for s in slots])
+        dys_v = jnp.stack([s[1] for s in slots])
+        use_v = jnp.stack([s[2] for s in slots])
+        raws_v, scs_v = jax.vmap(eval_cand)(dxs_v, dys_v)
+        eq_v = ((dxs_v[:, None] == dxs_v[None, :])
+                & (dys_v[:, None] == dys_v[None, :]))
+        tri = jnp.asarray(np.tril(np.ones((len(slots),) * 2, bool), -1))
+        dup_v = (eq_v & use_v[None, :] & tri).any(axis=1)
+
+        def probe_slot(k, dx, dy, pred):
+            return (jnp.where(pred, raws_v[k], mI),
+                    jnp.where(pred, scs_v[k], mI))
+
+        def dup_slot(k, dx, dy, seen):
+            return dup_v[k]
+
     best_score = mI
     score_zero = mI
     bdx = jnp.int32(0)
     bdy = jnp.int32(0)
     seen = []
-    for slot, (cx, cy, ok) in enumerate(cands):
-        # scale to level resolution (ref: hme.c:1522-1526)
-        dx = sar(cx, level)
-        dy = sar(cy, level)
-        inval = invalid_block(bx + dx, by + dy, bw, bh, 0, fw, fh)
-        use = ok & (~inval)
-        dup = jnp.bool_(False)
-        for sdx, sdy, sev in seen:
-            dup = dup | (sev & (sdx == dx) & (sdy == dy))
-        raw, sc = guard(use & ~dup, lambda dx=dx, dy=dy: eval_cand(dx, dy),
-                        (mI, mI))
+    for slot, (dx, dy, use) in enumerate(slots):
+        dup = dup_slot(slot, dx, dy, seen)
+        raw, sc = probe_slot(slot, dx, dy, use & ~dup)
         if slot == 0:
             score_zero = jnp.where(use, raw, mI)
         better = sc < best_score
@@ -986,18 +1030,29 @@ def _subpel(cfg, srcl, refl, bx, by, bw, bh, fpx, fpy, best_fp, psy,
                   (diagx << 1, diagy << 1), (diagx, diagy),
                   (prix + diagx, priy + diagy)]
         mI = jnp.int32(I32MAX)
+
+        def probe_sc(t0, t1):
+            return qpsad_ph(spre, planes, t0, t1, ew, tw, aw) + mv_cost(
+                px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
+                fpx * 4 + t0, fpy * 4 + t1, quant, 0)
+
+        if not _LAZY:
+            # one vmapped qpsad body for the 7 probes (XLA only)
+            scs_v = jax.vmap(probe_sc)(
+                jnp.stack([p[0] for p in probes]),
+                jnp.stack([p[1] for p in probes]))
         msc = mI
         mt0 = jnp.int32(0)
         mt1 = jnp.int32(0)
-        for t0, t1 in probes:
+        for k, (t0, t1) in enumerate(probes):
             if cfg.effort < 8:
                 do = ((t0 | t1) & 1) == 0  # half-pel only at low effort
             else:
                 do = jnp.bool_(True)
-            sc = guard(do, lambda t0=t0, t1=t1: qpsad_ph(
-                spre, planes, t0, t1, ew, tw, aw) + mv_cost(
-                px_, py_, y_w, y_h, cfg.vid_w, cfg.vid_h,
-                fpx * 4 + t0, fpy * 4 + t1, quant, 0), mI)
+            if _LAZY:
+                sc = guard(do, lambda t0=t0, t1=t1: probe_sc(t0, t1), mI)
+            else:
+                sc = jnp.where(do, scs_v[k], mI)
             take = sc < msc
             msc = jnp.where(take, sc, msc)
             mt0 = jnp.where(take, t0, mt0)
@@ -1020,14 +1075,20 @@ def _max_subblock_err(pl_a, pl_b, x0, y0, rx, ry, qw, qh, bw2, bh2, psy):
     """One plane of yuv_max_subblock_err (ref: hme.c:369-409).
     qw/qh: static quadrant window dims; bw2/bh2 dynamic."""
     ew, tw, aw = psy
-    accs = []
-    for f, g_ in ((0, 0), (1, 0), (0, 1), (1, 1)):
+
+    def quad(f, g_):
         a = window(pl_a, x0 + f * bw2, y0 + g_ * bh2, qh, qw)
         b = window(pl_b, rx + f * bw2, ry + g_ * bh2, qh, qw)
-        accs.append(masked_metr_acc(a, b, bw2, bh2, ew, tw, aw))
-    m = jnp.maximum(jnp.maximum(accs[0], accs[1]),
-                    jnp.maximum(accs[2], accs[3]))
-    return m
+        return masked_metr_acc(a, b, bw2, bh2, ew, tw, aw)
+
+    if _LAZY:
+        accs = [quad(f, g_) for f, g_ in ((0, 0), (1, 0), (0, 1), (1, 1))]
+        return jnp.maximum(jnp.maximum(accs[0], accs[1]),
+                           jnp.maximum(accs[2], accs[3]))
+    # XLA: one vmapped quadrant body (max is order-free)
+    accs = jax.vmap(quad)(jnp.asarray([0, 1, 0, 1], jnp.int32),
+                          jnp.asarray([0, 0, 1, 1], jnp.int32))
+    return jnp.max(accs)
 
 
 def _calc_eprm(src_w, ref_w, bw, bh, avg_src, avg_ref):
@@ -1260,14 +1321,13 @@ def _test_intra_y(cfg, d0, srcl, refl, bx, by, fpelx, fpely, bw, bh,
     qw, qh = y_w // 2, y_h // 2
     ratio_u = ratio.astype(jnp.uint32)
 
-    # detail_src decays when a sub-block is taken -> sequential over the
-    # 4 sub-blocks, unrolled (Mosaic has no xs-scan)
-    for f, g_, bit in ((0, 0, K.MASK_INTRA00), (1, 0, K.MASK_INTRA01),
-                       (0, 1, K.MASK_INTRA10), (1, 1, K.MASK_INTRA11)):
+    # the per-quad window metrics don't depend on the sequential state;
+    # only the decay/take decisions below do (ref: hme.c:891-985)
+    def quad_metrics(f, g_):
         src_d = window(srcl, bx + f * sbw, by + g_ * sbh, qh, qw)
         mvr_d = window(refl, bx + fpelx + f * sbw, by + fpely + g_ * sbh,
                        qh, qw)
-        rdet, avg_sub, _, _ = block_feat_detail(mvr_d, sbw, sbh)
+        _, avg_sub, _, _ = block_feat_detail(mvr_d, sbw, sbh)
         local_detail, avg_local, _, _ = block_feat_detail(src_d, sbw, sbh)
         local_detail = local_detail.astype(jnp.int32)
         dcd = jnp.abs(avg_local - avg_sub).astype(jnp.int32) + 2
@@ -1277,6 +1337,26 @@ def _test_intra_y(cfg, d0, srcl, refl, bx, by, fpelx, fpely, bw, bh,
         sub_err, src_err, inter_err = err_intra(
             src_d, mvr_d, sbw, sbh, avg_sub.astype(jnp.int32),
             dc.astype(jnp.int32), ratio)
+        return (avg_sub, local_detail, too_detailed, dc,
+                sub_err, src_err, inter_err)
+
+    if not _LAZY:
+        # XLA: one vmapped quad body (exact per-quad values)
+        qm_v = jax.vmap(quad_metrics)(jnp.asarray([0, 1, 0, 1], jnp.int32),
+                                      jnp.asarray([0, 0, 1, 1], jnp.int32))
+
+    # detail_src decays when a sub-block is taken -> sequential over the
+    # 4 sub-blocks, unrolled (Mosaic has no xs-scan)
+    for k, (f, g_, bit) in enumerate(
+            ((0, 0, K.MASK_INTRA00), (1, 0, K.MASK_INTRA01),
+             (0, 1, K.MASK_INTRA10), (1, 1, K.MASK_INTRA11))):
+        if _LAZY:
+            (avg_sub, local_detail, too_detailed, dc,
+             sub_err, src_err, inter_err) = quad_metrics(f, g_)
+        else:
+            (avg_sub, local_detail, too_detailed, dc,
+             sub_err, src_err, inter_err) = jax.tree_util.tree_map(
+                lambda a, k=k: a[k], qm_v)
         lo = (detail_src + local_detail + 1) >> 1
         hi = detail_src
         lerp = (lo * (32 - psyscale) + hi * psyscale) >> 5
@@ -1323,10 +1403,7 @@ def _test_intra_c(cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra):
     avg_ramp = (avg_src * avg_src) >> 8
 
     # each sub-block only reads the INITIAL submask bit -> independent
-    add = jnp.int32(0)
-    for f, g_, bit in ((0, 0, K.MASK_INTRA00), (1, 0, K.MASK_INTRA01),
-                       (0, 1, K.MASK_INTRA10), (1, 1, K.MASK_INTRA11)):
-        already = (submask & bit) != 0
+    def quad_difs(f, g_):
         us = masked_avg(window(src_u, cbx + f * sbw, cby + g_ * sbh,
                                qh, qw), sbw, sbh)
         vs_a = masked_avg(window(src_v, cbx + f * sbw, cby + g_ * sbh,
@@ -1335,7 +1412,17 @@ def _test_intra_c(cfg, d0, src_u, src_v, ref_u, ref_v, submask, intra):
                                qh, qw), sbw, sbh)
         vr = masked_avg(window(ref_v, cbmx + f * sbw, cbmy + g_ * sbh,
                                qh, qw), sbw, sbh)
-        dif = (((us - ur) ** 2 + (vs_a - vr) ** 2) * avg_ramp) >> 8
+        return (((us - ur) ** 2 + (vs_a - vr) ** 2) * avg_ramp) >> 8
+
+    if not _LAZY:
+        difs_v = jax.vmap(quad_difs)(jnp.asarray([0, 1, 0, 1], jnp.int32),
+                                     jnp.asarray([0, 0, 1, 1], jnp.int32))
+    add = jnp.int32(0)
+    for k, (f, g_, bit) in enumerate(
+            ((0, 0, K.MASK_INTRA00), (1, 0, K.MASK_INTRA01),
+             (0, 1, K.MASK_INTRA10), (1, 1, K.MASK_INTRA11))):
+        already = (submask & bit) != 0
+        dif = quad_difs(f, g_) if _LAZY else difs_v[k]
         take = ((~blocked) & (~already)
                 & (dif.astype(jnp.uint32) > thr.astype(jnp.uint32)))
         add = add + jnp.where(take, bit, 0)

@@ -1,4 +1,6 @@
 """Wavefront HME vs the host oracle: identical fields and statistics."""
+import os
+
 import numpy as np
 import pytest
 
@@ -69,6 +71,48 @@ def test_gang_equals_host_tiny(fixtures_dir):
     b = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
                             "gang", 3, gop=4)
     assert a == b
+
+
+@pytest.mark.skipif(not os.environ.get("DSV2_SLOW_TESTS"),
+                    reason="~2 min of interpret-mode kernels on one core; "
+                           "run with DSV2_SLOW_TESTS=1")
+def test_pallas_lockstep_equals_host_tiny(fixtures_dir):
+    """vmapped Pallas HME under the lockstep batcher (the TPU default for
+    bench.py's p_lockstep metric) == sequential host encoding."""
+    from dsv2_tpu.utils.packet import VideoMeta
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
+    from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
+
+    with open(os.path.join(fixtures_dir, "tiny64x48_420_6f.y4m"),
+              "rb") as f:
+        rdr = y4m.Y4MReader(f)
+        frames = []
+        while len(frames) < 4:
+            p = rdr.read_frame()
+            if p is None:
+                break
+            frames.append(p)
+    meta = VideoMeta(width=rdr.w, height=rdr.h, subsamp=rdr.subsamp,
+                     fps_num=rdr.fps[0], fps_den=rdr.fps[1],
+                     aspect_num=rdr.aspect[0], aspect_den=rdr.aspect[1])
+    gop = 2
+    streams = [frames[i:i + gop] for i in range(0, 4, gop)]
+
+    def factory():
+        enc = make_encoder(meta, default_enc_opts(qp=60, gop=gop))
+        enc.hme_backend = "pallas"
+        return enc
+
+    host = []
+    for st in streams:
+        enc = factory()
+        enc.hme_backend = "host"
+        chunks = []
+        for fr in st:
+            chunks.extend(enc.encode_frame(fr))
+        host.append(b"".join(chunks))
+    lock = encode_streams_lockstep(streams, factory, width=2)
+    assert lock == host
 
 
 def test_qpsad_phase_planes_equal_canvas():

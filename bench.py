@@ -222,9 +222,11 @@ def main():
     if plat == "cpu":
         w, h, nframes, chunk, metric = 352, 288, 64, 16, \
             "cif_intra_encode_fps_cpu"
+        extra_flags = {"tpu_tunnel_down": True}
     else:
         w, h, nframes, chunk, metric = 1920, 1080, 32, 8, \
             "fhd_intra_encode_fps"
+        extra_flags = {}
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,
                              check=True).stdout.strip()
@@ -233,7 +235,7 @@ def main():
     c_fps = ref_fps(ref_bin, src, nframes, ARGS)
     want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
     fps = our_intra_fps(src, want, nframes, chunk)
-    extra = {}
+    extra = dict(extra_flags)
     try:
         extra["device_ms_per_frame"] = round(
             device_ms_per_frame(src, chunk), 3)

@@ -69,7 +69,7 @@ def ref_build():
 
 @pytest.fixture(scope="session")
 def fixtures_dir():
-    if not os.path.exists(os.path.join(FIXTURES, "tiny64x48_420_6f.y4m")):
+    if not os.path.exists(os.path.join(FIXTURES, "nano48x32_420_4f.y4m")):
         subprocess.run([sys.executable,
                         os.path.join(REPO, "tools", "mkfixtures.py"),
                         FIXTURES], check=True)

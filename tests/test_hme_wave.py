@@ -45,11 +45,12 @@ def test_pallas_equals_host_tiny(fixtures_dir):
     """Pallas kernels (interpret mode on CPU) vs the host oracle.
 
     Three frames = I + P (no temporal MVs) + P (temporal MVs): the
-    minimum covering both candidate regimes — interpret-mode kernels
-    cost ~10 s per extra P frame on one CPU core."""
-    a = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+    minimum covering both candidate regimes. The nano fixture is the
+    smallest frame with multi-lane diagonals (3x2 blocks) — interpret
+    cost scales with diagonal count on the one-core box."""
+    a = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
                             "host", 3, gop=4)
-    b = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+    b = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
                             "pallas", 3, gop=4)
     assert a == b
 
@@ -65,10 +66,12 @@ def test_gang_equals_host_tiny(fixtures_dir):
 
     Three frames = I + P (no temporal MVs) + P (temporal MVs): the
     minimum covering both candidate regimes — interpret-mode gang
-    kernels are minutes per extra P frame on one CPU core."""
-    a = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+    kernels are minutes per extra P frame on one CPU core. The nano
+    fixture keeps multi-lane diagonals (gang width capping included)
+    at ~2x fewer grid steps than tiny64x48."""
+    a = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
                             "host", 3, gop=4)
-    b = encode_with_backend(fixtures_dir, "tiny64x48_420_6f.y4m",
+    b = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
                             "gang", 3, gop=4)
     assert a == b
 

@@ -67,6 +67,10 @@ def write_y4m(path, w, h, nframes, subs="420", fps=(30, 1), scene_cut=None):
 def main(outdir):
     os.makedirs(outdir, exist_ok=True)
     write_y4m(os.path.join(outdir, "tiny64x48_420_6f.y4m"), 64, 48, 6)
+    # smallest frame exercising multi-lane diagonals (3x2 block grid):
+    # the interpret-mode Pallas/gang parity tests scale with diagonal
+    # count, so they run on this one
+    write_y4m(os.path.join(outdir, "nano48x32_420_4f.y4m"), 48, 32, 4)
     write_y4m(os.path.join(outdir, "qcif176x144_420_10f.y4m"), 176, 144, 10,
               scene_cut=7)
     write_y4m(os.path.join(outdir, "odd100x62_420_4f.y4m"), 100, 62, 4)

@@ -27,6 +27,9 @@ import dsv2_tpu  # noqa: E402
 # chain/wave programs on every run. With the persistent cache, cleared
 # executables deserialize in milliseconds instead.
 dsv2_tpu.enable_compile_cache()
+# Persist sub-second compiles too: the suite compiles hundreds of small
+# programs, and the default 1 s threshold makes every run redo them.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 import gc  # noqa: E402
 
@@ -35,10 +38,10 @@ import pytest  # noqa: E402
 # Tracing the big XLA programs allocates millions of objects; CPython's
 # gen-2 collections rescan every live object, so collection cost grows
 # with suite progress (measured: test_parallel 119 s standalone vs 271 s
-# late in the suite). Rarer collections + freezing each module's
-# survivors into the permanent generation keeps late modules as fast as
-# early ones. Memory is bounded by the per-module clear below.
-gc.set_threshold(200000, 50, 50)
+# late in the suite; still 1.5x with raised thresholds). Automatic
+# collection is disabled outright — the explicit per-module collect
+# below bounds cycle garbage (peak suite RSS ~8 GB on a 128 GB box).
+gc.disable()
 gc.freeze()
 
 
@@ -51,7 +54,7 @@ def _reset_jax_caches():
     the full suite runs in one process)."""
     yield
     jax.clear_caches()
-    gc.collect()
+    gc.collect()  # explicit collection works with the collector disabled
     gc.freeze()
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -9,7 +9,8 @@ from dsv2_tpu.utils.packet import VideoMeta
 from dsv2_tpu.codec.encoder import Encoder
 
 
-def encode_with_backend(fixtures_dir, name, backend, nframes, gop=48):
+def encode_with_backend(fixtures_dir, name, backend, nframes, gop=48,
+                        effort=None):
     import os
     with open(os.path.join(fixtures_dir, name), "rb") as f:
         rdr = y4m.Y4MReader(f)
@@ -24,6 +25,8 @@ def encode_with_backend(fixtures_dir, name, backend, nframes, gop=48):
                                subsamp=rdr.subsamp))
     enc.gop = gop
     enc.quality = 240
+    if effort is not None:
+        enc.effort = effort
     enc.hme_backend = backend
     enc.start()
     out = []
@@ -52,6 +55,17 @@ def test_pallas_equals_host_tiny(fixtures_dir):
                             "host", 3, gop=4)
     b = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
                             "pallas", 3, gop=4)
+    assert a == b
+
+
+def test_wave_equals_host_low_effort(fixtures_dir):
+    """effort=5: the half-pel-only subpel probe mask and the skipped
+    chroma intra test — branches the effort-10 device-backend tests never
+    reach (the CLI sweep's effort ladder runs the host backend on CPU)."""
+    a = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
+                            "host", 3, gop=4, effort=5)
+    b = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
+                            "wave", 3, gop=4, effort=5)
     assert a == b
 
 

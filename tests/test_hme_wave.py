@@ -61,11 +61,13 @@ def test_pallas_equals_host_tiny(fixtures_dir):
 def test_wave_equals_host_low_effort(fixtures_dir):
     """effort=5: the half-pel-only subpel probe mask and the skipped
     chroma intra test — branches the effort-10 device-backend tests never
-    reach (the CLI sweep's effort ladder runs the host backend on CPU)."""
+    reach (the CLI sweep's effort ladder runs the host backend on CPU).
+    Two frames: the effort branches don't interact with temporal
+    candidates, and I+P is one traced program variant instead of two."""
     a = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
-                            "host", 3, gop=4, effort=5)
+                            "host", 2, gop=4, effort=5)
     b = encode_with_backend(fixtures_dir, "nano48x32_420_4f.y4m",
-                            "wave", 3, gop=4, effort=5)
+                            "wave", 2, gop=4, effort=5)
     assert a == b
 
 

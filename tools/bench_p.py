@@ -31,9 +31,10 @@ def main():
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
 
-    W, H = 352, 288
+    res = os.environ.get("DSV2_BENCHP_RES", "352x288")
+    W, H = (int(v) for v in res.split("x"))
     n = width * gop
-    path = f"/tmp/dsv2_benchp_cif{n}.y4m"
+    path = f"/tmp/dsv2_benchp_{W}x{H}_{n}.y4m"
     if not os.path.exists(path):
         mkfixtures.write_y4m(path, W, H, n)
     frames = []
@@ -48,14 +49,19 @@ def main():
                      fps_num=rdr.fps[0], fps_den=rdr.fps[1])
     streams = [frames[i:i + gop] for i in range(0, n, gop)]
 
+    backend = (os.environ.get("DSV2_BENCHP_HME")
+               or os.environ.get("DSV2_HME") or "auto")
+
     def factory():
         enc = make_encoder(meta, default_enc_opts(qp=60, gop=gop))
-        enc.hme_backend = os.environ.get("DSV2_BENCHP_HME", "wave")
+        enc.hme_backend = backend
         return enc
 
     # sequential single-stream baseline (host HME); warm the jit caches
+    # over a full GOP (frame 3+ hits the temporal-candidate program
+    # variant — warming only two frames left its compile in the timing)
     enc = make_encoder(meta, default_enc_opts(qp=60, gop=gop))
-    for fr in streams[0][:2]:
+    for fr in streams[0]:
         enc.encode_frame(fr)
     enc = make_encoder(meta, default_enc_opts(qp=60, gop=gop))
     t0 = time.perf_counter()
@@ -74,7 +80,8 @@ def main():
     out = encode_streams_lockstep(streams[:width], factory, width=width)
     dt = time.perf_counter() - t0
     total = width * gop
-    print(f"lockstep x{width} (wave HME): {total / dt:.2f} fps aggregate "
+    print(f"lockstep x{width} ({backend} HME, {W}x{H}): "
+          f"{total / dt:.2f} fps aggregate "
           f"({total} frames in {dt:.1f}s, {sum(len(o) for o in out)} bytes)")
 
 

@@ -86,6 +86,13 @@ def main():
                             "out_tail": out.strip().splitlines()[-6:]}
 
     if not quick:
+        # BASELINE config-4 class: 720p P-frame lockstep on the default
+        # (auto) backend
+        rc, out, err = run("bench_p_auto_720p",
+                           [PY, "tools/bench_p.py", "4", "12"], 2400,
+                           env={"DSV2_BENCHP_RES": "1280x720"})
+        results["bench_p_auto_720p"] = {
+            "rc": rc, "out_tail": out.strip().splitlines()[-6:]}
         rc, out, err = run("profile_hme",
                            [PY, "tools/profile_hme_pallas.py", "352", "288",
                             "5"], 1800)

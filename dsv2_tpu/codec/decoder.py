@@ -113,6 +113,19 @@ def apply_intra_filter(frame: Frame, blockdata_grid, pcfg, q, do_filter):
                         do_filter)
 
 
+def _needs_arena(meta):
+    """True when the stream's geometry makes the reference's shared
+    subband scratch observable (degenerate 1-px transform levels at
+    extreme aspect ratios): the decode must thread the arena state."""
+    for lossless in (False, True):
+        for c, (cw, ch) in enumerate(
+                coef_dims(meta.subsamp, meta.width, meta.height)):
+            if sbt.degenerate(sbt.SbtCfg(cw, ch, c == 0, False, lossless,
+                                         1, 1)):
+                return True
+    return False
+
+
 class Decoder:
     def __init__(self, postsharp=False, draw_info=0, device_chain=True):
         self.meta = None
@@ -122,6 +135,8 @@ class Decoder:
         self.draw_info = draw_info
         self.device_chain = device_chain
         self.dev_submit = None    # lockstep batcher hook
+        self._use_arena = False
+        self._arena = None        # flat scratch emulation (3*w,) int32
 
     def _materialize_ref(self):
         """Device chain -> host Frame (corrupt-stream fallback path)."""
@@ -140,6 +155,9 @@ class Decoder:
         if not K.pt_is_pic(pkt_type):
             if pkt_type == K.PT_META:
                 self.meta = packet.decode_metadata(r)
+                self._use_arena = _needs_arena(self.meta)
+                if self._use_arena and self._arena is None:
+                    self._arena = np.zeros(3 * self.meta.width, np.int32)
                 return DEC_GOT_META, None, -1
             if pkt_type == K.PT_EOS:
                 return DEC_EOS, None, -1
@@ -206,7 +224,8 @@ class Decoder:
             self.ref = self._materialize_ref()
             self.ref_dev = None
             self.device_chain = False
-        if (self.device_chain and not bad_planes and self.ref is None
+        if (self.device_chain and not self._use_arena and not bad_planes
+                and self.ref is None
                 and (not has_ref or self.ref_dev is not None)):
             return self._decode_picture_chain(
                 fno, has_ref, is_ref, pcfg, blk_w, blk_h, quant,
@@ -226,7 +245,17 @@ class Decoder:
                      mf.grid(mf.flags).astype(np.int32),
                      mf.grid(mf.submask).astype(np.int32),
                      mf.grid(mf.dc).astype(np.int32), np.int32(tmc))
-            if self.dev_submit is not None:
+            if self._use_arena:
+                dargs = dargs + (self._arena,)
+                if self.dev_submit is not None:
+                    recons, self._arena = self.dev_submit(
+                        ("pda_step", cfg),
+                        lambda c: devsteps.make_p_decode_step_arena(*c),
+                        dargs)
+                else:
+                    recons, self._arena = devsteps.make_p_decode_step_arena(
+                        *cfg)(*dargs)
+            elif self.dev_submit is not None:
                 recons = self.dev_submit(
                     ("pd_step", cfg),
                     lambda c: devsteps.make_p_decode_step(*c), dargs)
@@ -257,7 +286,17 @@ class Decoder:
             cfg = (meta.width, meta.height, meta.subsamp, blk_w, blk_h,
                    lossless)
             dargs = (tuple(vs), bd_grid, np.int32(quant), tuple(lls))
-            if self.dev_submit is not None:
+            if self._use_arena:
+                dargs = dargs + (self._arena,)
+                if self.dev_submit is not None:
+                    pxs, self._arena = self.dev_submit(
+                        ("ida_step", cfg),
+                        lambda c: devsteps.make_i_decode_step_arena(*c),
+                        dargs)
+                else:
+                    pxs, self._arena = devsteps.make_i_decode_step_arena(
+                        *cfg)(*dargs)
+            elif self.dev_submit is not None:
                 pxs = self.dev_submit(
                     ("id_step", cfg),
                     lambda c: devsteps.make_i_decode_step(*c), dargs)

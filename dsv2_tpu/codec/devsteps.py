@@ -111,9 +111,11 @@ def make_p_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy):
             res = mc.make_subtract(mcc)(srcs[c], pred, flags)
             x = jnp.zeros((ch, cw), jnp.int32)
             x = x.at[:ph, :].set(res[:ph, :cw].astype(jnp.int32) - 128)
-            coefs = sbt.make_fwd_sbt(scfg)(x, bd)
+            # fwd carry -> in-loop inverse: replicates the reference's
+            # shared scratch at degenerate (extreme-aspect) levels
+            coefs, cr = sbt.make_fwd_sbt_carry(scfg)(x, bd)
             deq, v = hzcc.make_quantize(hcfg)(coefs, bd, eprm_m, mlt_m, q)
-            rpx = sbt.make_inv_sbt(scfg)(deq, bd, q)
+            rpx = sbt.make_inv_sbt_stale(scfg)(deq, bd, q, cr)
             rpx = jnp.clip(rpx + 128, 0, 255).astype(jnp.uint8)
             res2 = res.at[:ph, :pw].set(rpx[:ph, :pw])
             recon = mc.make_reconstruct(mcc)(res2, pred, flags)
@@ -144,10 +146,10 @@ def make_i_encode_step(w, h, subsamp, blk_w, blk_h, lossless, do_psy,
             scfg = pcfg.sbt_cfg(c)
             hcfg = pcfg.hzcc_cfg(c)
             x = xs[c].astype(jnp.int32) - 128
-            coefs = sbt.make_fwd_sbt(scfg)(x, bd)
+            coefs, cr = sbt.make_fwd_sbt_carry(scfg)(x, bd)
             deq, v = hzcc.make_quantize(hcfg)(coefs, bd, dummy, dummy, q)
             if need_recon:
-                rpx = sbt.make_inv_sbt(scfg)(deq, bd, q)
+                rpx = sbt.make_inv_sbt_stale(scfg)(deq, bd, q, cr)
                 rpx = jnp.clip(rpx + 128, 0, 255).astype(jnp.uint8)
             else:
                 rpx = jnp.zeros((1, 1), jnp.uint8)
@@ -309,6 +311,74 @@ def make_p_decode_step(w, h, subsamp, blk_w, blk_h, lossless):
                                         dc, tmc)
             outs.append(mc.make_reconstruct(mcc)(res, pred, flags))
         return outs
+
+    return jax.jit(step)
+
+
+def _arena_apply(arena, tmp, wp):
+    """Overlay one plane's level-1 scratch rows onto the flat arena
+    (flat[wp*(1+r) + j] per the reference's temp_buf_pad layout,
+    sbt.c:858-860; only the first 3*w_luma entries are ever read back)."""
+    n = int(arena.shape[0])
+    ph = int(tmp.shape[0])
+    r = 0
+    while wp * (1 + r) < n and r < ph:
+        a = wp * (1 + r)
+        ln = min(wp, n - a)
+        arena = arena.at[a:a + ln].set(tmp[r, :ln])
+        r += 1
+    return arena
+
+
+@functools.lru_cache(maxsize=None)
+def make_i_decode_step_arena(w, h, subsamp, blk_w, blk_h, lossless):
+    """Intra decode step threading the reference's shared-scratch arena:
+    each plane's inverse reads the stale scratch row 1 at its flat offset
+    and leaves its level-1 scratch behind for later planes/frames
+    (reachable only at extreme aspect ratios; see ops/sbt degenerate)."""
+    pcfg = _pcfg(w, h, subsamp, blk_w, blk_h, False, lossless, 0)
+
+    def step(vs, bd, q, lls, arena):
+        outs = []
+        for c in range(3):
+            scfg = pcfg.sbt_cfg(c)
+            coefs = hzcc.make_dequantize(pcfg.hzcc_cfg(c))(
+                vs[c], bd, q, lls[c])
+            stale = arena[2 * scfg.cw:3 * scfg.cw]
+            px, tmp = sbt.make_inv_sbt_arena(scfg)(coefs, bd, q, stale)
+            arena = _arena_apply(arena, tmp, scfg.cw)
+            outs.append(jnp.clip(px + 128, 0, 255).astype(jnp.uint8))
+        return outs, arena
+
+    return jax.jit(step)
+
+
+@functools.lru_cache(maxsize=None)
+def make_p_decode_step_arena(w, h, subsamp, blk_w, blk_h, lossless):
+    """P twin of make_i_decode_step_arena (P planes never READ the stale
+    scratch — inter chroma is Haar — but their inverses keep WRITING it,
+    and later intra frames read what they left)."""
+    pcfg = _pcfg(w, h, subsamp, blk_w, blk_h, True, lossless, 0)
+
+    def step(vs, bd, q, lls, refs, mvx, mvy, flags, submask, dc, tmc,
+             arena):
+        outs = []
+        for c in range(3):
+            mcc = pcfg.mc_cfg(c)
+            pw, ph = pcfg.pdims[c]
+            scfg = pcfg.sbt_cfg(c)
+            coefs = hzcc.make_dequantize(pcfg.hzcc_cfg(c))(
+                vs[c], bd, q, lls[c])
+            stale = arena[2 * scfg.cw:3 * scfg.cw]
+            px, tmp = sbt.make_inv_sbt_arena(scfg)(coefs, bd, q, stale)
+            arena = _arena_apply(arena, tmp, scfg.cw)
+            px = jnp.clip(px + 128, 0, 255).astype(jnp.uint8)
+            res = jnp.zeros((mcc.gh, mcc.gw), jnp.uint8)
+            res = res.at[:ph, :pw].set(px[:ph, :pw])
+            pred = mc.make_predict(mcc)(refs[c], mvx, mvy, flags, submask,
+                                        dc, tmc)
+            outs.append(mc.make_reconstruct(mcc)(res, pred, flags))
+        return outs, arena
 
     return jax.jit(step)
 

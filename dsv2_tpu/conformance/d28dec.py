@@ -388,9 +388,12 @@ def dequantize(v_scan, blockdata, q, ll_value, w, h, is_luma, isP,
         pxs = pc0 + (np.arange(sw) >> 1)
 
         # serial scan: a cell's parent may live in this same (overlapping)
-        # subband region; process row-by-row so rereads see fresh values
-        overlap = ((pys >= r0) & (pys < r0 + sh)).any() and \
-                  ((pxs >= c0) & (pxs < c0 + sw)).any()
+        # subband region — including the just-written neighbor in the same
+        # row, or the cell ITSELF at saturated degenerate dims (then the
+        # reference reads the pre-write slot). Cell-by-cell replicates the
+        # reference's raster scan exactly; the overlap regions are tiny.
+        overlap = (((pys >= r0) & (pys < r0 + sh)).any()
+                   and ((pxs >= c0) & (pxs < c0 + sw)).any())
         if not overlap:
             parc = x[pys[:, None], pxs[None, :]]
             tmq = (tmq4pos_p(qp, flags, parc) if isP
@@ -400,12 +403,13 @@ def dequantize(v_scan, blockdata, q, ll_value, w, h, is_luma, isP,
                 v != 0, dequant_d(v, tmq), cur)
         else:
             for y in range(sh):
-                parc = x[pys[y], pxs]
-                tmq = (tmq4pos_p(qp, flags[y], parc) if isP
-                       else tmq4pos_i(qp, flags[y], parc, l))
-                row = x[r0 + y, c0:c0 + sw]
-                x[r0 + y, c0:c0 + sw] = np.where(
-                    v[y] != 0, dequant_d(v[y], tmq), row)
+                for cx in range(sw):
+                    if v[y, cx] == 0:
+                        continue
+                    parc = x[pys[y], pxs[cx]]
+                    tmq = (tmq4pos_p(qp, flags[y, cx], parc) if isP
+                           else tmq4pos_i(qp, flags[y, cx], parc, l))
+                    x[r0 + y, c0 + cx] = dequant_d(v[y, cx], tmq)
     x[0, 0] = ll_value
     return x
 
@@ -592,11 +596,20 @@ def _ring_line(nb_perp, nb_along, s_perp, s_along):
     return rows, cols
 
 
-def inv_sbt(x, blockdata, q, cw, ch, is_luma, isP, lossless, nbh, nbv):
-    """Synthesis filter bank (ref: sbt.c:833-885 + per-filter sections)."""
+def inv_sbt(x, blockdata, q, cw, ch, is_luma, isP, lossless, nbh, nbv,
+            arena=None):
+    """Synthesis filter bank (ref: sbt.c:833-885 + per-filter sections).
+
+    `arena` (1-D int64, persistent per decode session) emulates the
+    reference's shared scratch buffer (temp_buf_pad layout): degenerate
+    1-px sub-dimension levels — reachable at extreme aspect ratios —
+    read the stale scratch row 1 at flat[2*cw + i] that the previous
+    plane/frame left behind, and every plane leaves its level-1 scratch
+    rows in it (ref: sbt.c:199-225 DO_*_LO at n==1, :449-473)."""
     x = x.astype(np.int64)
     lvls = nlevels(cw, ch)
     bd = blockdata.reshape(nbv, nbh)
+    tmp_l1 = None
     for l in range(lvls, 0, -1):
         kind = _kind(is_luma, isP, lossless, lvls, l)
         ovf = int(l >= 6 and l >= lvls - 3 and not lossless)
@@ -615,6 +628,8 @@ def inv_sbt(x, blockdata, q, cw, ch, is_luma, isP, lossless, nbh, nbv):
                     hqp = q // 2
                 out = _haar_inv_filtered(x, sh, sw, ovf, hqp)
             x[:sh, :sw] = out
+            if l == 1:
+                tmp_l1 = out
             continue
 
         def run(arr, n, axis):
@@ -645,9 +660,33 @@ def inv_sbt(x, blockdata, q, cw, ch, is_luma, isP, lossless, nbh, nbv):
             return _inv_lift(arr, n, lambda o: _lo3_upd(o, n),
                              _ISCALE["ino"], _ISCALE["ino"])
 
+        iscl = {"cc": "i20", "l1": "i20", "l2a": "i20", "lli": "i52",
+                "llp": "i52"}.get(kind, "ino")
         sub = x[:sh, :sw]
-        c = run(sub.T, sh, axis=0).T
-        x[:sh, :sw] = run(c, sw, axis=1)
+        if sh == 1:
+            # column pass n==1: iscaleL then the lo update reads the
+            # stale scratch row 1
+            st = (arena[2 * cw:2 * cw + sw] if arena is not None
+                  else np.int64(0))
+            c = (_ISCALE[iscl](sub[0]) - (st >> 1))[None, :]
+        else:
+            c = run(sub.T, sh, axis=0).T
+        if sw == 1:
+            # row pass n==1: the lo update reads coef column 1
+            nb = (x[:sh, 1] >> 1) if cw > 1 else np.int64(0)
+            x[:sh, :sw] = (_ISCALE[iscl](c[:, 0]) - nb)[:, None]
+        else:
+            x[:sh, :sw] = run(c, sw, axis=1)
+        if l == 1:
+            tmp_l1 = c
+    if arena is not None and tmp_l1 is not None:
+        n = arena.shape[0]
+        r = 0
+        while cw * (1 + r) < n and r < tmp_l1.shape[0]:
+            a = cw * (1 + r)
+            ln = min(cw, n - a)
+            arena[a:a + ln] = tmp_l1[r, :ln]
+            r += 1
     return x
 
 
@@ -1146,10 +1185,16 @@ def extend_border(arr, w, h):
     rs = _strip(vis[:, w - 1])
     ts = _strip(vis[0, :])
     bs = _strip(vis[h - 1, :])
+    def cval(strip, dim):
+        # dim < 4: the reference reads the zero byte just before the strip
+        # allocation (calloc'd header pad; ref: frame.c:377-380, dsv.c:49-64)
+        i = (dim // 4) - 1
+        return int(strip[i]) if i >= 0 else 0
+
     tl = (int(ts[0]) + int(ls[0]) + 1) >> 1
-    tr = (int(ts[(w // 4) - 1]) + int(rs[0]) + 1) >> 1
-    bl = (int(ls[(h // 4) - 1]) + int(bs[0]) + 1) >> 1
-    br = (int(bs[(w // 4) - 1]) + int(rs[(h // 4) - 1]) + 1) >> 1
+    tr = (cval(ts, w) + int(rs[0]) + 1) >> 1
+    bl = (cval(ls, h) + int(bs[0]) + 1) >> 1
+    br = (cval(bs, w) + cval(rs, h) + 1) >> 1
     ridx = np.arange(h) // 4
     arr[B:B + h, :B] = ls[ridx][:, None]
     arr[B:B + h, B + w:] = rs[ridx][:, None]
@@ -1271,6 +1316,7 @@ class ConformanceDecoder:
     def __init__(self):
         self.meta = None
         self.ref = None           # list of bordered uint8 planes
+        self.arena = None         # shared-scratch emulation (see inv_sbt)
 
     def decode_packet(self, buf):
         """Returns ("meta"|"eos"|"pic"|"err", frame-or-None, fno)."""
@@ -1387,8 +1433,10 @@ class ConformanceDecoder:
             coefs = dequantize(v, blockdata, quant, ll, cw, ch,
                                c == 0, has_ref, lossless,
                                nbh, nbv, blk_w, blk_h, subsamp)
+            if self.arena is None:
+                self.arena = np.zeros(3 * self.meta["width"], np.int64)
             px = inv_sbt(coefs, blockdata, quant, cw, ch, c == 0,
-                         has_ref, lossless, nbh, nbv)
+                         has_ref, lossless, nbh, nbv, arena=self.arena)
             planes_px.append(px)
 
         fq = compute_filter_q(quant, psyHH)

@@ -116,10 +116,19 @@ def _extend_plane(arr, w, h):
     rs = _strip(vis[:, w - 1])
     ts = _strip(vis[0, :])
     bs = _strip(vis[h - 1, :])
+    def cval(strip, dim):
+        """Strip entry (dim//SUBDIV - 1) for the corner average. For
+        dim < SUBDIV the reference indexes one byte BEFORE the strip,
+        which its instrumented allocator guarantees is 0 (the calloc'd
+        header padding; ref: frame.c:377-380, dsv.c:49-64) — reachable
+        on ME-pyramid levels of small frames (e.g. 32x16 -> 4x2 at L3)."""
+        i = (dim // SUBDIV) - 1
+        return int(strip[i]) if i >= 0 else 0
+
     tl = (int(ts[0]) + int(ls[0]) + 1) >> 1
-    tr = (int(ts[(w // SUBDIV) - 1]) + int(rs[0]) + 1) >> 1
-    bl = (int(ls[(h // SUBDIV) - 1]) + int(bs[0]) + 1) >> 1
-    br = (int(bs[(w // SUBDIV) - 1]) + int(rs[(h // SUBDIV) - 1]) + 1) >> 1
+    tr = (cval(ts, w) + int(rs[0]) + 1) >> 1
+    bl = (cval(ls, h) + int(bs[0]) + 1) >> 1
+    br = (cval(bs, w) + cval(rs, h) + 1) >> 1
 
     ridx = np.arange(h) // SUBDIV
     arr[B:B + h, :B] = ls[ridx][:, None]

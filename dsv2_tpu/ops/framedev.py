@@ -31,10 +31,16 @@ def extend_plane_graph(vis, w, h):
     rs = _strip(vis[:, w - 1], h)
     ts = _strip(vis[0, :], w)
     bs = _strip(vis[h - 1, :], w)
+    def cval(strip, dim):
+        # dim < SUBDIV: the reference reads the zero byte before the strip
+        # allocation (host twin core/frame.py:_extend_plane cval)
+        i = (dim // SUBDIV) - 1
+        return strip[i] if i >= 0 else jnp.int32(0)
+
     tl = (ts[0] + ls[0] + 1) >> 1
-    tr = (ts[(w // SUBDIV) - 1] + rs[0] + 1) >> 1
-    bl = (ls[(h // SUBDIV) - 1] + bs[0] + 1) >> 1
-    br = (bs[(w // SUBDIV) - 1] + rs[(h // SUBDIV) - 1] + 1) >> 1
+    tr = (cval(ts, w) + rs[0] + 1) >> 1
+    bl = (cval(ls, h) + bs[0] + 1) >> 1
+    br = (cval(bs, w) + cval(rs, h) + 1) >> 1
 
     ridx = jnp.arange(h) // SUBDIV
     cidx = jnp.arange(w) // SUBDIV

@@ -247,6 +247,15 @@ def _self_parent_mask(w, h, l, s):
     row_in = (pr >= r0) & (pr < r0 + sh)
     col_in = (pc >= c0) & (pc < c0 + sw)
     m = row_in[:, None] & col_in[None, :]
+    if not m.any():
+        return None
+    # a cell whose "parent" is ITSELF (saturated ceil-halving at degenerate
+    # dims) must keep its first-pass value: the reference's serial scan
+    # reads the pre-write slot there (0 on decode, the original coef on
+    # encode), so the rewrite passes below exclude it
+    row_eq = pr == (r0 + np.arange(sh))
+    col_eq = pc == (c0 + np.arange(sw))
+    m &= ~(row_eq[:, None] & col_eq[None, :])
     return m if m.any() else None
 
 
@@ -338,12 +347,18 @@ def make_quantize(cfg: HzccCfg):
             m = _self_parent_mask(w, h, l, s)
             if m is not None:
                 # serial-scan fixup: cells whose parent lives in this very
-                # subband must requantize against the freshly written values
-                v2, tmq2 = quant_one(x, sub, l, s, sw, sh)
-                v = jnp.where(m, v2, v)
-                fixed = jnp.where(v != 0, dequant_d(v, tmq2), 0)
-                cur = x[r0:r0 + sh, c0:c0 + sw]
-                x = x.at[r0:r0 + sh, c0:c0 + sw].set(jnp.where(m, fixed, cur))
+                # subband requantize against the freshly written values.
+                # Parents form >>1 chains up to log2(dim) deep; each pass
+                # finalizes one more generation (the quantized value feeds
+                # the child's parc-zeroness test, so encoder chains can
+                # propagate further than one rewrite)
+                for _ in range(max(sw, sh).bit_length()):
+                    v2, tmq2 = quant_one(x, sub, l, s, sw, sh)
+                    v = jnp.where(m, v2, v)
+                    fixed = jnp.where(v != 0, dequant_d(v, tmq2), 0)
+                    cur = x[r0:r0 + sh, c0:c0 + sw]
+                    x = x.at[r0:r0 + sh, c0:c0 + sw].set(
+                        jnp.where(m, fixed, cur))
             vs.append(v.reshape(-1))
         x = x.at[0, 0].set(ll_save)
         return x, jnp.concatenate(vs)
@@ -392,6 +407,8 @@ def make_dequantize(cfg: HzccCfg):
             x = x.at[r0:r0 + sh, c0:c0 + sw].set(out)
             m = _self_parent_mask(w, h, l, s)
             if m is not None:
+                # decode-side parc only matters through zeroness, which one
+                # rewrite finalizes (zeroness = v != 0, fixed after pass 1)
                 out2 = jnp.where(v != 0, deq_one(x),
                                  x[r0:r0 + sh, c0:c0 + sw])
                 cur2 = x[r0:r0 + sh, c0:c0 + sw]

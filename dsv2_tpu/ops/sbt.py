@@ -159,10 +159,19 @@ def _shrex_inv(x):
 
 
 def _fwd_lift(x, n, lo_fn, scale_l, scale_h):
+    out, _ = _fwd_lift2(x, n, lo_fn, scale_l, scale_h)
+    return out
+
+
+def _fwd_lift2(x, n, lo_fn, scale_l, scale_h):
+    """Like _fwd_lift but also returns the post-lift UNSCALED odd samples
+    (the reference mutates its temp buffer in place before SCALE_PACK, so
+    temp row 1 after a column pass equals o[..., 0] — the value the
+    degenerate sh==1 levels later read; see _filter_2d_fwd)."""
     e, o = x[..., 0::2], x[..., 1::2]
     o = o - _hi3_upd(e, n)
     e = e + lo_fn(o)
-    return jnp.concatenate([scale_l(e), scale_h(o)], axis=-1)
+    return jnp.concatenate([scale_l(e), scale_h(o)], axis=-1), o
 
 
 def _inv_lift(x, n, lo_fn, iscale_l, iscale_h):
@@ -387,12 +396,20 @@ def _ring_mask(blockdata, cfg, sw, sh, axis):
     return (m & K.IS_RINGING) != 0
 
 
-def _filter_2d_fwd(x, cfg, l, kind, blockdata):
+def _filter_2d_fwd(x, cfg, l, kind, blockdata, carry=None):
+    """One fwd_2d level. `carry` models the reference's temp-buffer row 1
+    (ref: sbt.c:449-459 fwd_2d over a shared scratch): at degenerate
+    levels (sub height 1, reachable for CC/lossless when the aspect ratio
+    is extreme) the n==1 low-pass update `v[0] += v[s] >> 1` reads the
+    scratch row the LAST level with sub height >= 2 left behind — that
+    deterministic staleness is part of the bitstream (sbt.c:199-225).
+    Likewise a sub width of 1 reads the coefficient buffer's column 1.
+    Returns (x, carry)."""
     w, h = cfg.cw, cfg.ch
     sw, sh = im.round_shift(w, l - 1), im.round_shift(h, l - 1)
     sub = x[:sh, :sw]
 
-    def run(arr, n, axis):
+    def run(arr, n, axis, want_o=False):
         if kind == "l1":
             ring = _ring_mask(blockdata, cfg, sw, sh, axis)
             return _fwd_l1(arr, n, ring)
@@ -401,14 +418,42 @@ def _filter_2d_fwd(x, cfg, l, kind, blockdata):
             lo = lambda o: _lo5a_upd(o, n, ring)
             return _fwd_lift(arr, n, lo, _FS["20"], _shrex_fwd)
         lo_b, sl, shh = _LIFT[kind]
+        if want_o:
+            return _fwd_lift2(arr, n, lo_b(n), _FS[sl], _FS[shh])
         return _fwd_lift(arr, n, lo_b(n), _FS[sl], _FS[shh])
 
-    r = run(sub, sw, axis=1)
-    out = run(r.T, sh, axis=0).T
-    return x.at[:sh, :sw].set(out)
+    scale_l = _FS[_LIFT[kind][1]] if kind in _LIFT else None
+    if sw == 1:
+        # row pass n==1: v[0] += coef[j][1] >> 1 then scaleL (the read is
+        # from the coefficient buffer, one past the sub-image)
+        nb = (x[:sh, 1] >> 1) if w > 1 else jnp.int32(0)
+        r = scale_l(sub[:, 0] + nb)[:, None]
+    else:
+        r = run(sub, sw, axis=1)
+
+    if sh == 1:
+        # column pass n==1: lift against the stale scratch row 1, scaleL;
+        # the carry itself is NOT rewritten (row passes at sub height 1
+        # only touch scratch row 0)
+        st = carry[:sw] if carry is not None else jnp.int32(0)
+        out = scale_l(r[0] + (st >> 1))[None, :]
+    else:
+        out, o_col = run(r.T, sh, axis=0, want_o=True) if kind in _LIFT \
+            else (run(r.T, sh, axis=0), None)
+        out = out.T
+        if carry is not None and o_col is not None:
+            # scratch row 1 after this level's column lifts (pre-scale)
+            carry = carry.at[:sw].set(o_col[..., 0])
+    return x.at[:sh, :sw].set(out), carry
 
 
-def _filter_2d_inv(x, cfg, l, kind, blockdata):
+def _filter_2d_inv(x, cfg, l, kind, blockdata, stale=None, want_tmp=False):
+    """One inv_2d level. `stale` models the reference's scratch row 1 at
+    this point of the inverse (ref: sbt.c:461-473): the inverse runs
+    levels high-to-low, so its degenerate (sub height 1) levels run FIRST
+    and read whatever the preceding transform left in scratch row 1 — the
+    forward pass of the same plane for the encoder's in-loop inverse, the
+    previous plane/frame for a standalone decode (see decoder arena)."""
     w, h = cfg.cw, cfg.ch
     sw, sh = im.round_shift(w, l - 1), im.round_shift(h, l - 1)
     sub = x[:sh, :sw]
@@ -424,62 +469,129 @@ def _filter_2d_inv(x, cfg, l, kind, blockdata):
         lo_b, sl, shh = _LIFT[kind]
         return _inv_lift(arr, n, lo_b(n), _FS["i" + sl], _FS["i" + shh])
 
-    c = run(sub.T, sh, axis=0).T
-    out = run(c, sw, axis=1)
-    return x.at[:sh, :sw].set(out)
+    iscale_l = _FS["i" + _LIFT[kind][1]] if kind in _LIFT else None
+    if sh == 1:
+        # column pass n==1: out[0] = iscaleL(in[0]) - stale >> 1
+        st = stale[:sw] if stale is not None else jnp.int32(0)
+        c = (iscale_l(sub[0]) - (st >> 1))[None, :]
+    else:
+        c = run(sub.T, sh, axis=0).T
+    if sw == 1:
+        # row pass n==1: the low-pass update reads the coefficient
+        # buffer's column 1 (still the untouched higher-frequency coef)
+        nb = (x[:sh, 1] >> 1) if w > 1 else jnp.int32(0)
+        out = (iscale_l(c[:, 0]) - nb)[:, None]
+    else:
+        out = run(c, sw, axis=1)
+    x = x.at[:sh, :sw].set(out)
+    if want_tmp:
+        return x, c
+    return x, None
 
 
 # ---------------------------------------------------------------------------
 # Public entry points
 # ---------------------------------------------------------------------------
 
+def degenerate(cfg: SbtCfg):
+    """True when some non-Haar level has a 1-px sub dimension, so the
+    reference's scratch-row-1 / coef-column-1 reads become reachable
+    (extreme aspect ratios; see _filter_2d_fwd). Such planes need the
+    fwd carry threaded into the in-loop inverse (make_*_sbt_carry)."""
+    for l in range(1, cfg.lvls + 1):
+        if _kind(cfg, l) == "haar":
+            continue
+        if (im.round_shift(cfg.cw, l - 1) == 1
+                or im.round_shift(cfg.ch, l - 1) == 1):
+            return True
+    return False
+
+
+def _fwd_graph(cfg, x, blockdata):
+    x = x.astype(jnp.int32)
+    carry = jnp.zeros((cfg.cw,), jnp.int32)
+    for l in range(1, cfg.lvls + 1):
+        kind = _kind(cfg, l)
+        if kind == "haar":
+            sw = im.round_shift(cfg.cw, l - 1)
+            sh = im.round_shift(cfg.ch, l - 1)
+            x = x.at[:sh, :sw].set(
+                _haar_fwd(x[:sh, :sw], sh, sw, _ovf(cfg, l)))
+        else:
+            x, carry = _filter_2d_fwd(x, cfg, l, kind, blockdata, carry)
+    return x, carry
+
+
+def _inv_graph(cfg, x, blockdata, q, stale, want_tmp=False):
+    x = x.astype(jnp.int32)
+    tmp_l1 = None
+    for l in range(cfg.lvls, 0, -1):
+        kind = _kind(cfg, l)
+        ovf = _ovf(cfg, l)
+        if kind == "haar":
+            sw = im.round_shift(cfg.cw, l - 1)
+            sh = im.round_shift(cfg.ch, l - 1)
+            if cfg.lossless or (not cfg.is_luma and cfg.isP):
+                out = _haar_inv_simple(x[:sh, :sw], sh, sw, ovf)
+            else:
+                if cfg.is_luma:
+                    hqp = q // (14 if cfg.isP else (2 if l > 4 else 8))
+                else:
+                    hqp = q // 2
+                out = _haar_inv_filtered(x, sh, sw, ovf, hqp)
+            x = x.at[:sh, :sw].set(out)
+            if l == 1:
+                tmp_l1 = out  # the reference's Haar inverse writes its
+                # scratch with the recombined sub-image before cpysub
+        else:
+            x, c = _filter_2d_inv(x, cfg, l, kind, blockdata, stale,
+                                  want_tmp=(l == 1))
+            if l == 1:
+                tmp_l1 = c   # post-column-pass scratch rows
+    if want_tmp:
+        return x, tmp_l1
+    return x
+
+
 @functools.lru_cache(maxsize=None)
 def make_fwd_sbt(cfg: SbtCfg):
     """Returns jitted (x_int32[ch,cw], blockdata_uint8[nbv,nbh]) -> coefs."""
+    return jax.jit(lambda x, blockdata: _fwd_graph(cfg, x, blockdata)[0])
 
-    def f(x, blockdata):
-        x = x.astype(jnp.int32)
-        for l in range(1, cfg.lvls + 1):
-            kind = _kind(cfg, l)
-            if kind == "haar":
-                sw = im.round_shift(cfg.cw, l - 1)
-                sh = im.round_shift(cfg.ch, l - 1)
-                x = x.at[:sh, :sw].set(
-                    _haar_fwd(x[:sh, :sw], sh, sw, _ovf(cfg, l)))
-            else:
-                x = _filter_2d_fwd(x, cfg, l, kind, blockdata)
-        return x
 
-    return jax.jit(f)
+@functools.lru_cache(maxsize=None)
+def make_fwd_sbt_carry(cfg: SbtCfg):
+    """Like make_fwd_sbt but also returns the scratch-row-1 carry the
+    in-loop inverse of a degenerate plane must consume."""
+    return jax.jit(lambda x, blockdata: _fwd_graph(cfg, x, blockdata))
 
 
 @functools.lru_cache(maxsize=None)
 def make_inv_sbt(cfg: SbtCfg):
     """Returns jitted (coefs_int32, blockdata, q_int32) -> pixel-domain
-    (still centered; add 128 + clamp separately)."""
+    (still centered; add 128 + clamp separately). For degenerate planes
+    this assumes a zero scratch row — encoder in-loop callers must use
+    make_inv_sbt_stale with the fwd carry instead."""
+    return jax.jit(lambda x, blockdata, q: _inv_graph(cfg, x, blockdata,
+                                                      q, None))
 
-    def f(x, blockdata, q):
-        x = x.astype(jnp.int32)
-        for l in range(cfg.lvls, 0, -1):
-            kind = _kind(cfg, l)
-            ovf = _ovf(cfg, l)
-            if kind == "haar":
-                sw = im.round_shift(cfg.cw, l - 1)
-                sh = im.round_shift(cfg.ch, l - 1)
-                if cfg.lossless or (not cfg.is_luma and cfg.isP):
-                    out = _haar_inv_simple(x[:sh, :sw], sh, sw, ovf)
-                else:
-                    if cfg.is_luma:
-                        hqp = q // (14 if cfg.isP else (2 if l > 4 else 8))
-                    else:
-                        hqp = q // 2
-                    out = _haar_inv_filtered(x, sh, sw, ovf, hqp)
-                x = x.at[:sh, :sw].set(out)
-            else:
-                x = _filter_2d_inv(x, cfg, l, kind, blockdata)
-        return x
 
-    return jax.jit(f)
+@functools.lru_cache(maxsize=None)
+def make_inv_sbt_stale(cfg: SbtCfg):
+    """Inverse taking the scratch-row-1 state (cw,) int32 — the fwd carry
+    for the encoder's in-loop inverse, or the decoder arena's row."""
+    return jax.jit(lambda x, blockdata, q, stale: _inv_graph(
+        cfg, x, blockdata, q, stale))
+
+
+@functools.lru_cache(maxsize=None)
+def make_inv_sbt_arena(cfg: SbtCfg):
+    """Inverse for the standalone decoder: takes the scratch row-1 state
+    and ALSO returns the level-1 scratch content (ch, cw) the reference
+    leaves behind — the decoder arena overlays it at this plane's flat
+    offset so later planes/frames read the right staleness."""
+    return jax.jit(lambda x, blockdata, q, stale: _inv_graph(
+        cfg, x, blockdata, q, stale, want_tmp=True))
 
 
 def p2sbc(plane_u8):

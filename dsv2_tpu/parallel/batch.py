@@ -71,16 +71,16 @@ def _device_batch_fn(w_, h_, subsamp, blk_w, blk_h, lossless, do_psy,
         scfg = pcfg.sbt_cfg(c)
         hcfg = pcfg.hzcc_cfg(c)
         qf = hzcc.make_quantize(hcfg)
-        inv = sbt.make_inv_sbt(scfg)
-        fwd = sbt.make_fwd_sbt(scfg)
+        inv = sbt.make_inv_sbt_stale(scfg)
+        fwd = sbt.make_fwd_sbt_carry(scfg)
 
         def f(x8, bd, q):
             dummy = jnp.zeros((pcfg.nbv, pcfg.nbh), dtype=bool)
             x = x8.astype(jnp.int32) - 128
-            coefs = fwd(x, bd)
+            coefs, cr = fwd(x, bd)
             deq, v = qf(coefs, bd, dummy, dummy, q)
             if need_recon:
-                recon = inv(deq, bd, q)
+                recon = inv(deq, bd, q, cr)
                 px = jnp.clip(recon + 128, 0, 255).astype(jnp.uint8)
             else:
                 # gop=0 / non-reference frames: the reconstruction is dead

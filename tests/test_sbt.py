@@ -80,7 +80,8 @@ def run_case(lib, pw, ph, cw, ch, is_luma, isP, lossless, q, seed):
     x = np.zeros((ch, cw), dtype=np.int32)
     x[:ph, :] = ext[:ph, :cw].astype(np.int32) - 128
     cfg = sbt.SbtCfg(cw, ch, is_luma, isP, lossless, nbh, nbv)
-    ours = np.asarray(sbt.make_fwd_sbt(cfg)(x, blockdata))
+    ours, carry = sbt.make_fwd_sbt_carry(cfg)(x, blockdata)
+    ours = np.asarray(ours)
     np.testing.assert_array_equal(ours, coefs_ref, err_msg="fwd sbt mismatch")
 
     # --- inverse (on perturbed coefs, simulating quantization) ---
@@ -93,8 +94,11 @@ def run_case(lib, pw, ph, cw, ch, is_luma, isP, lossless, q, seed):
     cref2 = mk_coefs(ref_in)
     lib.dsv_inv_sbt(C.byref(plane2), C.byref(cref2), q, C.byref(fm))
 
-    inv = sbt.make_inv_sbt(cfg)
-    ours_coef = np.asarray(inv(coefs_in, blockdata, np.int32(q)))
+    # the reference just ran its forward pass in this process, so its
+    # scratch row 1 holds the fwd leftovers — same in-loop order as the
+    # encoder; thread the carry for degenerate (extreme-aspect) planes
+    inv = sbt.make_inv_sbt_stale(cfg)
+    ours_coef = np.asarray(inv(coefs_in, blockdata, np.int32(q), carry))
     ours_px = np.asarray(sbt.sbc2p(ours_coef))
     np.testing.assert_array_equal(ours_coef, ref_in,
                                   err_msg="inv sbt coef mismatch")

@@ -22,9 +22,10 @@ def synth_frame(w, h, t, rng, scene=0):
         # static high-contrast grid (edges)
         y[(xx // 16 + yy // 16) % 2 == 0] //= 2
         # moving square with noise texture
-        sx, sy = (t * 5) % max(w - 24, 1), (t * 3) % max(h - 20, 1)
+        sqh, sqw = min(20, h), min(24, w)
+        sx, sy = (t * 5) % max(w - sqw, 1), (t * 3) % max(h - sqh, 1)
         tex = rng.integers(0, 90, (20, 24))
-        y[sy:sy + 20, sx:sx + 24] = 120 + tex
+        y[sy:sy + sqh, sx:sx + sqw] = 120 + tex[:sqh, :sqw]
     else:
         # second scene: radial pattern, slow pan
         cx, cy = w // 2 + t, h // 3

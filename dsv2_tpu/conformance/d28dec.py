@@ -99,10 +99,21 @@ def nlevels(w, h):
 # bit reading (MSB first; ref: src/bs.c)
 # ---------------------------------------------------------------------------
 
+class CorruptStream(Exception):
+    """A read ran away past the packet end. The reference has no reader
+    guard (dsv28dec.h:864-868 reads whatever heap bytes follow the packet);
+    the twin reads a deterministic zero tail instead and bails after a
+    bounded overrun so corrupt exp-Golomb runs cannot loop forever. Plane
+    errors are caught per-plane (mirroring dsv28dec.h:3118-3152); anything
+    else is caught at the packet level and decode continues."""
+
+
 class Bits:
     def __init__(self, buf, bitpos=0):
         self.buf = buf
         self.pos = bitpos
+        self.nbits = len(buf) << 3
+        self.overrun = 0
 
     def align(self):
         self.pos = (self.pos + 7) & ~7
@@ -111,6 +122,14 @@ class Bits:
         return self.pos >> 3
 
     def bit(self):
+        if self.pos >= self.nbits:
+            # zero tail past the packet (deterministic stand-in for the
+            # reference's undefined out-of-bounds heap read)
+            self.pos += 1
+            self.overrun += 1
+            if self.overrun > (1 << 16):
+                raise CorruptStream("read past packet end")
+            return 0
         v = (self.buf[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
         self.pos += 1
         return v
@@ -1425,10 +1444,28 @@ class ConformanceDecoder:
             plen = r.bits(32)
             r.align()
             start = r.bytepos()
-            ll = r.seg()
-            r.align()
-            segments = scan_segments(cw, ch)
-            v = scan_decode(r, segments)
+            # plane-length sanity + bounded scan + EOP error detection,
+            # then resync to the plane boundary; a bad plane skips its
+            # inverse transform and decode continues (ref:
+            # dsv28dec.h:3118-3152, :3540-3550)
+            ok = 0 < plen < cw * ch * 4 * 2 and start + plen <= len(buf)
+            v = ll = None
+            if ok:
+                try:
+                    ll = r.seg()
+                    r.align()
+                    segments = scan_segments(cw, ch)
+                    v = scan_decode(r, segments)
+                    r.align()  # hzcc_dec aligns before EOP (hzcc.c:581)
+                    if r.bits(8) != EOP_SYMBOL:
+                        ok = False
+                except CorruptStream:
+                    ok = False
+            if not ok:
+                # inverse skipped: the plane stays at its calloc'd zeros
+                planes_px.append(np.full((ch, cw), -128, np.int64))
+                r.pos = min(start + max(plen, 0), len(buf)) * 8
+                continue
             r.pos = (start + plen) * 8
             coefs = dequantize(v, blockdata, quant, ll, cw, ch,
                                c == 0, has_ref, lossless,
@@ -1511,11 +1548,22 @@ def _packet_iter(stream):
         yield hdr[5], hdr + rest
 
 
+def _decode_packet_robust(dec, buf):
+    """decode_packet that reports corrupt packets instead of raising:
+    the reference decodes whatever the garbage bits say and moves on
+    (dsv_decoder.c:516-523 semantics); the twin skips the packet when
+    the corruption escapes the per-plane guards."""
+    try:
+        return dec.decode_packet(buf)
+    except (CorruptStream, IndexError, ValueError, KeyError):
+        return "err", None, -1
+
+
 def decode_stream(stream):
     """Yields (fno, [y, u, v]) visible planes per decoded picture."""
     dec = ConformanceDecoder()
     for t, buf in _packet_iter(stream):
-        kind, vis, fno = dec.decode_packet(buf)
+        kind, vis, fno = _decode_packet_robust(dec, buf)
         if kind == "eos":
             return
         if kind == "pic":
@@ -1529,7 +1577,7 @@ def decode_file(path, out_path=None):
         dec = ConformanceDecoder()
         wr = None
         for t, buf in _packet_iter(f):
-            kind, vis, fno = dec.decode_packet(buf)
+            kind, vis, fno = _decode_packet_robust(dec, buf)
             if kind == "eos":
                 break
             if kind != "pic":

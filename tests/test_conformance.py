@@ -82,3 +82,34 @@ def test_conformance_vs_own_encoder(tmp_path, ref_build):
     decode_file(p, oury)
     with open(refy, "rb") as a, open(oury, "rb") as b:
         assert a.read() == b.read()
+
+
+def test_conformance_corrupt_streams(tmp_path, ref_build, fixtures_dir):
+    """Corrupt-stream resilience (ref: dsv28dec.h:3118-3152 plane guards,
+    dsv_decoder.c:516-523 report-and-continue): byte flips and truncations
+    must never raise, and a corrupted later GOP must not stop earlier
+    frames from decoding."""
+    dsv2 = os.path.join(ref_build, "dsv2")
+    src = os.path.join(fixtures_dir, "tiny64x48_420_6f.y4m")
+    enc = str(tmp_path / "c.dsv")
+    subprocess.run([dsv2, "e", "-y", "-inp=" + src, "-out=" + enc,
+                    "-y4m=1", "-qp=60", "-gop=2"], capture_output=True)
+    data = bytearray(open(enc, "rb").read())
+    rng = np.random.default_rng(7)
+    for pos in sorted(rng.choice(len(data), size=8, replace=False)):
+        bad = bytearray(data)
+        bad[pos] ^= 0xA5
+        p = str(tmp_path / "bad.dsv")
+        open(p, "wb").write(bad)
+        decode_file(p, str(tmp_path / "bad.y4m"))  # must not raise
+    for cut in (10, len(data) // 2, len(data) - 3):
+        p = str(tmp_path / "tr.dsv")
+        open(p, "wb").write(data[:cut])
+        decode_file(p, str(tmp_path / "tr.y4m"))   # must not raise
+    # corruption localized to the last GOP: earlier frames still decode
+    bad = bytearray(data)
+    bad[-40] ^= 0xFF
+    p = str(tmp_path / "tail.dsv")
+    open(p, "wb").write(bad)
+    got = decode_file(p)
+    assert len(got) >= 2

@@ -2,24 +2,37 @@
 """Encoder throughput benchmark vs the reference C encoder.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N, "extra": {...}}
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N,
+   "exact": bool, "extra": {...}}
 
 vs_baseline = our fps / single-threaded C reference fps measured on this
 host in the same run (the reference publishes no numbers; BASELINE.md).
+"exact" is the byte-parity verdict for the headline stream: when false,
+vs_baseline is NOT a valid codec comparison (the JSON also carries
+"vs_baseline_valid": false) — bit-exactness vs the reference binary is
+the contract (CLAUDE.md).
 
 Headline config: FHD 1920x1080 4:2:0 intra encode, 32 frames, qp=60 — the
 driver-defined metric resolution (BASELINE.md "1080p encode fps per
-chip"); the produced .dsv is byte-identical to the reference binary's.
-Timed runs are MEDIAN-OF-3 for both encoders (the axon tunnel bandwidth
-swings 4-170 MB/s run to run; single-shot numbers are weather).
+chip"). Timed runs are MEDIAN-OF-3 for both encoders (the axon tunnel
+bandwidth swings 4-170 MB/s run to run; single-shot numbers are weather).
 
-"extra" carries transfer-independent and P-path numbers:
+"extra" carries transfer-independent and per-BASELINE-config numbers:
   - device_ms_per_frame: pure device compute per 1080p intra frame
     (repeated dispatch on device-resident inputs, metadata-only fetch)
-  - p_lockstep: CIF 4:2:0 qp=60 gop=12 lockstep x8 P-frame encode
-    (BASELINE.md config-1 class) vs the C encoder on the same input,
+  - link_mbps: measured d2h bandwidth at bench time (ceiling-model term)
+  - p_lockstep: BASELINE config 1 as defined — CIF 4:2:0 -qp=60 -gop=48
+    (README.md:141) lockstep x8 vs the C encoder on the same input,
     stream 0 byte-checked against the reference binary's first GOP.
-When the TPU tunnel is unreachable the bench falls back to CIF on CPU.
+    Emitted on the CPU fallback too (smaller geometry) so the P-path
+    record never vanishes with the tunnel.
+  - decode: BASELINE config 2 — decode the config-1 .dsv back to frames,
+    wall-clock vs the single-header dsv28dec reference decoder binary,
+    output byte-checked against d28dec's y4m.
+
+Every successful TPU run is also persisted as a tracked artifact
+(bench_artifacts/BENCH_tpu_<ts>.json) so a later tunnel outage cannot
+erase the record (round-3 lesson).
 """
 import json
 import os
@@ -32,8 +45,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 ARGS = ["-qp=60", "-gop=0"]
-P_GOP = 12
+P_GOP = 48          # BASELINE config 1: Stefan CIF -qp=60 -gop=48
 P_WIDTH = 8
+P_GOP_CPU = 12      # smaller CPU-fallback geometry
+P_WIDTH_CPU = 4
 
 
 def ensure_inputs(w, h, nframes):
@@ -78,6 +93,7 @@ def read_frames(src):
 
 
 def our_intra_fps(src, want, nframes, chunk):
+    """Returns (fps, exact)."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.batch import encode_intra_batch
 
@@ -90,6 +106,8 @@ def our_intra_fps(src, want, nframes, chunk):
     enc = mk()
     encode_intra_batch(enc, frames, chunk=chunk)
 
+    exact = [True]
+
     def run():
         enc = mk()
         t0 = time.perf_counter()
@@ -98,11 +116,12 @@ def our_intra_fps(src, want, nframes, chunk):
         dt = time.perf_counter() - t0
         ours = b"".join(out)
         if ours != want:
+            exact[0] = False
             print("# WARNING: stream does not byte-match the reference",
                   file=sys.stderr)
         return nframes / dt
 
-    return median3(run)
+    return median3(run), exact[0]
 
 
 def device_ms_per_frame(src, chunk):
@@ -147,49 +166,130 @@ def device_ms_per_frame(src, chunk):
     return median3(run)
 
 
-def p_lockstep(ref_bin):
-    """CIF lockstep P-frame encode (width x gop streams) vs the C encoder
-    on the identical input; byte-checks stream 0 vs the reference's first
-    GOP."""
+def link_mbps():
+    """Measured d2h bandwidth right now (the dominant ceiling-model term
+    on the axon tunnel)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    x = jax.device_put(jnp.zeros(8 << 20, jnp.uint8)) + 1
+    x.block_until_ready()
+
+    def run():
+        t0 = time.perf_counter()
+        np.asarray(x)
+        return (8.0) / (time.perf_counter() - t0)  # MB/s (8 MB payload)
+
+    return median3(run)
+
+
+def p_lockstep(ref_bin, gop, width):
+    """BASELINE config 1: CIF lockstep P-frame encode (width x gop
+    streams) vs the C encoder on the identical input; byte-checks stream
+    0 vs the reference's first GOP."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
 
-    n = P_WIDTH * P_GOP
+    n = width * gop
     src = ensure_inputs(352, 288, n)
-    c_fps = ref_fps(ref_bin, src, n, [f"-gop={P_GOP}", "-qp=60"],
+    c_fps = ref_fps(ref_bin, src, n, [f"-gop={gop}", "-qp=60"],
                     out="/tmp/dsv2_bench_pref.dsv")
     # reference bytes for the first GOP (independent stream semantics)
     subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
                     "-out=/tmp/dsv2_bench_pref0.dsv", "-y4m=1",
-                    f"-gop={P_GOP}", "-qp=60", f"-nfr={P_GOP}"],
+                    f"-gop={gop}", "-qp=60", f"-nfr={gop}"],
                    capture_output=True)
     want0 = open("/tmp/dsv2_bench_pref0.dsv", "rb").read()
 
     frames, meta = read_frames(src)
-    streams = [frames[i:i + P_GOP] for i in range(0, n, P_GOP)]
+    streams = [frames[i:i + gop] for i in range(0, n, gop)]
 
     def factory():
-        return make_encoder(meta, default_enc_opts(qp=60, gop=P_GOP))
+        return make_encoder(meta, default_enc_opts(qp=60, gop=gop))
 
-    encode_streams_lockstep(streams, factory, width=P_WIDTH)  # warm
+    encode_streams_lockstep(streams, factory, width=width)  # warm
+    exact = [True]
 
     def run():
         from dsv2_tpu.utils.packet import encode_eos
         t0 = time.perf_counter()
-        out = encode_streams_lockstep(streams, factory, width=P_WIDTH)
+        out = encode_streams_lockstep(streams, factory, width=width)
         dt = time.perf_counter() - t0
         # lockstep streams carry no EOS packet (the concatenating caller
         # appends one); the reference file ends with one
         eos_len = len(encode_eos())
         if (want0[:len(out[0])] != out[0]
                 or len(want0) - len(out[0]) != eos_len):
+            exact[0] = False
             print("# WARNING: P stream 0 does not byte-match the reference",
                   file=sys.stderr)
         return n / dt
 
     fps = median3(run)
-    return {"fps": round(fps, 3), "c_fps": round(c_fps, 3),
-            "vs_baseline": round(fps / c_fps, 4)}
+    return {"config": f"cif_qp60_gop{gop}_x{width}",
+            "fps": round(fps, 3), "c_fps": round(c_fps, 3),
+            "vs_baseline": round(fps / c_fps, 4), "exact": exact[0]}
+
+
+def decode_fps(ref_build, dsv_path):
+    """BASELINE config 2: decode dsv_path to frames, wall-clock vs the
+    single-header d28dec reference decoder binary on the same file;
+    our y4m output byte-checked against d28dec's."""
+    import io
+    from dsv2_tpu.codec import decoder as D
+    from dsv2_tpu.utils import packet, y4m
+
+    d28 = os.path.join(ref_build, "d28dec")
+    refy = "/tmp/dsv2_bench_dec_ref.y4m"
+
+    def ref_run():
+        t0 = time.perf_counter()
+        subprocess.run([d28, "-y", "-inp=" + dsv_path, "-out=" + refy,
+                        "-y4m=1"], capture_output=True)
+        return time.perf_counter() - t0
+
+    ref_dt = median3(ref_run)
+    want = open(refy, "rb").read()
+    data = open(dsv_path, "rb").read()
+
+    def our_run():
+        buf = io.BytesIO()
+        t0 = time.perf_counter()
+        writer = None
+        n = 0
+        dec = D.Decoder()
+        for t, pkt in packet.iter_packets(io.BytesIO(data)):
+            code, frame, fno = dec.decode_packet(pkt)
+            if code == D.DEC_EOS:
+                break
+            if code != D.DEC_OK or frame is None:
+                continue
+            meta = dec.meta
+            if writer is None:
+                writer = y4m.Y4MWriter(buf, meta.width, meta.height,
+                                       meta.subsamp,
+                                       (meta.fps_num, meta.fps_den),
+                                       (meta.aspect_num, meta.aspect_den))
+            writer.write_frame([frame.view(c) for c in range(3)])
+            n += 1
+        return time.perf_counter() - t0, n, buf.getvalue()
+
+    our_run()  # warm (jit compile of the decode chain)
+    dts = []
+    n = 0
+    ours = b""
+    for _ in range(3):
+        dt, n, ours = our_run()
+        dts.append(dt)
+    our_dt = statistics.median(dts)
+    exact = ours == want
+    if not exact:
+        print("# WARNING: decode output does not byte-match d28dec",
+              file=sys.stderr)
+    return {"config": "decode_dsv_to_y4m", "frames": n,
+            "fps": round(n / our_dt, 3),
+            "d28dec_fps": round(n / ref_dt, 3),
+            "vs_baseline": round(ref_dt / our_dt, 4), "exact": exact}
 
 
 def _pick_platform():
@@ -222,10 +322,12 @@ def main():
     if plat == "cpu":
         w, h, nframes, chunk, metric = 352, 288, 64, 16, \
             "cif_intra_encode_fps_cpu"
+        p_gop, p_width = P_GOP_CPU, P_WIDTH_CPU
         extra_flags = {"tpu_tunnel_down": True}
     else:
         w, h, nframes, chunk, metric = 1920, 1080, 32, 8, \
             "fhd_intra_encode_fps"
+        p_gop, p_width = P_GOP, P_WIDTH
         extra_flags = {}
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,
@@ -234,7 +336,7 @@ def main():
     src = ensure_inputs(w, h, nframes)
     c_fps = ref_fps(ref_bin, src, nframes, ARGS)
     want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
-    fps = our_intra_fps(src, want, nframes, chunk)
+    fps, exact = our_intra_fps(src, want, nframes, chunk)
     extra = dict(extra_flags)
     try:
         extra["device_ms_per_frame"] = round(
@@ -243,18 +345,38 @@ def main():
         print(f"# device-only metric failed: {e!r}", file=sys.stderr)
     if plat != "cpu":
         try:
-            extra["p_lockstep"] = p_lockstep(ref_bin)
+            extra["link_mbps"] = round(link_mbps(), 1)
         except Exception as e:
-            print(f"# p_lockstep metric failed: {e!r}", file=sys.stderr)
-    print(json.dumps({
+            print(f"# link probe failed: {e!r}", file=sys.stderr)
+    try:
+        extra["p_lockstep"] = p_lockstep(ref_bin, p_gop, p_width)
+    except Exception as e:
+        print(f"# p_lockstep metric failed: {e!r}", file=sys.stderr)
+    try:
+        extra["decode"] = decode_fps(ref_dir, "/tmp/dsv2_bench_pref0.dsv")
+    except Exception as e:
+        print(f"# decode metric failed: {e!r}", file=sys.stderr)
+    rec = {
         "metric": metric,
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / c_fps, 4),
+        "exact": exact,
         "extra": extra,
-    }))
+    }
+    if not exact:
+        rec["vs_baseline_valid"] = False
+    print(json.dumps(rec))
     print(f"# reference C encoder: {c_fps:.2f} fps (same host, same config)",
           file=sys.stderr)
+    if plat != "cpu":
+        # persist the record: a tunnel outage later in the round must not
+        # erase it (round-3 lesson)
+        art = os.path.join(REPO, "bench_artifacts")
+        os.makedirs(art, exist_ok=True)
+        ts = time.strftime("%Y%m%dT%H%M%S")
+        with open(os.path.join(art, f"BENCH_tpu_{ts}.json"), "w") as f:
+            json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":

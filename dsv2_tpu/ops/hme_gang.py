@@ -81,15 +81,26 @@ def gwindow(plane, xs, ys, h, w):
     ow = -(-(w + 127) // 128) * 128
     lane = jax.lax.broadcasted_iota(jnp.int32, (h, LW), 1) // w
     acc = jnp.zeros((h, LW), jnp.int32)
+    narrow = plane.dtype == jnp.uint8 and hp._ROLL_NARROW
     for g, (x, y) in enumerate(zip(xs, ys)):
         yy = jnp.clip(y + B, 0, hp_ - h)
         xx = jnp.clip(x + B, 0, wp - w)
         ya = pl.multiple_of(jnp.minimum((yy // sub) * sub, hp_ - oh), sub)
         xa = pl.multiple_of(jnp.minimum((xx // 128) * 128, wp - ow), 128)
         big = plane[pl.ds(ya, oh), pl.ds(xa, ow)]
-        big = pltpu.roll(big, (-(yy - ya)) % oh, 0)
-        big = pltpu.roll(big, (g * w - (xx - xa)) % ow, 1)
-        acc = jnp.where(lane == g, big[:h, :LW].astype(jnp.int32), acc)
+        if narrow:
+            # Mosaic only lowers 32-bit dynamic rotates: rows realign
+            # narrow via the i32-bitcast funnel, lanes after widening
+            # the h live rows (see hme_pallas.roll_rows_u8).
+            big = hp.roll_rows_u8(big, yy - ya)
+            big = big[:h].astype(jnp.int32)
+            big = pltpu.roll(big, (g * w - (xx - xa)) % ow, 1)
+        else:
+            big = big.astype(jnp.int32)
+            big = pltpu.roll(big, (-(yy - ya)) % oh, 0)
+            big = pltpu.roll(big, (g * w - (xx - xa)) % ow, 1)
+            big = big[:h]
+        acc = jnp.where(lane == g, big[:, :LW], acc)
     return acc
 
 

@@ -65,18 +65,43 @@ def _pad_plane(p):
 _ROLL_NARROW = os.environ.get("DSV2_PL_ROLL8", "1") != "0"
 
 
+def roll_rows_u8(big, dy):
+    """out[i] = big[(i + dy) % oh] for a uint8 (oh, ow) array, oh % 4 == 0.
+
+    Mosaic's tpu.dynamic_rotate only lowers for 32-bit element types
+    ("Rotate with non-32-bit data" otherwise), so the row rotate runs on
+    the i32-packed view: pltpu.bitcast packs 4 consecutive SUBLANES into
+    one u32 (row 4m+b at bits 8b), a u32 rotate moves whole 4-row groups,
+    and a funnel shift between rotation q and q+1 realigns the residual
+    r = dy % 4 bytes. 8 vregs of rotate for a (64, 256) window vs 32
+    widened."""
+    n32 = big.shape[0] // 4
+    y = pltpu.bitcast(big, jnp.uint32)
+    q = dy // 4
+    r = dy % 4
+    a = pltpu.roll(y, (-q) % n32, 0)
+    b = pltpu.roll(y, (-(q + 1)) % n32, 0)
+    sh1 = (8 * r).astype(jnp.uint32)
+    sh2 = ((32 - 8 * r) % 32).astype(jnp.uint32)
+    comb = (a >> sh1) | (b << sh2)
+    return pltpu.bitcast(jnp.where(r == 0, a, comb), jnp.uint8)
+
+
 def _reader(plane, x, y, h, w):
     """window() hook: unaligned (h, w) window of a bordered VMEM plane via
     aligned overfetch + dynamic rotate. Clamps like dynamic_slice (only
     invalid, masked probes ever hit the clamp).
 
-    The rotates run at the plane's NARROW dtype and the int32 widening
-    happens after the slice: a (64, 256) uint8 overfetch is 4 vregs per
-    rotate vs 32 once widened — and the window read is the kernel's
-    single hottest op (every candidate metric, refine probe and subpel
-    grid starts with one). DSV2_PL_ROLL8=0 restores widen-first (the
-    fallback if a Mosaic version rejects narrow dynamic rotates)."""
+    The ROW rotate runs at the plane's narrow dtype through the
+    i32-bitcast funnel (roll_rows_u8) — Mosaic has no narrow dynamic
+    rotate — then the h live rows are sliced and widened and the LANE
+    rotate runs on the small (h, ow) i32 slice (4 vregs for a 16-row
+    window vs 32 for the full (64, 256) overfetch). The window read is
+    the kernel's single hottest op (every candidate metric, refine probe
+    and subpel grid starts with one). DSV2_PL_ROLL8=0 restores
+    widen-first for both dims."""
     hp, wp = plane.shape
+    narrow = plane.dtype == jnp.uint8 and _ROLL_NARROW
     sub = 32 if plane.dtype == jnp.uint8 else 8
     oh = -(-(h + sub - 1) // sub) * sub
     ow = -(-(w + 127) // 128) * 128
@@ -85,11 +110,15 @@ def _reader(plane, x, y, h, w):
     ya = pl.multiple_of(jnp.minimum((yy // sub) * sub, hp - oh), sub)
     xa = pl.multiple_of(jnp.minimum((xx // 128) * 128, wp - ow), 128)
     big = plane[pl.ds(ya, oh), pl.ds(xa, ow)]
-    if not _ROLL_NARROW:
-        big = big.astype(jnp.int32)
+    if narrow:
+        big = roll_rows_u8(big, yy - ya)
+        big = big[:h].astype(jnp.int32)
+        big = pltpu.roll(big, (-(xx - xa)) % ow, 1)
+        return big[:, :w]
+    big = big.astype(jnp.int32)
     big = pltpu.roll(big, (-(yy - ya)) % oh, 0)
     big = pltpu.roll(big, (-(xx - xa)) % ow, 1)
-    return big[:h, :w].astype(jnp.int32)
+    return big[:h, :w]
 
 
 def _roll(a, shift, axis):

@@ -77,16 +77,25 @@ def _pos_tables(segments):
 # the vk adaptation chain (sequential) — Pallas scalar kernel
 # ---------------------------------------------------------------------------
 
+_ROWS = 8          # chunk rows per grid step (Mosaic wants blocks of 8 rows)
+
+
 @functools.lru_cache(maxsize=None)
 def _vk_call(npad):
     """fn(e, damp, isr, nnz) -> k, arrays (npad,) int32 padded with isr=0.
     Per element: k = vk >> damp (the rice parameter used for it), then
     vk += 1 if e >= k else max(vk-1, 0), applied only when isr != 0.
     e = floor(log2(u-1)) (-1 when u == 1) makes 'q != 0' == 'e >= k'.
-    Only the first nnz slots hold live elements: chunks past them skip
-    entirely (grid-step cost only) and the final live chunk's loop stops
-    at the bound — the scalar loop runs ~nnz iterations, not npad."""
+    Only the first nnz slots hold live elements: grid steps past them
+    skip entirely (grid-step cost only) and each live row's loop stops
+    at the bound — the scalar loop runs ~nnz iterations, not npad.
+    Blocks are (_ROWS, _CHUNK): Mosaic requires the second-to-last block
+    dim to be a multiple of 8 even in SMEM, so each grid step walks 8
+    chunk rows sequentially."""
+    step = _ROWS * _CHUNK
     nch = npad // _CHUNK
+    assert nch % _ROWS == 0
+    ngrid = nch // _ROWS
 
     def kernel(n_ref, e_ref, d_ref, r_ref, k_ref, vk_ref):
         c = pl.program_id(0)
@@ -95,26 +104,33 @@ def _vk_call(npad):
         def _():
             vk_ref[0] = 0
 
-        @pl.when(c * _CHUNK < n_ref[0, 0])
+        @pl.when(c * step < n_ref[0, 0])
         def _():
-            def body(i, vk):
-                d = d_ref[0, i]
-                k = vk >> d
-                k_ref[0, i] = k
-                inc = e_ref[0, i] >= k
-                nvk = jnp.where(inc, vk + 1, jnp.maximum(vk - 1, 0))
-                return jnp.where(r_ref[0, i] != 0, nvk, vk)
+            def row(r, vk):
+                def body(i, vk):
+                    d = d_ref[r, i]
+                    k = vk >> d
+                    k_ref[r, i] = k
+                    inc = e_ref[r, i] >= k
+                    nvk = jnp.where(inc, vk + 1, jnp.maximum(vk - 1, 0))
+                    return jnp.where(r_ref[r, i] != 0, nvk, vk)
 
-            lim = jnp.clip(n_ref[0, 0] - c * _CHUNK, 0, _CHUNK)
-            vk_ref[0] = jax.lax.fori_loop(0, lim, body, vk_ref[0])
+                lim = jnp.clip(n_ref[0, 0] - c * step - r * _CHUNK,
+                               0, _CHUNK)
+                return jax.lax.fori_loop(0, lim, body, vk)
+
+            vk = vk_ref[0]
+            for r in range(_ROWS):
+                vk = row(r, vk)
+            vk_ref[0] = vk
 
     def call(e, damp, isr, nnz):
-        spec = pl.BlockSpec((1, _CHUNK), lambda c: (c, 0),
+        spec = pl.BlockSpec((_ROWS, _CHUNK), lambda c: (c, 0),
                             memory_space=pltpu.SMEM)
         nspec = pl.BlockSpec((1, 1), lambda c: (0, 0),
                              memory_space=pltpu.SMEM)
         return pl.pallas_call(
-            kernel, grid=(nch,),
+            kernel, grid=(ngrid,),
             out_shape=jax.ShapeDtypeStruct((nch, _CHUNK), jnp.int32),
             in_specs=[nspec, spec, spec, spec],
             out_specs=spec,
@@ -204,7 +220,7 @@ def make_scan_blob(segments, cap_bytes):
     hzcc.scan_segments. Blob bytes [0, nbytes) byte-match the native
     scan encoder's; on fallback the caller must host-encode instead."""
     total = sum(c for c, _ in segments)
-    npad = _pad_to(max(total, _CHUNK), _CHUNK)
+    npad = _pad_to(max(total, _CHUNK), _ROWS * _CHUNK)
     damp_pos = _pos_tables(segments)
     Mb = cap_bytes
 

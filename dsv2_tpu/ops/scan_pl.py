@@ -28,17 +28,34 @@ Pallas kernel: a scalar SMEM loop over value chunks with vk carried in
 SMEM scratch across sequential grid steps (the XLA alternative pays the
 ~1-2.5 ms/iteration loop floor PER VALUE; the kernel pays ~a few cycles).
 
-Emission exploits two facts: rice's q zeros never need writing (the
-buffer starts zeroed), and every remaining code piece fits 64 bits. Each
-nonzero becomes two <=64-bit "records" (run UEG; value tail) at strictly
-increasing bit offsets; each output byte gathers the <=8 records that can
-intersect it (records are >=1 bit, so <=8 start in any byte, plus one
-straddler).
+Emission is scatter-add of disjoint bit patterns into a u32 word buffer
+(bits never overlap across codes, and rice's q zero-gap bits never need
+writing, so integer add == bitwise or). Every code splits into at most
+two <=64-bit parts (run UEG <=43 bits; value tail <=62 bits), and a
+<=64-bit part intersects at most 3 consecutive u32 words — a static
+3-word scatter footprint. Three dynamically-bounded chunk loops keep the
+scatter-update count proportional to the LIVE code count, not the plane
+size (under jax.vmap the traced loop bounds batch to the lane maximum):
+
+  L1 — LL prefix (compacted slots [0, nll)): generic two-part emission,
+       6 word-updates per slot (LL NEG codes are routinely long);
+  L2 — HF slots [0, nruns): the common case alen+gap+blen <= 33 bits
+       emits ONE merged part, 2 word-updates per slot; longer codes are
+       row-scattered into a spill table instead (rare: big runs on very
+       sparse planes, rice q spikes while vk is cold);
+  L3 — the spill table: generic two-part emission, 6 updates per slot,
+       usually zero trips.
+
+The first emission profile of this path's predecessor (per-BYTE gather
+of 8 candidate records + a searchsorted over the byte grid) measured
+~730 ms for ONE 1080p luma plane on a v5e — per-element gathers are
+~20 ns each on TPU while scatter updates stream ~ns-scale — hence the
+scatter formulation.
 
 The device blob targets the dense8 contract (|HF| <= 127); anything
-outside it, or a blob over the static byte capacity, raises the fallback
-flag and the host redoes that plane natively — byte-exactness is never
-at risk.
+outside it, or a blob over the static byte capacity, or a spill-table
+overflow, raises the fallback flag and the host redoes that plane
+natively — byte-exactness is never at risk.
 """
 import functools
 
@@ -50,6 +67,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 RUN_BITS = 24
 _CHUNK = 1024      # vk-kernel SMEM chunk (elements per sequential grid step)
+_ROWS = 8          # chunk rows per grid step (Mosaic wants blocks of 8 rows)
+_CLL = 1 << 15     # L1 slots per chunk (LL prefix)
+_CHF = 1 << 16     # L2 slots per chunk (HF short/merged)
+_CSP = 1 << 13     # L3 slots per chunk (spill)
+SPILL = 1 << 13    # spill-table capacity (beyond -> plane fallback)
 
 
 def _interpret():
@@ -77,70 +99,72 @@ def _pos_tables(segments):
 # the vk adaptation chain (sequential) — Pallas scalar kernel
 # ---------------------------------------------------------------------------
 
-_ROWS = 8          # chunk rows per grid step (Mosaic wants blocks of 8 rows)
-
-
 @functools.lru_cache(maxsize=None)
 def _vk_call(npad):
-    """fn(e, damp, isr, nnz) -> k, arrays (npad,) int32 padded with isr=0.
-    Per element: k = vk >> damp (the rice parameter used for it), then
-    vk += 1 if e >= k else max(vk-1, 0), applied only when isr != 0.
-    e = floor(log2(u-1)) (-1 when u == 1) makes 'q != 0' == 'e >= k'.
-    Only the first nnz slots hold live elements: grid steps past them
-    skip entirely (grid-step cost only) and each live row's loop stops
-    at the bound — the scalar loop runs ~nnz iterations, not npad.
+    """fn(thr, s0, nnz) -> vkpre, arrays (npad,) int32.
+
+    Walks the rice slots [s0, nnz) of the compacted value stream (the
+    LL NEG prefix carries no rice state) and stores each slot's
+    PRE-update vk; the caller derives k = vkpre >> damp vectorized.
+    thr pre-bakes the adaptation compare: e >= (vk >> d)  <=>
+    vk < (e+1) << d =: thr, so the loop body is one SMEM load, one
+    store and a three-op dependent ALU chain.
+
     Blocks are (_ROWS, _CHUNK): Mosaic requires the second-to-last block
     dim to be a multiple of 8 even in SMEM, so each grid step walks 8
-    chunk rows sequentially."""
+    chunk rows sequentially; rows fully outside [s0, nnz) cost only the
+    bound checks."""
     step = _ROWS * _CHUNK
     nch = npad // _CHUNK
     assert nch % _ROWS == 0
     ngrid = nch // _ROWS
 
-    def kernel(n_ref, e_ref, d_ref, r_ref, k_ref, vk_ref):
+    def kernel(b_ref, t_ref, k_ref, vk_ref):
         c = pl.program_id(0)
 
         @pl.when(c == 0)
         def _():
             vk_ref[0] = 0
 
-        @pl.when(c * step < n_ref[0, 0])
+        s0 = b_ref[0, 0]
+        nnz = b_ref[0, 1]
+
+        @pl.when((c * step < nnz) & ((c + 1) * step > s0))
         def _():
             def row(r, vk):
                 def body(i, vk):
-                    d = d_ref[r, i]
-                    k = vk >> d
-                    k_ref[r, i] = k
-                    inc = e_ref[r, i] >= k
-                    nvk = jnp.where(inc, vk + 1, jnp.maximum(vk - 1, 0))
-                    return jnp.where(r_ref[r, i] != 0, nvk, vk)
+                    t = t_ref[r, i]
+                    k_ref[r, i] = vk
+                    return jnp.where(vk < t, vk + 1,
+                                     jnp.maximum(vk - 1, 0))
 
-                lim = jnp.clip(n_ref[0, 0] - c * step - r * _CHUNK,
-                               0, _CHUNK)
-                return jax.lax.fori_loop(0, lim, body, vk)
+                base = c * step + r * _CHUNK
+                lo = jnp.clip(s0 - base, 0, _CHUNK)
+                hi = jnp.clip(nnz - base, 0, _CHUNK)
+                return jax.lax.fori_loop(lo, hi, body, vk)
 
             vk = vk_ref[0]
             for r in range(_ROWS):
                 vk = row(r, vk)
             vk_ref[0] = vk
 
-    def call(e, damp, isr, nnz):
+    def call(thr, s0, nnz):
         spec = pl.BlockSpec((_ROWS, _CHUNK), lambda c: (c, 0),
                             memory_space=pltpu.SMEM)
-        nspec = pl.BlockSpec((1, 1), lambda c: (0, 0),
+        bspec = pl.BlockSpec((1, 2), lambda c: (0, 0),
                              memory_space=pltpu.SMEM)
+        bounds = jnp.stack([s0.astype(jnp.int32),
+                            nnz.astype(jnp.int32)]).reshape(1, 2)
         return pl.pallas_call(
             kernel, grid=(ngrid,),
             out_shape=jax.ShapeDtypeStruct((nch, _CHUNK), jnp.int32),
-            in_specs=[nspec, spec, spec, spec],
+            in_specs=[bspec, spec],
             out_specs=spec,
             scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
             interpret=_interpret(),
             compiler_params=None if _interpret() else pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",)),
-        )(nnz.astype(jnp.int32).reshape(1, 1), e.reshape(nch, _CHUNK),
-          damp.reshape(nch, _CHUNK),
-          isr.reshape(nch, _CHUNK)).reshape(npad)
+        )(bounds, thr.reshape(nch, _CHUNK)).reshape(npad)
 
     return call
 
@@ -195,6 +219,16 @@ def _shl64(lo, hi, s):
     return nlo, nhi
 
 
+def _shl64_wide(lo, hi, s):
+    """(lo, hi) << s for 0 <= s <= 63 (uint32 halves)."""
+    s = s.astype(jnp.uint32)
+    big = s >= 32
+    sl = jnp.where(big, s - jnp.uint32(32), s)
+    l1, h1 = _shl64(lo, hi, sl)
+    return (jnp.where(big, jnp.uint32(0), l1),
+            jnp.where(big, jnp.where(sl == 0, lo, lo << sl), h1))
+
+
 def _neg_pattern(v):
     """NEG code for v != 0: UEG(|v|-1) then sign bit. len = 2*nb+2."""
     s = (v < 0).astype(jnp.uint32)
@@ -206,8 +240,46 @@ def _neg_pattern(v):
 
 
 # ---------------------------------------------------------------------------
-# blob builder
+# scatter-add word emission
 # ---------------------------------------------------------------------------
+
+def _part_word(s, ln, lo, hi, w):
+    """u32 contribution of a <=64-bit code part (global bit offset s,
+    length ln, pattern halves lo/hi with bitstring bit t' = pattern bit
+    ln-1-t') to absolute output word w. Wire order: stream byte b lives
+    in word b>>2 lane b&3 (little-endian u32 view), MSB-first within the
+    byte."""
+    acc = jnp.zeros(s.shape, jnp.uint32)
+    for lane in range(4):
+        qbit = (4 * w + lane) * 8
+        off = qbit - s
+        sh = ln - off - 8                   # >>sh if >=0 else <<-sh
+        shr = jnp.clip(sh, 0, 63).astype(jnp.uint32)
+        lo1 = jnp.where(shr >= 32,
+                        jnp.where(shr >= 64, jnp.uint32(0),
+                                  hi >> (shr - jnp.uint32(32))),
+                        jnp.where(shr == 0, lo,
+                                  (lo >> shr) | (hi << (jnp.uint32(32)
+                                                        - shr))))
+        shl = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
+        b1 = jnp.where(sh >= 0, lo1, lo << shl) & jnp.uint32(0xFF)
+        valid = (off > -8) & (off < ln)
+        acc = acc | jnp.where(valid, b1 << jnp.uint32(8 * lane),
+                              jnp.uint32(0))
+    return acc
+
+
+def _scatter_part(buf, live, s, ln, lo, hi, mw):
+    """Scatter-add one code part's <=3-word footprint into buf (mw int32
+    words); bits are disjoint across all parts so add == or."""
+    ws = s >> 5                 # s >= 0 always (bit offsets)
+    for m in range(3):
+        w = ws + m
+        c = _part_word(s, ln, lo, hi, w).astype(jnp.int32)
+        idx = jnp.where(live & (c != 0), w, mw)
+        buf = buf.at[idx].add(c, mode="drop")
+    return buf
+
 
 def _pad_to(n, m):
     return -(-n // m) * m
@@ -220,25 +292,35 @@ def make_scan_blob(segments, cap_bytes):
     hzcc.scan_segments. Blob bytes [0, nbytes) byte-match the native
     scan encoder's; on fallback the caller must host-encode instead."""
     total = sum(c for c, _ in segments)
-    npad = _pad_to(max(total, _CHUNK), _ROWS * _CHUNK)
+    # TP: compacted-slot padding so the emission loops' dynamic_slice
+    # chunks always fit; the vk kernel's chunk grid divides it too
+    TP = _pad_to(max(total, _CHF), _CHF)
+    assert TP % (_ROWS * _CHUNK) == 0 and _CHF % _CLL == 0
+    npad = TP
     damp_pos = _pos_tables(segments)
+    ll_n = segments[0][0] if segments and segments[0][1] < 0 else 0
     Mb = cap_bytes
+    Mw = _pad_to(Mb, 4) // 4
 
     def f(v):
         v = v.astype(jnp.int32)
         idxs = jnp.arange(total, dtype=jnp.int32)
         nz = v != 0
         nruns = nz.sum(dtype=jnp.int32)
+        nll = nz[:ll_n].sum(dtype=jnp.int32)       # live LL prefix length
         rank = jnp.cumsum(nz, dtype=jnp.int32) - 1
-        tgt = jnp.where(nz, rank, total)
-        vals = jnp.zeros(total, jnp.int32).at[tgt].set(v, mode="drop")
-        pos = jnp.zeros(total, jnp.int32).at[tgt].set(idxs, mode="drop")
+        tgt = jnp.where(nz, rank, TP)
+        rows = jnp.stack([v, idxs, jnp.asarray(damp_pos),
+                          jnp.zeros(total, jnp.int32)], axis=1)
+        comp = jnp.zeros((TP, 4), jnp.int32).at[tgt].set(
+            rows, mode="drop")
+        vals = comp[:, 0]
+        pos = comp[:, 1]
+        dmp = comp[:, 2]
+        idxs = jnp.arange(TP, dtype=jnp.int32)   # slot ids, padded width
         act = idxs < nruns                       # live compacted slots
-
-        dmp = jnp.where(act, jnp.asarray(damp_pos)[
-            jnp.clip(pos, 0, total - 1)], 0)
-        isr = act & (dmp >= 0)
         isneg = act & (dmp < 0)
+        isr = act & (dmp >= 0)
 
         # zigzag fold u and e = ilog2(u-1) for the rice elements
         u = jnp.where(vals >= 0, 2 * vals, -2 * vals - 1)
@@ -250,30 +332,26 @@ def make_scan_blob(segments, cap_bytes):
         bad_ll = isneg & (jnp.abs(vals) >= (1 << 30))
         fallback = bad_hf.any() | bad_ll.any()
 
-        # vk chain (sequential) -> per-element rice k
-        epad = jnp.zeros(npad, jnp.int32).at[:total].set(jnp.where(isr, e, 0))
-        dpad = jnp.zeros(npad, jnp.int32).at[:total].set(
-            jnp.where(isr, dmp, 0))
-        rpad = jnp.zeros(npad, jnp.int32).at[:total].set(
-            isr.astype(jnp.int32))
-        k = _vk_call(npad)(epad, dpad, rpad, nruns)[:total]
-        # slots past nruns never get written by the kernel: clamp the
-        # garbage so the (masked-out) shift math below stays defined
-        k = jnp.clip(k, 0, 30)
+        # vk chain (sequential) -> per-element rice k (pre-update vk)
+        dsafe = jnp.maximum(dmp, 0)
+        thr = jnp.where(isr, (e + 1) << dsafe, 0)
+        vkpre = _vk_call(npad)(thr, nll, nruns)
+        # NEG slots never enter the kernel loop: their out rows hold
+        # whatever the SMEM scratch held; clamp so the masked-out shift
+        # math below stays defined
+        k = jnp.clip(jnp.maximum(vkpre, 0) >> dsafe, 0, 30)
 
-        # record A: UEG(run); run = pos diff - 1 (pos[-1] == -1)
+        # part A: UEG(run); run = pos diff - 1 (pos[-1] == -1)
         run = pos - jnp.concatenate([jnp.full(1, -1, jnp.int32),
                                      pos[:-1]]) - 1
         run = jnp.where(act, run, 0)
         alo, ahi, alen = _ueg_pattern(run)
 
-        # record B: NEG or rice tail [1][k bits of u-1] after q zeros
+        # part B: NEG or rice tail [1][k bits of u-1] after q zeros
         nlo, nhi, nlen = _neg_pattern(jnp.where(isneg, vals, 1))
-        q = um1 >> jnp.minimum(k, 30).astype(jnp.uint32)
-        kmask = jnp.where(k >= 31, jnp.uint32(0xFFFFFFFF),
-                          (jnp.uint32(1) << jnp.clip(k, 0, 31).astype(
-                              jnp.uint32)) - 1)
-        rlo = (jnp.uint32(1) << jnp.clip(k, 0, 31).astype(jnp.uint32)) | (
+        q = um1 >> k
+        kmask = (jnp.uint32(1) << k.astype(jnp.uint32)) - 1
+        rlo = (jnp.uint32(1) << k.astype(jnp.uint32)) | (
             um1.astype(jnp.uint32) & kmask)
         rhi = jnp.zeros_like(rlo)
         rlen = 1 + k
@@ -282,55 +360,82 @@ def make_scan_blob(segments, cap_bytes):
         blen = jnp.where(isneg, nlen, rlen)
         bgap = jnp.where(isneg, 0, q.astype(jnp.int32))   # zeros before B
 
-        # offsets: record A at o, record B at o + alen + bgap
+        # bit offsets: part A at sa, part B at sa + alen + bgap
         tot_i = jnp.where(act, alen + bgap + blen, 0)
-        starts_a = RUN_BITS + jnp.concatenate(
+        sa = RUN_BITS + jnp.concatenate(
             [jnp.zeros(1, jnp.int32),
              jnp.cumsum(tot_i, dtype=jnp.int32)[:-1]])
-        starts_b = starts_a + alen + bgap
-        end_bits = jnp.where(nruns > 0, starts_b[jnp.maximum(nruns - 1, 0)]
+        sb = sa + alen + bgap
+        end_bits = jnp.where(nruns > 0, sb[jnp.maximum(nruns - 1, 0)]
                              + blen[jnp.maximum(nruns - 1, 0)], RUN_BITS)
         nbytes = (end_bits + 7) // 8
         fallback = fallback | (nbytes > Mb) | (nruns >= (1 << RUN_BITS))
 
-        # interleaved record table (2 per element), padded sentinel INF
-        INF = jnp.int32(2147483647)
-        rs = jnp.stack([jnp.where(act, starts_a, INF),
-                        jnp.where(act, starts_b, INF)], 1).reshape(-1)
-        rl = jnp.stack([alen, blen], 1).reshape(-1)
-        rlo_t = jnp.stack([alo, blo], 1).reshape(-1)
-        rhi_t = jnp.stack([ahi, bhi], 1).reshape(-1)
+        mlen = tot_i
+        merged = isr & (mlen <= 33)              # one-part HF codes
+        spill = isr & (mlen > 33)                # rare long HF codes
+        nspill = spill.sum(dtype=jnp.int32)
+        fallback = fallback | (nspill > SPILL)
+        srank = jnp.cumsum(spill, dtype=jnp.int32) - 1
 
-        # emission: byte b gathers candidate records j0-? .. j0+7
-        bidx = jnp.arange(Mb, dtype=jnp.int32)
-        qbit = bidx * 8
-        j0 = jnp.searchsorted(rs, qbit, side="right").astype(jnp.int32) - 1
-        out = jnp.zeros(Mb, jnp.uint32)
-        nrec = rs.shape[0]
-        for t in range(8):
-            j = jnp.clip(j0 + t, 0, nrec - 1)
-            s = rs[j]
-            ln = rl[j]
-            lo = rlo_t[j]
-            hi = rhi_t[j]
-            valid = (j0 + t >= 0) & (j0 + t < nrec) & (s < qbit + 8) & (
-                s + ln > qbit) & (s != INF)
-            # want bits [off, off+8) of the record's bitstring, where
-            # bitstring bit t' = pattern bit (ln-1-t'); off = qbit - s
-            sh = ln - (qbit - s) - 8            # >>sh if >=0 else <<-sh
-            shr = jnp.clip(sh, 0, 63).astype(jnp.uint32)
-            # 64-bit >> shr -> low byte
-            lo1 = jnp.where(shr >= 32,
-                            jnp.where(shr >= 64, jnp.uint32(0),
-                                      hi >> (shr - jnp.uint32(32))),
-                            jnp.where(shr == 0, lo,
-                                      (lo >> shr) | (hi << (jnp.uint32(32)
-                                                            - shr))))
-            shl = jnp.clip(-sh, 0, 31).astype(jnp.uint32)
-            b1 = jnp.where(sh >= 0, lo1, lo << shl) & jnp.uint32(0xFF)
-            out = out | jnp.where(valid, b1, jnp.uint32(0))
+        buf = jnp.zeros(Mw, jnp.int32)
 
-        blob = out.astype(jnp.uint8)
+        # L1 — LL prefix, generic two-part emission
+        def l1(c, buf):
+            o = c * _CLL
+            sl = lambda a: jax.lax.dynamic_slice(a, (o,), (_CLL,))
+            live = sl(isneg)
+            buf = _scatter_part(buf, live, sl(sa), sl(alen),
+                                sl(alo), sl(ahi), Mw)
+            return _scatter_part(buf, live, sl(sb), sl(blen),
+                                 sl(blo), sl(bhi), Mw)
+
+        nl1 = jnp.clip(-(-nll // _CLL), 0, -(-total // _CLL))
+        buf = jax.lax.fori_loop(0, nl1, l1, buf)
+
+        # L2 — HF one-part codes + spill-row collection
+        spill_rows = jnp.full((SPILL + 1, 8), 0, jnp.int32)
+
+        def l2(c, carry):
+            buf, spill_rows = carry
+            o = c * _CHF
+            sl = lambda a: jax.lax.dynamic_slice(a, (o,), (_CHF,))
+            mlive = sl(merged)
+            msh = (sl(bgap) + sl(blen)).astype(jnp.uint32)
+            mlo, mhi = _shl64_wide(sl(alo), sl(ahi), msh)
+            mlo = mlo | sl(blo)
+            mhi = mhi | sl(bhi)
+            buf = _scatter_part(buf, mlive, sl(sa), sl(mlen),
+                                mlo, mhi, Mw)
+            srows = jnp.stack(
+                [sl(sa), sl(alen),
+                 sl(alo).astype(jnp.int32), sl(ahi).astype(jnp.int32),
+                 sl(sb), sl(blen),
+                 sl(blo).astype(jnp.int32), sl(bhi).astype(jnp.int32)],
+                axis=1)
+            sidx = jnp.where(sl(spill), jnp.clip(sl(srank), 0, SPILL),
+                             SPILL)
+            spill_rows = spill_rows.at[sidx].set(srows, mode="drop")
+            return buf, spill_rows
+
+        nl2 = jnp.clip(-(-nruns // _CHF), 0, -(-total // _CHF))
+        buf, spill_rows = jax.lax.fori_loop(0, nl2, l2, (buf, spill_rows))
+
+        # L3 — spill table, generic two-part emission
+        def l3(c, buf):
+            o = c * _CSP
+            r = jax.lax.dynamic_slice(spill_rows, (o, 0), (_CSP, 8))
+            live = jnp.arange(_CSP, dtype=jnp.int32) + o < nspill
+            buf = _scatter_part(buf, live, r[:, 0], r[:, 1],
+                                r[:, 2].astype(jnp.uint32),
+                                r[:, 3].astype(jnp.uint32), Mw)
+            return _scatter_part(buf, live, r[:, 4], r[:, 5],
+                                 r[:, 6].astype(jnp.uint32),
+                                 r[:, 7].astype(jnp.uint32), Mw)
+
+        buf = jax.lax.fori_loop(0, -(-nspill // _CSP), l3, buf)
+
+        blob = jax.lax.bitcast_convert_type(buf, jnp.uint8).reshape(-1)[:Mb]
         hdr = jnp.stack([nruns >> 16, nruns >> 8, nruns]).astype(jnp.uint8)
         blob = blob.at[0:3].set(hdr & jnp.uint8(0xFF))
         return blob, nbytes, fallback

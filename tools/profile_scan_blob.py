@@ -42,42 +42,43 @@ def main():
                  rng.integers(-100, 100, total), 0).astype(np.int32)
     vj = jax.device_put(v)
 
-    npad = scan_pl._pad_to(max(total, scan_pl._CHUNK),
-                           scan_pl._ROWS * scan_pl._CHUNK)
+    TP = scan_pl._pad_to(max(total, scan_pl._CHF), scan_pl._CHF)
+    npad = TP
     damp_pos = scan_pl._pos_tables(segments)
 
-    def pre(v, emit=False):
+    def pre(v):
+        """Everything up to (and including) the vk kernel, new layout."""
         v = v.astype(jnp.int32)
         idxs = jnp.arange(total, dtype=jnp.int32)
         nz = v != 0
         nruns = nz.sum(dtype=jnp.int32)
+        nll = nz[:nll_seg].sum(dtype=jnp.int32)
         rank = jnp.cumsum(nz, dtype=jnp.int32) - 1
-        tgt = jnp.where(nz, rank, total)
-        vals = jnp.zeros(total, jnp.int32).at[tgt].set(v, mode="drop")
-        pos = jnp.zeros(total, jnp.int32).at[tgt].set(idxs, mode="drop")
-        act = idxs < nruns
-        dmp = jnp.where(act, jnp.asarray(damp_pos)[
-            jnp.clip(pos, 0, total - 1)], 0)
-        isr = act & (dmp >= 0)
+        tgt = jnp.where(nz, rank, TP)
+        rows = jnp.stack([v, idxs, jnp.asarray(damp_pos),
+                          jnp.zeros(total, jnp.int32)], axis=1)
+        comp = jnp.zeros((TP, 4), jnp.int32).at[tgt].set(rows, mode="drop")
+        vals, pos, dmp = comp[:, 0], comp[:, 1], comp[:, 2]
         u = jnp.where(vals >= 0, 2 * vals, -2 * vals - 1)
         um1 = jnp.maximum(u - 1, 0)
         e = scan_pl._ilog2(um1)
-        epad = jnp.zeros(npad, jnp.int32).at[:total].set(jnp.where(isr, e, 0))
-        dpad = jnp.zeros(npad, jnp.int32).at[:total].set(jnp.where(isr, dmp, 0))
-        rpad = jnp.zeros(npad, jnp.int32).at[:total].set(isr.astype(jnp.int32))
-        k = scan_pl._vk_call(npad)(epad, dpad, rpad, nruns)[:total]
-        return nruns + k.sum() + vals.sum() + pos.sum()
+        isr = (jnp.arange(TP) < nruns) & (dmp >= 0)
+        dsafe = jnp.maximum(dmp, 0)
+        thr = jnp.where(isr, (e + 1) << dsafe, 0)
+        vk = scan_pl._vk_call(npad)(thr, nll, nruns)
+        return nruns + vk.sum() + vals.sum() + pos.sum()
+
+    nll_seg = segments[0][0]
 
     def vk_only(v):
         v = v.astype(jnp.int32)
-        isr = v != 0
+        nz = v != 0
         u = jnp.where(v >= 0, 2 * v, -2 * v - 1)
         e = scan_pl._ilog2(jnp.maximum(u - 1, 0))
-        epad = jnp.zeros(npad, jnp.int32).at[:total].set(e)
-        dpad = jnp.zeros(npad, jnp.int32)
-        rpad = jnp.zeros(npad, jnp.int32).at[:total].set(isr.astype(jnp.int32))
-        k = scan_pl._vk_call(npad)(epad, dpad, rpad,
-                                   isr.sum(dtype=jnp.int32))
+        thr = jnp.zeros(npad, jnp.int32).at[:total].set(
+            jnp.where(nz, (e + 1), 0))
+        k = scan_pl._vk_call(npad)(thr, jnp.int32(0),
+                                   nz.sum(dtype=jnp.int32))
         return k.sum()
 
     full = scan_pl.make_scan_blob(segments, cap)

@@ -481,15 +481,24 @@ def qpel_phases(refwin):
     dg = 5 * (hbuf[1:1 + SPD] + hbuf[2:2 + SPD]) - (hbuf[0:SPD]
                                                     + hbuf[3:3 + SPD])
     dg = jnp.clip((dg + 32) >> 6, 0, 255)
-    # F[e1][e0][i, j] == core[2i + e1, 2j + e0], zero-padded to (18, 18)
-    # exactly like the canvas' zero row/col 34 (hme_wave.qpel_grid hg)
-    F = [[jnp.pad(f, ((0, 1), (0, 1))) for f in row]
-         for row in ((fr, hh), (vv, dg))]
+    # F[e1][e0][i, j] == core[2i + e1, 2j + e0]; the canvas' zero
+    # row/col 34 (hme_wave.qpel_grid hg) appears as a zero-filled shift
+    # below instead of a (18, 18) pad — Mosaic's concatenate lowering
+    # rejects the pad's (17,17)+(1,17) form ("result/input offset
+    # mismatch on non-concat dimension"), while static rolls + masks
+    # lower everywhere.
+    F = ((fr, hh), (vv, dg))
+    _rio = jax.lax.broadcasted_iota(jnp.int32, (SPD, SPD), 0)
+    _cio = jax.lax.broadcasted_iota(jnp.int32, (SPD, SPD), 1)
 
     def C(s1, s0):
         """core[2u + s1, 2v + s0] as a (17, 17) plane; s in 0..2."""
         f = F[s1 & 1][s0 & 1]
-        return f[(s1 >> 1):(s1 >> 1) + SPD, (s0 >> 1):(s0 >> 1) + SPD]
+        if s1 >> 1:
+            f = jnp.where(_rio < SPD - 1, roll(f, -1, 0), 0)
+        if s0 >> 1:
+            f = jnp.where(_cio < SPD - 1, roll(f, -1, 1), 0)
+        return f
 
     planes = []
     for p1 in range(4):

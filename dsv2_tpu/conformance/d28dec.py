@@ -921,76 +921,74 @@ def _vfilt(p, x, y, edge, thE, thM, in_edge):
                                  (3 * (avgb + e1b) + 2 * e2b + 4) >> 3, e1b)
 
 
-def _quads4(t):
-    d0 = (int(t[0, 0]) + t[0, 1] + t[1, 0] + t[1, 1] + 2) >> 2
-    d1 = (int(t[0, 2]) + t[0, 3] + t[1, 2] + t[1, 3] + 2) >> 2
-    d2 = (int(t[2, 0]) + t[2, 1] + t[3, 0] + t[3, 1] + 2) >> 2
-    d3 = (int(t[2, 2]) + t[2, 3] + t[3, 2] + t[3, 3] + 2) >> 2
+def _quads4_v(t):
+    """Per-lane 2x2 quadrant means of (L, 4, 4) tiles."""
+    t = t.astype(np.int64)
+    d0 = (t[:, 0, 0] + t[:, 0, 1] + t[:, 1, 0] + t[:, 1, 1] + 2) >> 2
+    d1 = (t[:, 0, 2] + t[:, 0, 3] + t[:, 1, 2] + t[:, 1, 3] + 2) >> 2
+    d2 = (t[:, 2, 0] + t[:, 2, 1] + t[:, 3, 0] + t[:, 3, 1] + 2) >> 2
+    d3 = (t[:, 2, 2] + t[:, 2, 3] + t[:, 3, 2] + t[:, 3, 3] + 2) >> 2
     return d0, d1, d2, d3
 
 
-def _tile_energy(t):
-    """(ref: bmc.c:224-270)."""
+def _tile_energy_v(t):
+    """Per-lane tile texture energies of (L, 4, 4) tiles
+    (ref: bmc.c:224-270)."""
     t = t.astype(np.int64)
-    d0, d1, d2, d3 = _quads4(t)
-    x0 = t[0::2, 0::2]
-    x1 = t[0::2, 1::2]
-    x2 = t[1::2, 0::2]
-    x3 = t[1::2, 1::2]
+    d0, d1, d2, d3 = _quads4_v(t)
+    x0 = t[:, 0::2, 0::2]
+    x1 = t[:, 0::2, 1::2]
+    x2 = t[:, 1::2, 0::2]
+    x3 = t[:, 1::2, 1::2]
     hh = np.abs(x0 - x1 - x2 + x3) >> 1
-    sh = int((np.abs(x0 - x1 + x2 - x3) + hh).sum())
-    sv = int((np.abs(x0 + x1 - x2 - x3) + hh).sum())
-    hhl = abs(d0 - d1 - d2 + d3) >> 1
-    slh = abs(d0 - d1 + d2 - d3) + hhl
-    slv = abs(d0 + d1 - d2 - d3) + hhl
+    sh = (np.abs(x0 - x1 + x2 - x3) + hh).sum(axis=(1, 2))
+    sv = (np.abs(x0 + x1 - x2 - x3) + hh).sum(axis=(1, 2))
+    hhl = np.abs(d0 - d1 - d2 + d3) >> 1
+    slh = np.abs(d0 - d1 + d2 - d3) + hhl
+    slv = np.abs(d0 + d1 - d2 - d3) + hhl
     return sh, sv, slh, slv
 
 
-def _dsfactor(t):
-    """(ref: bmc.c:193-222)."""
-    d0, d1, d2, d3 = _quads4(t.astype(np.int64))
-    sh = abs((d0 + d1) - (d3 + d2))
-    sv = abs((d2 + d1) - (d3 + d0))
-    if max(sh, sv) < 8:
-        return 0
+def _dsfactor_v(t):
+    """Per-lane directional-structure factor (ref: bmc.c:193-222)."""
+    d0, d1, d2, d3 = _quads4_v(t)
+    sh = np.abs((d0 + d1) - (d3 + d2))
+    sv = np.abs((d2 + d1) - (d3 + d0))
     d2b, d3b = 255 - d2, 255 - d3
-    sh2 = abs(d0 - d1 + d2b - d3b)
-    sv2 = abs(d0 + d1 - d2b - d3b) >> 2
-    if sh2 > sv2:
-        return (3 * sh2 + sv2 + 2) >> 2
-    return (3 * sv2 + sh2 + 2) >> 2
+    sh2 = np.abs(d0 - d1 + d2b - d3b)
+    sv2 = np.abs(d0 + d1 - d2b - d3b) >> 2
+    r = np.where(sh2 > sv2, (3 * sh2 + sv2 + 2) >> 2,
+                 (3 * sv2 + sh2 + 2) >> 2)
+    return np.where(np.maximum(sh, sv) < 8, 0, r)
 
 
-def _curve_tex(tt):
-    if tt < 8:
-        return (8 - tt) * 8
-    if tt > 192:
-        return 0
-    return tt - 7
+def _curve_tex_v(tt):
+    return np.where(tt < 8, (8 - tt) * 8, np.where(tt > 192, 0, tt - 7))
 
 
-def _degrad(p, x, y):
-    """(ref: bmc.c:272-337)."""
-    t = p[y:y + 4, x:x + 4].astype(np.int64)
-    v = t.reshape(16)
-    hist = np.zeros(16, np.int64)
-    sums = np.zeros(16, np.int64)
-    for val in v:
-        b_ = int(val) >> 4
-        hist[b_] += 1
-        sums[b_] += val
-    nz = np.flatnonzero(hist)
-    lo, hi = int(nz[0]), int(nz[-1])
-    if lo >= hi:
-        return
-    hl, hh_ = int(hist[lo]), int(hist[hi])
-    alo = max(int(sums[lo]) // hl, 1)
-    ahi = max(int(sums[hi]) // hh_, 1)
+def _degrad_v(W, act):
+    """Per-lane dynamic-range degradation of the 4x4 tile at window
+    rows/cols 3..6, applied in place where act (ref: bmc.c:272-337)."""
+    v = W[:, 3:7, 3:7].reshape(-1, 16).astype(np.int64)
+    b = v >> 4
+    onehot = b[:, None, :] == np.arange(16)[None, :, None]
+    hist = onehot.sum(axis=2)
+    sums = (onehot * v[:, None, :]).sum(axis=2)
+    has = hist > 0
+    lo = has.argmax(axis=1)
+    hi = 15 - has[:, ::-1].argmax(axis=1)
+    act = act & (lo < hi)
+    take = lambda a, i: np.take_along_axis(a, i[:, None], 1)[:, 0]
+    hl = np.maximum(take(hist, lo), 1)
+    hh_ = np.maximum(take(hist, hi), 1)
+    alo = np.maximum(take(sums, lo) // hl, 1)[:, None]
+    ahi = np.maximum(take(sums, hi) // hh_, 1)[:, None]
     mid = (alo + ahi + 1) >> 1
-    low = v + divt(hl * (alo - v), 16)
-    hig = v + divt(hh_ * (ahi - v), 16)
+    low = v + divt(hl[:, None] * (alo - v), 16)
+    hig = v + divt(hh_[:, None] * (ahi - v), 16)
     nv = np.where(v < mid, low, np.where(v > mid, hig, v))
-    p[y:y + 4, x:x + 4] = nv.reshape(4, 4)
+    out = np.where(act[:, None], nv, v)
+    W[:, 3:7, 3:7] = out.reshape(-1, 4, 4)
 
 
 def compute_filter_q(q, psyHH):
@@ -1001,6 +999,94 @@ def compute_filter_q(q, psyHH):
     if q < 1024:
         q = 512 + q // 2
     return q
+
+
+# --- lane-vectorized 4x4-tile filtering (anti-diagonal wavefront) ---
+#
+# The reference rasters 4x4 tiles and each tile's 6-tap windows overlap
+# the writes of its left / up / up-right neighbors (bmc.c:51-659).  The
+# raster result is reproduced exactly by processing anti-diagonals
+# d = ti + 2*tj in order: every pixel a tile on diagonal d reads was
+# last written on a diagonal < d, and same-diagonal tiles write
+# pairwise-disjoint pixels — the same schedule the device wavefront
+# implementation uses (ops/filters.py), re-derived here over numpy
+# lanes.  Windows are (L, 11, 11) slabs centered so tile pixel (0, 0)
+# sits at [3, 3]; updates scatter back as deltas (disjoint writes make
+# addition exact).
+
+def _diagonals(ntx, nty):
+    for d in range(ntx + 2 * nty - 2):
+        jlo = max(0, -(-(d - ntx + 1) // 2))
+        jhi = min(nty - 1, d // 2)
+        if jlo > jhi:
+            continue
+        tjs = np.arange(jlo, jhi + 1)
+        yield (d - 2 * tjs)[::-1], tjs[::-1]
+
+
+def _gather_win(c, xs, ys):
+    oy = ys[:, None, None] + (8 - 3) + np.arange(11)[None, :, None]
+    ox = xs[:, None, None] + (8 - 3) + np.arange(11)[None, None, :]
+    return c[oy, ox]
+
+
+def _scatter_win(c, xs, ys, W, W0):
+    d = (W - W0)[:, 1:10, 1:10]       # write extent: rows/cols -2..+6
+    oy = ys[:, None, None] + (8 - 2) + np.arange(9)[None, :, None]
+    ox = xs[:, None, None] + (8 - 2) + np.arange(9)[None, None, :]
+    np.add.at(c, (oy, ox), d)
+
+
+def _hfilt_v(W, act, edge, thE, thM, in_edge):
+    """Vertical boundary at window col 3, rows 3..6, per lane
+    (ref: bmc.c:51-119)."""
+    act = act & (thM > 0) & np.where(edge, thE > 0, True)
+    t = np.where(edge, thE, thM)[:, None]
+    c = [W[:, 3:7, k].astype(np.int64) for k in range(11)]
+    e2, e1, e0, i0, i1, i2 = c[0], c[1], c[2], c[3], c[4], c[5]
+    avg = _lpf6(e0, i0, e1, i1)
+    f = _flat6(e2, e1, e0, i0, i1, i2, avg, t) & act[:, None]
+    a5 = avg * 5
+    W[:, 3:7, 1] = np.where(f, (3 * (avg + e1) + 2 * e2 + 4) >> 3, e1)
+    W[:, 3:7, 2] = np.where(f, (a5 + 2 * e1 + e2 + 4) >> 3, e0)
+    W[:, 3:7, 3] = np.where(f, avg, i0)
+    W[:, 3:7, 4] = np.where(f, (a5 + 2 * i1 + i2 + 4) >> 3, i1)
+    i2b, i1b, i0b, e0b, e1b, e2b = c[5], c[6], c[7], c[8], c[9], c[10]
+    avgb = _lpf6(e0b, i0b, e1b, i1b)
+    fb = _flat6(e2b, e1b, e0b, i0b, i1b, i2b, avgb, thM[:, None]) \
+        & (act & in_edge)[:, None]
+    a5b = avgb * 5
+    W[:, 3:7, 6] = np.where(fb, (a5b + 2 * i1b + i2b + 4) >> 3, i1b)
+    W[:, 3:7, 7] = np.where(fb, avgb, i0b)
+    W[:, 3:7, 8] = np.where(fb, (a5b + 2 * e1b + e2b + 4) >> 3, e0b)
+    W[:, 3:7, 9] = np.where(fb, (3 * (avgb + e1b) + 2 * e2b + 4) >> 3,
+                            e1b)
+
+
+def _vfilt_v(W, act, edge, thE, thM, in_edge):
+    """Horizontal boundary at window row 3, cols 3..6, per lane
+    (ref: bmc.c:121-191)."""
+    act = act & (thM > 0) & np.where(edge, thE > 0, True)
+    t = np.where(edge, thE, thM)[:, None]
+    r = [W[:, k, 3:7].astype(np.int64) for k in range(11)]
+    e2, e1, e0, i0, i1, i2 = r[0], r[1], r[2], r[3], r[4], r[5]
+    avg = _lpf6(e0, i0, e1, i1)
+    f = _flat6(e2, e1, e0, i0, i1, i2, avg, t) & act[:, None]
+    a5 = avg * 5
+    W[:, 1, 3:7] = np.where(f, (3 * (avg + e1) + 2 * e2 + 4) >> 3, e1)
+    W[:, 2, 3:7] = np.where(f, (a5 + 2 * e1 + e2 + 4) >> 3, e0)
+    W[:, 3, 3:7] = np.where(f, avg, i0)
+    W[:, 4, 3:7] = np.where(f, (a5 + 2 * i1 + i2 + 4) >> 3, i1)
+    i2b, i1b, i0b, e0b, e1b, e2b = r[5], r[6], r[7], r[8], r[9], r[10]
+    avgb = _lpf6(e0b, i0b, e1b, i1b)
+    fb = _flat6(e2b, e1b, e0b, i0b, i1b, i2b, avgb, thM[:, None]) \
+        & (act & in_edge)[:, None]
+    a5b = avgb * 5
+    W[:, 6, 3:7] = np.where(fb, (a5b + 2 * i1b + i2b + 4) >> 3, i1b)
+    W[:, 7, 3:7] = np.where(fb, avgb, i0b)
+    W[:, 8, 3:7] = np.where(fb, (a5b + 2 * e1b + e2b + 4) >> 3, e0b)
+    W[:, 9, 3:7] = np.where(fb, (3 * (avgb + e1b) + 2 * e2b + 4) >> 3,
+                            e1b)
 
 
 def _padded(fn):
@@ -1015,47 +1101,46 @@ def _padded(fn):
     return wrap
 
 
-@_padded
 def intra_filter(p, pw, ph, blockdata, nbh, nbv, fq, fthresh):
-    """Intra dering, raster over 4x4 tiles (ref: bmc.c:390-457)."""
+    """Intra dering over 4x4 tiles, wavefront-vectorized
+    (ref: bmc.c:390-457)."""
     nsbx, nsby = pw // 4, ph // 4
     ntx = max(0, (pw - 1) // 4)
     nty = max(0, (ph - 1) // 4)
+    if ntx == 0 or nty == 0:
+        return
     bd = blockdata.reshape(nbv, nbh)
     fx = (np.arange(ntx) * nbh) // max(nsbx, 1)
     fy = (np.arange(nty) * nbv) // max(nsby, 1)
-    for tj in range(nty):
-        for ti in range(ntx):
-            flags = int(bd[fy[tj], fx[ti]])
-            if flags & IS_RINGING:
-                continue
-            x, y = ti * 4, tj * 4
-            t = p[y:y + 4, x:x + 4]
-            sh, sv, _, _ = _tile_energy(t)
-            mx = max(sh, sv)
-            if not (8 < mx < 256):
-                continue
-            if flags & (IS_MAINTAIN | IS_STABLE):
-                tt = _dsfactor(t)
-                if flags & IS_STABLE:
-                    tt = (tt * 5) >> 2
-            else:
-                tt = 8
-            tt = int(divt(tt * 2, 3))
-            tt = min(max((tt * fq) >> 12, 0), fthresh)
-            ieh = x < pw - 8
-            iev = y < ph - 8
-            if ti >= 1:
-                _hfilt(p, x, y, False, tt, tt, ieh)
-            if tj >= 1:
-                _vfilt(p, x, y, False, tt, tt, iev)
-            tt2 = 3 * sh + sv if sh > sv else 3 * sv + sh
-            tt2 = 16 + ((_curve_tex(tt2) + 2) >> 2)
-            tt2 = min(max((tt2 * fq) >> 12, 0), fthresh)
-            if ti >= 1:
-                _hfilt(p, x, y, False, tt2, tt2, ieh)
-            if tj >= 1:
-                _vfilt(p, x, y, False, tt2, tt2, iev)
+    c = np.zeros((ph + 16, pw + 16), np.int64)
+    c[8:8 + ph, 8:8 + pw] = p
+    for tis, tjs in _diagonals(ntx, nty):
+        xs, ys = tis * 4, tjs * 4
+        flags = bd[fy[tjs], fx[tis]]
+        act = (flags & IS_RINGING) == 0
+        W0 = _gather_win(c, xs, ys)
+        W = W0.copy()
+        sh, sv, _, _ = _tile_energy_v(W[:, 3:7, 3:7])
+        mx = np.maximum(sh, sv)
+        act = act & (mx > 8) & (mx < 256)
+        ds = _dsfactor_v(W[:, 3:7, 3:7])
+        ds = np.where((flags & IS_STABLE) != 0, (ds * 5) >> 2, ds)
+        tt = np.where((flags & (IS_MAINTAIN | IS_STABLE)) != 0, ds, 8)
+        tt = np.clip((divt(tt * 2, 3) * fq) >> 12, 0, fthresh)
+        acth = act & (tis >= 1)
+        actv = act & (tjs >= 1)
+        ieh = xs < pw - 8
+        iev = ys < ph - 8
+        edge = np.zeros(len(tis), bool)
+        _hfilt_v(W, acth, edge, tt, tt, ieh)
+        _vfilt_v(W, actv, edge, tt, tt, iev)
+        tt2 = np.where(sh > sv, 3 * sh + sv, 3 * sv + sh)
+        tt2 = 16 + ((_curve_tex_v(tt2) + 2) >> 2)
+        tt2 = np.clip((tt2 * fq) >> 12, 0, fthresh)
+        _hfilt_v(W, acth, edge, tt2, tt2, ieh)
+        _vfilt_v(W, actv, edge, tt2, tt2, iev)
+        _scatter_win(c, xs, ys, W, W0)
+    p[:, :] = c[8:8 + ph, 8:8 + pw]
 
 
 def _neighbordif2(mvx, mvy, flags, i, j):
@@ -1074,80 +1159,111 @@ def _neighbordif2(mvx, mvy, flags, i, j):
     return abs(vx0 - cx) + abs(vy0 - cy), abs(vx1 - cx) + abs(vy1 - cy)
 
 
-@_padded
+def _neighbordif2_grid(mvx, mvy, flags):
+    """Whole-grid (left, top) neighbor MV differences (ref:
+    dsv.c:402-438)."""
+    cx = mvx.astype(np.int64)
+    cy = mvy.astype(np.int64)
+    small = (np.abs(cx) < 2) & (np.abs(cy) < 2)
+    live = ((mvx != 0) | (mvy != 0)) & ((flags & MV_SKIP) == 0)
+    lval = np.zeros_like(small)
+    lval[:, 1:] = live[:, :-1]
+    vx0 = np.where(lval, np.roll(cx, 1, axis=1), cx)
+    vy0 = np.where(lval, np.roll(cy, 1, axis=1), cy)
+    tval = np.zeros_like(small)
+    tval[1:, :] = live[:-1, :]
+    vx1 = np.where(tval, np.roll(cx, 1, axis=0), cx)
+    vy1 = np.where(tval, np.roll(cy, 1, axis=0), cy)
+    ndx = np.where(small, 0, np.abs(vx0 - cx) + np.abs(vy0 - cy))
+    ndy = np.where(small, 0, np.abs(vx1 - cx) + np.abs(vy1 - cy))
+    return ndx, ndy
+
+
 def luma_filter(p, pw, ph, mvx, mvy, flags, submask, nbh, nbv,
                 blk_w, blk_h, fq, fthresh, do_filter, tmc, inter_sharpen):
-    """Inter luma cleanup, raster over 4x4 tiles (ref: bmc.c:459-602)."""
+    """Inter luma cleanup over 4x4 tiles, wavefront-vectorized
+    (ref: bmc.c:459-602)."""
     nsbx, nsby = pw // 4, ph // 4
     ntx = max(0, (pw - 1) // 4)
     nty = max(0, (ph - 1) // 4)
+    if ntx == 0 or nty == 0:
+        return
     fx = (np.arange(ntx) * nbh) // max(nsbx, 1)
     fy = (np.arange(nty) * nbv) // max(nsby, 1)
     thH = min(max((64 * fq) >> 12, 2), 32)
     thL = min(max((32 * fq) >> 12, 2), 32)
-    sharpen = inter_sharpen and (tmc & 1)
-    for tj in range(nty):
-        for ti in range(ntx):
-            bi, bj = fx[ti], fy[tj]
-            fl = int(flags[bj, bi])
-            if fl & MV_SKIP:
-                continue
-            x, y = ti * 4, tj * 4
-            mh = ti >= 1
-            mv_ = tj >= 1
-            ieh = x < pw - 8
-            iev = y < ph - 8
-            eh = (x % blk_w) == 0
-            ev = (y % blk_h) == 0
-            bmvx, bmvy = int(mvx[bj, bi]), int(mvy[bj, bi])
-            amx, amy = abs(bmvx), abs(bmvy)
-            if fl & MV_INTRA:
-                subne = int(submask[bj, bi]) != MASK_ALL_INTRA
-                teh = eh or (subne and (x % (blk_w // 2)) == 0)
-                tev = ev or (subne and (y % (blk_h // 2)) == 0)
-                if mh:
-                    _hfilt(p, x, y, teh, thH, thL, ieh)
-                if mv_:
-                    _vfilt(p, x, y, tev, thH, thL, iev)
-                continue
-            ndx, ndy = _neighbordif2(mvx, mvy, flags, bi, bj)
-            if do_filter and (ndx or ndy):
-                sh, sv, slh, slv = _tile_energy(p[y:y + 4, x:x + 4])
-                tndc = (ndx + ndy + 1) >> 1
-                cdir = (sh < 2 * sv) and (sv < 2 * sh)
-                ndx_e, ndy_e = ndx, ndy
-                if cdir and ndx < amx:
-                    ndx_e = ndx >> 1
-                if cdir and ndy < amy:
-                    ndy_e = ndy >> 1
-                if cdir:
-                    shl = 0 if slh > 128 else 128 - slh
-                    svl = 0 if slv > 128 else 128 - slv
-                    ix = min(amx, 32)
-                    iy = min(amy, 32)
-                    tt = ((sh * (32 - iy) + shl * iy) + 16) >> 5
-                    tt += ((sv * (32 - ix) + svl * ix) + 16) >> 5
-                    tt = (tt + 1) >> 1
-                    if ndx_e < amy and ndy_e < amx:
-                        tt = 0
-                else:
-                    tt = (sh + sv + 1) >> 1
-                tt = (tt * tndc + 4) >> 3
-                tt = (min(tt, fthresh) * fq) >> 12
-                addx = (min(ndy_e, fthresh) * fq) >> 12
-                addy = (min(ndx_e, fthresh) * fq) >> 12
-                bv = (sh > 2 * sv) or (amy > 2 * amx)
-                bh_ = ((sv > 2 * sh) or (amx > 2 * amy)) and not bv
-                mboth = not bv and not bh_
-                teh2 = eh or (fl & MV_EPRM)
-                tev2 = ev or (fl & MV_EPRM)
-                if (bh_ or mboth) and mh:
-                    _hfilt(p, x, y, teh2, tt + addx, tt, ieh)
-                if (bv or mboth) and mv_:
-                    _vfilt(p, x, y, tev2, tt + addy, tt, iev)
-            if sharpen and (bmvx & 3) and (bmvy & 3) \
-                    and ((bmvx | bmvy) & 1) and amx < 8 and amy < 8:
-                _degrad(p, x, y)
+    sharpen = bool(inter_sharpen) and bool(tmc & 1)
+    NDX, NDY = _neighbordif2_grid(mvx, mvy, flags)
+    c = np.zeros((ph + 16, pw + 16), np.int64)
+    c[8:8 + ph, 8:8 + pw] = p
+    for tis, tjs in _diagonals(ntx, nty):
+        xs, ys = tis * 4, tjs * 4
+        bi, bj = fx[tis], fy[tjs]
+        fl = flags[bj, bi].astype(np.int64)
+        act = (fl & MV_SKIP) == 0
+        if not act.any():
+            continue
+        mh = tis >= 1
+        mv_ = tjs >= 1
+        ieh = xs < pw - 8
+        iev = ys < ph - 8
+        eh = (xs % blk_w) == 0
+        ev = (ys % blk_h) == 0
+        bmvx = mvx[bj, bi].astype(np.int64)
+        bmvy = mvy[bj, bi].astype(np.int64)
+        amx, amy = np.abs(bmvx), np.abs(bmvy)
+        intra = (fl & MV_INTRA) != 0
+        W0 = _gather_win(c, xs, ys)
+        W = W0.copy()
+
+        # intra boundary smoothing (teh/tev gates)
+        subne = submask[bj, bi] != MASK_ALL_INTRA
+        teh = eh | (subne & ((xs % (blk_w // 2)) == 0))
+        tev = ev | (subne & ((ys % (blk_h // 2)) == 0))
+
+        # inter cleanup thresholds from tile energy at visit time
+        sh, sv, slh, slv = _tile_energy_v(W[:, 3:7, 3:7])
+        ndx, ndy = NDX[bj, bi], NDY[bj, bi]
+        tndc = (ndx + ndy + 1) >> 1
+        cdir = (sh < 2 * sv) & (sv < 2 * sh)
+        ndx_e = np.where(cdir & (ndx < amx), ndx >> 1, ndx)
+        ndy_e = np.where(cdir & (ndy < amy), ndy >> 1, ndy)
+        shl = np.where(slh > 128, 0, 128 - slh)
+        svl = np.where(slv > 128, 0, 128 - slv)
+        ix = np.minimum(amx, 32)
+        iy = np.minimum(amy, 32)
+        ttc = (((sh * (32 - iy) + shl * iy) + 16) >> 5) \
+            + (((sv * (32 - ix) + svl * ix) + 16) >> 5)
+        ttc = (ttc + 1) >> 1
+        ttc = np.where((ndx_e < amy) & (ndy_e < amx), 0, ttc)
+        tt = np.where(cdir, ttc, (sh + sv + 1) >> 1)
+        tt = (tt * tndc + 4) >> 3
+        tt = (np.minimum(tt, fthresh) * fq) >> 12
+        addx = (np.minimum(ndy_e, fthresh) * fq) >> 12
+        addy = (np.minimum(ndx_e, fthresh) * fq) >> 12
+        bv = (sh > 2 * sv) | (amy > 2 * amx)
+        bh_ = ((sv > 2 * sh) | (amx > 2 * amy)) & ~bv
+        mboth = ~bv & ~bh_
+        eprm = (fl & MV_EPRM) != 0
+        inter_on = act & ~intra & bool(do_filter) \
+            & ((ndx != 0) | (ndy != 0))
+
+        acth = np.where(intra, act, inter_on & (bh_ | mboth)) & mh
+        actv = np.where(intra, act, inter_on & (bv | mboth)) & mv_
+        edgeh = np.where(intra, teh, eh | eprm)
+        edgev = np.where(intra, tev, ev | eprm)
+        thEh = np.where(intra, thH, tt + addx)
+        thEv = np.where(intra, thH, tt + addy)
+        thM = np.where(intra, thL, tt)
+        _hfilt_v(W, acth, edgeh, thEh, thM, ieh)
+        _vfilt_v(W, actv, edgev, thEv, thM, iev)
+
+        if sharpen:
+            dg = act & ~intra & ((bmvx & 3) != 0) & ((bmvy & 3) != 0) \
+                & (((bmvx | bmvy) & 1) != 0) & (amx < 8) & (amy < 8)
+            _degrad_v(W, dg)
+        _scatter_win(c, xs, ys, W, W0)
+    p[:, :] = c[8:8 + ph, 8:8 + pw]
 
 
 @_padded

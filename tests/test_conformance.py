@@ -20,9 +20,13 @@ FIX = os.path.join(os.path.dirname(__file__), "fixtures")
     ("tiny64x48_420_6f", ["-qp=60", "-gop=6"]),
     ("odd100x62_420_4f", ["-qp=50", "-gop=4"]),
     ("tiny64x48_444_4f", ["-qp=60", "-gop=4"]),
+    ("tiny64x48_422_4f", ["-qp=60", "-gop=4"]),
     ("tiny64x48_411_4f", ["-qp=60", "-gop=4"]),
+    ("tiny64x48_410_4f", ["-qp=60", "-gop=4"]),
     ("tiny64x48_420_6f", ["-qp=1", "-gop=3"]),          # lossless I+P
     ("tiny64x48_420_6f", ["-qp=200", "-gop=6", "-effort=4"]),
+    # CIF-scale stream through the wavefront-vectorized filter path
+    ("cif352x288_420_12f", ["-qp=60", "-gop=6"]),
 ])
 def test_conformance_vs_d28dec(tmp_path, ref_build, fixture, args):
     dsv2 = os.path.join(ref_build, "dsv2")
@@ -35,6 +39,74 @@ def test_conformance_vs_d28dec(tmp_path, ref_build, fixture, args):
     subprocess.run([dsv2, "e", "-y", "-inp=" + src, "-out=" + enc,
                     "-y4m=1"] + args, capture_output=True)
     assert os.path.getsize(enc) > 0
+    subprocess.run([d28dec, "-y", "-inp=" + enc, "-out=" + refy,
+                    "-y4m=1"], check=True, capture_output=True)
+    decode_file(enc, oury)
+    with open(refy, "rb") as a, open(oury, "rb") as b:
+        assert a.read() == b.read()
+
+
+def test_conformance_uyvy(tmp_path, ref_build):
+    """Raw packed-UYVY input (subsamp 0x14 on the wire): the stream's
+    UYVY subsamp code must decode like 4:2:2 and carry the C422 y4m tag
+    (ref: dsv.h:92, dsv_main.c:90-91)."""
+    from dsv2_tpu.utils import y4m
+    dsv2 = os.path.join(ref_build, "dsv2")
+    d28dec = os.path.join(ref_build, "d28dec")
+    fsrc = os.path.join(FIX, "tiny64x48_422_4f.y4m")
+    with open(fsrc, "rb") as f:
+        rdr = y4m.Y4MReader(f)
+        frames = []
+        while True:
+            p = rdr.read_frame()
+            if p is None:
+                break
+            frames.append(p)
+    src = str(tmp_path / "in.uyvy")
+    with open(src, "wb") as f:
+        for (yp, up, vp) in frames:
+            h, w = yp.shape
+            packed = np.empty((h, w * 2), dtype=np.uint8)
+            packed[:, 0::4] = up
+            packed[:, 1::2] = yp
+            packed[:, 2::4] = vp
+            f.write(packed.tobytes())
+    enc = str(tmp_path / "s.dsv")
+    subprocess.run([dsv2, "e", "-y", "-inp=" + src, "-out=" + enc,
+                    "-fmt=5", "-w=64", "-h=48",
+                    "-qp=60", "-gop=4"], capture_output=True)
+    assert os.path.getsize(enc) > 0
+    # d28dec's y4m writer asserts on the UYVY subsamp code
+    # (d28_dec_main.c:382); compare raw planar output instead
+    refraw = str(tmp_path / "ref.raw")
+    subprocess.run([d28dec, "-y", "-inp=" + enc, "-out=" + refraw],
+                   check=True, capture_output=True)
+    got = decode_file(enc)
+    assert len(got) == len(frames)
+    ours = b"".join(p.tobytes() for _, vis in got for p in vis)
+    with open(refraw, "rb") as a:
+        assert a.read() == ours
+
+
+def test_conformance_edge_dims(tmp_path, ref_build):
+    """Extreme-aspect geometry (352x16: subband levels with 1-px
+    sub-dimensions) through the independent decoder — cross-checks the
+    shared-scratch arena emulation (ref: dsv28dec.h plane paths at
+    degenerate dims)."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    import mkfixtures
+    dsv2 = os.path.join(ref_build, "dsv2")
+    d28dec = os.path.join(ref_build, "d28dec")
+    src = str(tmp_path / "in.y4m")
+    mkfixtures.write_y4m(src, 352, 16, 4)
+    enc = str(tmp_path / "s.dsv")
+    subprocess.run([dsv2, "e", "-y", "-inp=" + src, "-out=" + enc,
+                    "-y4m=1", "-qp=60", "-gop=4"], capture_output=True)
+    assert os.path.getsize(enc) > 0
+    refy = str(tmp_path / "ref.y4m")
+    oury = str(tmp_path / "our.y4m")
     subprocess.run([d28dec, "-y", "-inp=" + enc, "-out=" + refy,
                     "-y4m=1"], check=True, capture_output=True)
     decode_file(enc, oury)

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""One-shot real-TPU measurement session for round 3.
+"""One-shot real-TPU measurement session (round 4).
 
 Runs, in order, each as a SEPARATE subprocess (the axon tunnel serializes
 device access and a wedged step must not take down the rest):
@@ -100,7 +100,7 @@ def main():
                                   "out_tail": out.strip().splitlines()[-25:]}
 
     os.makedirs(ART, exist_ok=True)
-    path = os.path.join(ART, "r3_onchip.json")
+    path = os.path.join(ART, "r4_onchip.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {path}")

@@ -66,8 +66,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RUN_BITS = 24
-_CHUNK = 1024      # vk-kernel SMEM chunk (elements per sequential grid step)
-_ROWS = 8          # chunk rows per grid step (Mosaic wants blocks of 8 rows)
 _CLL = 1 << 15     # L1 slots per chunk (LL prefix)
 _CHF = 1 << 16     # L2 slots per chunk (HF short/merged)
 _CSP = 1 << 13     # L3 slots per chunk (spill)
@@ -99,6 +97,80 @@ def _pos_tables(segments):
 # the vk adaptation chain (sequential) — Pallas scalar kernel
 # ---------------------------------------------------------------------------
 
+_RCH = 2048        # vk rows per grid step (must divide npad; 8 | _RCH)
+
+
+@functools.lru_cache(maxsize=None)
+def _vk_vec_batched(npad, B):
+    """All B chains at once, as VECTOR LANES: thr (npad, B) time-major ->
+    vkpre (npad, B). The rice recurrence is elementwise in the chain
+    state, so B independent chains advance in one vreg per step — the
+    chain is sequential over ELEMENTS, parallel over CHAINS. A batch of
+    8 frames x 3 planes as 3 lane-parallel kernels costs ~one chain's
+    latency instead of 24 chains end to end.
+
+    Rows are loaded/stored 8 at a time at aligned sublane offsets
+    (Mosaic rejects unaligned dynamic sublane slices) and walked
+    unrolled in registers; per-lane [s0, nnz) live masks gate the state
+    update so shorter chains just coast."""
+    assert npad % _RCH == 0 and _RCH % 8 == 0
+    ngrid = npad // _RCH
+
+    def kernel(lim_ref, b_ref, t_ref, k_ref, vk_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            vk_ref[...] = jnp.zeros((1, B), jnp.int32)
+
+        base = c * _RCH
+
+        @pl.when(base < lim_ref[0, 0])
+        def _():
+            s0 = b_ref[0:1, :]
+            nnz = b_ref[1:2, :]
+
+            def group(m, vk):
+                t8 = t_ref[pl.ds(pl.multiple_of(m * 8, 8), 8), :]
+                outs = []
+                for j in range(8):
+                    i = base + m * 8 + j
+                    outs.append(vk)
+                    live = (i >= s0) & (i < nnz)
+                    nvk = jnp.where(vk < t8[j:j + 1, :], vk + 1,
+                                    jnp.maximum(vk - 1, 0))
+                    vk = jnp.where(live, nvk, vk)
+                k_ref[pl.ds(pl.multiple_of(m * 8, 8), 8), :] = (
+                    jnp.concatenate(outs, axis=0))
+                return vk
+
+            vk = jax.lax.fori_loop(0, _RCH // 8, group, vk_ref[...])
+            vk_ref[...] = vk
+
+    def call(thr_t, s0, nnz):
+        lim = jnp.max(nnz).astype(jnp.int32).reshape(1, 1)
+        b = jnp.stack([s0.astype(jnp.int32),
+                       nnz.astype(jnp.int32)], axis=0)  # (2, B)
+        spec = pl.BlockSpec((_RCH, B), lambda c: (c, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel, grid=(ngrid,),
+            out_shape=jax.ShapeDtypeStruct((npad, B), jnp.int32),
+            in_specs=[pl.BlockSpec((1, 1), lambda c: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((2, B), lambda c: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      spec],
+            out_specs=spec,
+            scratch_shapes=[pltpu.VMEM((1, B), jnp.int32)],
+            interpret=_interpret(),
+            compiler_params=None if _interpret() else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(lim, b, thr_t)
+
+    return call
+
+
 @functools.lru_cache(maxsize=None)
 def _vk_call(npad):
     """fn(thr, s0, nnz) -> vkpre, arrays (npad,) int32.
@@ -107,66 +179,33 @@ def _vk_call(npad):
     LL NEG prefix carries no rice state) and stores each slot's
     PRE-update vk; the caller derives k = vkpre >> damp vectorized.
     thr pre-bakes the adaptation compare: e >= (vk >> d)  <=>
-    vk < (e+1) << d =: thr, so the loop body is one SMEM load, one
-    store and a three-op dependent ALU chain.
+    vk < (e+1) << d =: thr, so the sequential body is one load, one
+    store and a three-op dependent chain.
 
-    Blocks are (_ROWS, _CHUNK): Mosaic requires the second-to-last block
-    dim to be a multiple of 8 even in SMEM, so each grid step walks 8
-    chunk rows sequentially; rows fully outside [s0, nnz) cost only the
-    bound checks."""
-    step = _ROWS * _CHUNK
-    nch = npad // _CHUNK
-    assert nch % _ROWS == 0
-    ngrid = nch // _ROWS
+    custom_vmap: under jax.vmap (the batched encode pipelines) ALL the
+    lanes' chains run as vector lanes of ONE kernel pass
+    (_vk_vec_batched) instead of batch-many sequential grid walks."""
 
-    def kernel(b_ref, t_ref, k_ref, vk_ref):
-        c = pl.program_id(0)
+    @jax.custom_batching.custom_vmap
+    def chain(thr, s0, nnz):
+        out = _vk_vec_batched(npad, 1)(
+            thr[:, None], s0.reshape(1), nnz.reshape(1))
+        return out[:, 0]
 
-        @pl.when(c == 0)
-        def _():
-            vk_ref[0] = 0
+    @chain.def_vmap
+    def _rule(axis_size, in_batched, thr, s0, nnz):
+        tb, sb, nb = in_batched
+        B = axis_size
+        thr = thr if tb else jnp.broadcast_to(thr[None], (B, npad))
+        s0 = s0 if sb else jnp.broadcast_to(s0[None], (B,))
+        nnz = nnz if nb else jnp.broadcast_to(nnz[None], (B,))
+        lead = thr.shape[:-1]
+        thr2 = thr.reshape(-1, npad)
+        out = _vk_vec_batched(npad, thr2.shape[0])(
+            thr2.T, s0.reshape(-1), nnz.reshape(-1))
+        return out.T.reshape(*lead, npad), True
 
-        s0 = b_ref[0, 0]
-        nnz = b_ref[0, 1]
-
-        @pl.when((c * step < nnz) & ((c + 1) * step > s0))
-        def _():
-            def row(r, vk):
-                def body(i, vk):
-                    t = t_ref[r, i]
-                    k_ref[r, i] = vk
-                    return jnp.where(vk < t, vk + 1,
-                                     jnp.maximum(vk - 1, 0))
-
-                base = c * step + r * _CHUNK
-                lo = jnp.clip(s0 - base, 0, _CHUNK)
-                hi = jnp.clip(nnz - base, 0, _CHUNK)
-                return jax.lax.fori_loop(lo, hi, body, vk)
-
-            vk = vk_ref[0]
-            for r in range(_ROWS):
-                vk = row(r, vk)
-            vk_ref[0] = vk
-
-    def call(thr, s0, nnz):
-        spec = pl.BlockSpec((_ROWS, _CHUNK), lambda c: (c, 0),
-                            memory_space=pltpu.SMEM)
-        bspec = pl.BlockSpec((1, 2), lambda c: (0, 0),
-                             memory_space=pltpu.SMEM)
-        bounds = jnp.stack([s0.astype(jnp.int32),
-                            nnz.astype(jnp.int32)]).reshape(1, 2)
-        return pl.pallas_call(
-            kernel, grid=(ngrid,),
-            out_shape=jax.ShapeDtypeStruct((nch, _CHUNK), jnp.int32),
-            in_specs=[bspec, spec],
-            out_specs=spec,
-            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-            interpret=_interpret(),
-            compiler_params=None if _interpret() else pltpu.CompilerParams(
-                dimension_semantics=("arbitrary",)),
-        )(bounds, thr.reshape(nch, _CHUNK)).reshape(npad)
-
-    return call
+    return chain
 
 
 # ---------------------------------------------------------------------------
@@ -295,7 +334,7 @@ def make_scan_blob(segments, cap_bytes):
     # TP: compacted-slot padding so the emission loops' dynamic_slice
     # chunks always fit; the vk kernel's chunk grid divides it too
     TP = _pad_to(max(total, _CHF), _CHF)
-    assert TP % (_ROWS * _CHUNK) == 0 and _CHF % _CLL == 0
+    assert TP % _RCH == 0 and _CHF % _CLL == 0
     npad = TP
     damp_pos = _pos_tables(segments)
     ll_n = segments[0][0] if segments and segments[0][1] < 0 else 0

@@ -168,11 +168,13 @@ def device_ms_per_frame(src, chunk):
 
 def link_mbps():
     """Measured d2h bandwidth right now (the dominant ceiling-model term
-    on the axon tunnel)."""
+    on the axon tunnel). The payload must be incompressible: a constant
+    buffer measures the tunnel's compressor (~160 GB/s apparent), not
+    the link."""
     import numpy as np
     import jax
-    import jax.numpy as jnp
-    x = jax.device_put(jnp.zeros(8 << 20, jnp.uint8)) + 1
+    rng = np.random.default_rng(1)
+    x = jax.device_put(rng.integers(0, 256, 8 << 20).astype(np.uint8))
     x.block_until_ready()
 
     def run():

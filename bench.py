@@ -358,6 +358,13 @@ def main():
         extra["decode"] = decode_fps(ref_dir, "/tmp/dsv2_bench_pref0.dsv")
     except Exception as e:
         print(f"# decode metric failed: {e!r}", file=sys.stderr)
+    if plat != "cpu":
+        try:
+            d = decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv")
+            d["config"] = "decode_fhd_intra_dsv"
+            extra["decode_fhd"] = d
+        except Exception as e:
+            print(f"# decode_fhd metric failed: {e!r}", file=sys.stderr)
     rec = {
         "metric": metric,
         "value": round(fps, 3),

@@ -260,12 +260,11 @@ def decode_fps(ref_build, dsv_path):
         writer = None
         n = 0
         dec = D.Decoder()
-        for t, pkt in packet.iter_packets(io.BytesIO(data)):
-            code, frame, fno = dec.decode_packet(pkt)
-            if code == D.DEC_EOS:
-                break
-            if code != D.DEC_OK or frame is None:
-                continue
+        prev = None
+
+        def emit(realize):
+            nonlocal writer, n
+            frame = realize()
             meta = dec.meta
             if writer is None:
                 writer = y4m.Y4MWriter(buf, meta.width, meta.height,
@@ -274,6 +273,20 @@ def decode_fps(ref_build, dsv_path):
                                        (meta.aspect_num, meta.aspect_den))
             writer.write_frame([frame.view(c) for c in range(3)])
             n += 1
+
+        # 1-frame pipeline: frame N's fetch overlaps packet N+1's host
+        # entropy decode + dispatch
+        for t, pkt in packet.iter_packets(io.BytesIO(data)):
+            code, realize, fno = dec.decode_packet_lazy(pkt)
+            if code == D.DEC_EOS:
+                break
+            if code != D.DEC_OK or realize is None:
+                continue
+            if prev is not None:
+                emit(prev)
+            prev = realize
+        if prev is not None:
+            emit(prev)
         return time.perf_counter() - t0, n, buf.getvalue()
 
     our_run()  # warm (jit compile of the decode chain)

@@ -298,12 +298,24 @@ def cmd_decode(argv):
     out = sys.stdout.buffer if io["out"] == "-" else open(io["out"], "wb")
     dec = D.Decoder(draw_info=opts["drawinfo"])
     writer = None
-    for t, buf in packet.iter_packets(inp):
-        code, frame, fno = dec.decode_packet(buf)
-        if code == D.DEC_EOS:
-            break
-        if code != D.DEC_OK or frame is None:
-            continue
+
+    def lazy_frames():
+        # 1-frame pipeline: frame N's pixel fetch overlaps packet N+1's
+        # host entropy decode + device dispatch
+        prev = None
+        for t, buf in packet.iter_packets(inp):
+            code, realize, fno = dec.decode_packet_lazy(buf)
+            if code == D.DEC_EOS:
+                break
+            if code != D.DEC_OK or realize is None:
+                continue
+            if prev is not None:
+                yield prev()
+            prev = realize
+        if prev is not None:
+            yield prev()
+
+    for frame in lazy_frames():
         meta = dec.meta
         planes = [frame.view(c) for c in range(3)]
         subs = meta.subsamp

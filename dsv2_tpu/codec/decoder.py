@@ -148,6 +148,17 @@ class Decoder:
 
     def decode_packet(self, buf):
         """Decode one packet buffer. Returns (code, Frame|None, fno)."""
+        code, realize, fno = self.decode_packet_lazy(buf)
+        return code, (realize() if realize is not None else None), fno
+
+    def decode_packet_lazy(self, buf):
+        """decode_packet with a deferred pixel fetch: returns
+        (code, realize|None, fno) where realize() -> Frame. On the device
+        chain the d2h fetch of the visible pixels happens inside
+        realize(), so a caller that decodes packet N+1 before realizing
+        frame N overlaps the fetch with the next frame's host entropy
+        decode + dispatch (the reference chain itself stays on device
+        and never blocks on the fetch)."""
         r = BitReader(buf)
         pkt_type = packet.parse_packet_hdr(r)
         if pkt_type is None:
@@ -315,8 +326,8 @@ class Decoder:
 
         if is_ref:
             self.ref = out.clone(border=True)
-        return (DEC_OK,
-                self._present(out, blockdata, mf, pcfg, has_ref), fno)
+        frame = self._present(out, blockdata, mf, pcfg, has_ref)
+        return DEC_OK, (lambda: frame), fno
 
     def _present(self, out, blockdata, mf, pcfg, has_ref):
         if self.draw_info:
@@ -350,40 +361,56 @@ class Decoder:
                      mf.grid(mf.dc).astype(np.int32), np.int32(tmc),
                      np.int32(fq), np.int32(fthresh), np.int32(do_filter))
             if self.dev_submit is not None:
-                vis, chain = self.dev_submit(
+                packed, chain = self.dev_submit(
                     ("pd_chain", cfg),
                     lambda c: devsteps.make_pd_chain_step(*c), dargs,
                     post=devsteps.prefetch_decode_lanes)
             else:
-                vis, chain = devsteps.make_pd_chain_step(*cfg)(*dargs)
+                packed, chain = devsteps.make_pd_chain_step(*cfg)(*dargs)
         else:
             cfg = (meta.width, meta.height, meta.subsamp, blk_w, blk_h,
                    lossless)
             dargs = (tuple(vs), bd_grid, np.int32(quant), tuple(lls),
                      np.int32(fq), np.int32(fthresh), np.int32(do_filter))
             if self.dev_submit is not None:
-                vis, chain = self.dev_submit(
+                packed, chain = self.dev_submit(
                     ("id_chain", cfg),
                     lambda c: devsteps.make_id_chain_step(*c), dargs,
                     post=devsteps.prefetch_decode_lanes)
             else:
-                vis, chain = devsteps.make_id_chain_step(*cfg)(*dargs)
-        out = Frame(meta.subsamp, meta.width, meta.height, border=True)
-        for c in range(3):
-            out.view(c)[:, :] = np.asarray(vis[c])
+                packed, chain = devsteps.make_id_chain_step(*cfg)(*dargs)
         if is_ref:
             self.ref_dev = chain
-        return (DEC_OK,
-                self._present(out, bd_grid.reshape(-1), mf, pcfg, has_ref),
-                fno)
+
+        def realize():
+            out = Frame(meta.subsamp, meta.width, meta.height, border=True)
+            flat = packed if isinstance(packed, np.ndarray) \
+                else np.asarray(packed)
+            off = 0
+            for c in range(3):
+                pw, ph = pcfg.pdims[c]
+                out.view(c)[:, :] = flat[off:off + ph * pw].reshape(ph, pw)
+                off += ph * pw
+            return self._present(out, bd_grid.reshape(-1), mf, pcfg,
+                                 has_ref)
+
+        return DEC_OK, realize, fno
 
 
 def decode_stream(stream, out_writer=None):
-    """Decode a .dsv stream; yields (fno, Frame)."""
+    """Decode a .dsv stream; yields (fno, Frame). One-frame pipeline:
+    frame N's pixel fetch overlaps packet N+1's host entropy decode and
+    device dispatch."""
     dec = Decoder()
+    prev = None
     for t, buf in packet.iter_packets(stream):
-        code, frame, fno = dec.decode_packet(buf)
+        code, realize, fno = dec.decode_packet_lazy(buf)
         if code == DEC_EOS:
-            return
-        if code == DEC_OK and frame is not None:
-            yield fno, frame
+            break
+        if code != DEC_OK or realize is None:
+            continue
+        if prev is not None:
+            yield prev[0], prev[1]()
+        prev = (fno, realize)
+    if prev is not None:
+        yield prev[0], prev[1]()

@@ -405,7 +405,10 @@ def make_id_chain_step(w, h, subsamp, blk_w, blk_h, lossless):
                 vis[0], bd, fq, fthresh * do_filter)
         chain = [framedev.extend_plane_graph(vis[c], *pcfg.pdims[c])
                  for c in range(3)]
-        return vis, {"recon": chain}
+        # one flat visible payload: a single d2h fetch per frame (three
+        # plane fetches each pay the tunnel's per-transfer RTT)
+        packed = jnp.concatenate([v.reshape(-1) for v in vis])
+        return packed, {"recon": chain}
 
     return jax.jit(step)
 
@@ -441,17 +444,19 @@ def make_pd_chain_step(w, h, subsamp, blk_w, blk_h, lossless,
                     pcfg.nbv, mcc.bw, mcc.bh, vis[c], mvx, mvy, flags, q)
         chain = [framedev.extend_plane_graph(vis[c], *pcfg.pdims[c])
                  for c in range(3)]
-        return vis, {"recon": chain}
+        packed = jnp.concatenate([v.reshape(-1) for v in vis])
+        return packed, {"recon": chain}
 
     return jax.jit(step)
 
 
 def prefetch_decode_lanes(out):
     """Lockstep post hook for the decode chain steps: one bulk fetch of
-    the visible output planes; the reference chain stays on device."""
-    vis, chain = out
-    vis = [v if isinstance(v, np.ndarray) else np.asarray(v) for v in vis]
-    return vis, chain
+    the packed visible payload; the reference chain stays on device."""
+    packed, chain = out
+    if not isinstance(packed, np.ndarray):
+        packed = np.asarray(packed)
+    return packed, chain
 
 
 def prefetch_step_lanes(out):

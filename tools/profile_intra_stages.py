@@ -24,14 +24,23 @@ sys.path.insert(0, REPO)
 import numpy as np  # noqa: E402
 
 
-def timeit(fn, *args, reps=5):
+def _sync(out):
+    """Force completion with a tiny d2h fetch: on the axon tunnel
+    block_until_ready returns before the dispatch has executed, so a
+    wall-clock around it times nothing (bench.py learned the same —
+    its device metric fetches a small leaf to sync)."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
+def timeit(fn, *args, reps=5):
+    _sync(fn(*args))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         ts.append((time.perf_counter() - t0) * 1000.0)
     return statistics.median(ts)
 
@@ -54,6 +63,12 @@ def main():
     blk = 16  # size4dim: both dims collapse to MIN at FHD/CIF aspect
     pcfg = _PCfg(meta, blk, blk, False, False, True)
     print(f"# {W}x{H} batch={NB} blk={blk} backend={jax.default_backend()}")
+
+    # dispatch+fetch RTT floor: every stage number below includes one of
+    # these (tiny-fetch sync), subtract it mentally
+    nul = jax.jit(lambda a: a + 1)
+    t = timeit(nul, jnp.zeros(8, jnp.int32))
+    print(f"rtt floor   {t:8.2f} ms")
 
     rng = np.random.default_rng(0)
     xs = []

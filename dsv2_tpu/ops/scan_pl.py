@@ -93,6 +93,17 @@ def _pos_tables(segments):
     return damp  # numpy: safe to close over from any trace context
 
 
+def _damp_of_pos(segments, pos):
+    """damp as an elementwise piecewise-constant of the scan position —
+    a handful of compares instead of a gathered/scattered table column
+    (segments is a short static tuple)."""
+    out = jnp.full(pos.shape, segments[-1][1], jnp.int32)
+    ends = np.cumsum([c for c, _ in segments])
+    for j in range(len(segments) - 2, -1, -1):
+        out = jnp.where(pos < int(ends[j]), jnp.int32(segments[j][1]), out)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # the vk adaptation chain (sequential) — Pallas scalar kernel
 # ---------------------------------------------------------------------------
@@ -336,7 +347,6 @@ def make_scan_blob(segments, cap_bytes):
     TP = _pad_to(max(total, _CHF), _CHF)
     assert TP % _RCH == 0 and _CHF % _CLL == 0
     npad = TP
-    damp_pos = _pos_tables(segments)
     ll_n = segments[0][0] if segments and segments[0][1] < 0 else 0
     Mb = cap_bytes
     Mw = _pad_to(Mb, 4) // 4
@@ -349,13 +359,13 @@ def make_scan_blob(segments, cap_bytes):
         nll = nz[:ll_n].sum(dtype=jnp.int32)       # live LL prefix length
         rank = jnp.cumsum(nz, dtype=jnp.int32) - 1
         tgt = jnp.where(nz, rank, TP)
-        rows = jnp.stack([v, idxs, jnp.asarray(damp_pos),
-                          jnp.zeros(total, jnp.int32)], axis=1)
-        comp = jnp.zeros((TP, 4), jnp.int32).at[tgt].set(
-            rows, mode="drop")
-        vals = comp[:, 0]
-        pos = comp[:, 1]
-        dmp = comp[:, 2]
+        # two 1-column scatters: XLA lowers a multi-column row scatter
+        # ~8x slower than single-column ones on TPU (measured: 78 ms vs
+        # 2x5 ms at 1080p-luma scale); damp is recomputed from pos
+        # elementwise instead of shipping a third column through
+        vals = jnp.zeros(TP, jnp.int32).at[tgt].set(v, mode="drop")
+        pos = jnp.zeros(TP, jnp.int32).at[tgt].set(idxs, mode="drop")
+        dmp = _damp_of_pos(segments, pos)
         idxs = jnp.arange(TP, dtype=jnp.int32)   # slot ids, padded width
         act = idxs < nruns                       # live compacted slots
         isneg = act & (dmp < 0)

@@ -44,7 +44,6 @@ def main():
 
     TP = scan_pl._pad_to(max(total, scan_pl._CHF), scan_pl._CHF)
     npad = TP
-    damp_pos = scan_pl._pos_tables(segments)
 
     def pre(v):
         """Everything up to (and including) the vk kernel, new layout."""
@@ -55,10 +54,9 @@ def main():
         nll = nz[:nll_seg].sum(dtype=jnp.int32)
         rank = jnp.cumsum(nz, dtype=jnp.int32) - 1
         tgt = jnp.where(nz, rank, TP)
-        rows = jnp.stack([v, idxs, jnp.asarray(damp_pos),
-                          jnp.zeros(total, jnp.int32)], axis=1)
-        comp = jnp.zeros((TP, 4), jnp.int32).at[tgt].set(rows, mode="drop")
-        vals, pos, dmp = comp[:, 0], comp[:, 1], comp[:, 2]
+        vals = jnp.zeros(TP, jnp.int32).at[tgt].set(v, mode="drop")
+        pos = jnp.zeros(TP, jnp.int32).at[tgt].set(idxs, mode="drop")
+        dmp = scan_pl._damp_of_pos(segments, pos)
         u = jnp.where(vals >= 0, 2 * vals, -2 * vals - 1)
         um1 = jnp.maximum(u - 1, 0)
         e = scan_pl._ilog2(um1)

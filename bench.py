@@ -173,8 +173,11 @@ def link_mbps():
     the link."""
     import numpy as np
     import jax
-    rng = np.random.default_rng(1)
-    x = jax.device_put(rng.integers(0, 256, 8 << 20).astype(np.uint8))
+    import jax.numpy as jnp
+    # generate ON device: device_put keeps a host copy that np.asarray
+    # returns without touching the link (the 160+ GB/s apparent readings)
+    x = jax.jit(lambda k: jax.random.bits(k, (8 << 20,), jnp.uint8))(
+        jax.random.key(1))
     x.block_until_ready()
 
     def run():

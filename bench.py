@@ -310,6 +310,67 @@ def decode_fps(ref_build, dsv_path):
             "vs_baseline": round(ref_dt / our_dt, 4), "exact": exact}
 
 
+def decode_lockstep_fps(ref_build, dsv_path, width):
+    """BASELINE config 2, throughput form: GOP-parallel lockstep decode
+    of the multi-GOP config-1 stream vs the single-header d28dec binary
+    on the same file; y4m output byte-checked against d28dec's. The
+    single-stream form above is tunnel-RTT-bound (one flush per frame);
+    lockstep amortizes the RTT across width streams exactly like the
+    encode side."""
+    import io
+    from dsv2_tpu.codec import decoder as D
+    from dsv2_tpu.parallel.gop import decode_gops_parallel
+    from dsv2_tpu.utils import y4m, packet
+
+    d28 = os.path.join(ref_build, "d28dec")
+    refy = "/tmp/dsv2_bench_declk_ref.y4m"
+
+    def ref_run():
+        t0 = time.perf_counter()
+        subprocess.run([d28, "-y", "-inp=" + dsv_path, "-out=" + refy,
+                        "-y4m=1"], capture_output=True)
+        return time.perf_counter() - t0
+
+    ref_dt = median3(ref_run)
+    want = open(refy, "rb").read()
+    data = open(dsv_path, "rb").read()
+
+    # stream metadata for the y4m header (first packet is PT_META)
+    mdec = D.Decoder()
+    for t, pkt in packet.iter_packets(io.BytesIO(data)):
+        mdec.decode_packet(pkt)
+        break
+    meta = mdec.meta
+
+    def our_run():
+        t0 = time.perf_counter()
+        frames = decode_gops_parallel(io.BytesIO(data), width=width)
+        buf = io.BytesIO()
+        writer = y4m.Y4MWriter(buf, meta.width, meta.height, meta.subsamp,
+                               (meta.fps_num, meta.fps_den),
+                               (meta.aspect_num, meta.aspect_den))
+        for fr in frames:
+            writer.write_frame([fr.view(c) for c in range(3)])
+        return time.perf_counter() - t0, len(frames), buf.getvalue()
+
+    our_run()  # warm
+    dts = []
+    n = 0
+    ours = b""
+    for _ in range(3):
+        dt, n, ours = our_run()
+        dts.append(dt)
+    our_dt = statistics.median(dts)
+    exact = ours == want
+    if not exact:
+        print("# WARNING: lockstep decode does not byte-match d28dec",
+              file=sys.stderr)
+    return {"config": f"decode_lockstep_x{width}", "frames": n,
+            "fps": round(n / our_dt, 3),
+            "d28dec_fps": round(n / ref_dt, 3),
+            "vs_baseline": round(ref_dt / our_dt, 4), "exact": exact}
+
+
 def _pick_platform():
     """The axon TPU tunnel can hang jax initialization when it is down;
     probe it in a disposable subprocess and fall back to CPU so the bench
@@ -374,6 +435,11 @@ def main():
         extra["decode"] = decode_fps(ref_dir, "/tmp/dsv2_bench_pref0.dsv")
     except Exception as e:
         print(f"# decode metric failed: {e!r}", file=sys.stderr)
+    try:
+        extra["decode_lockstep"] = decode_lockstep_fps(
+            ref_dir, "/tmp/dsv2_bench_pref.dsv", p_width)
+    except Exception as e:
+        print(f"# decode_lockstep metric failed: {e!r}", file=sys.stderr)
     if plat != "cpu":
         try:
             d = decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv")

@@ -364,7 +364,8 @@ class Decoder:
                 packed, chain = self.dev_submit(
                     ("pd_chain", cfg),
                     lambda c: devsteps.make_pd_chain_step(*c), dargs,
-                    post=devsteps.prefetch_decode_lanes)
+                    post=devsteps.prefetch_decode_lanes,
+                    fetch=devsteps.decode_fetch_spec)
             else:
                 packed, chain = devsteps.make_pd_chain_step(*cfg)(*dargs)
         else:
@@ -376,7 +377,8 @@ class Decoder:
                 packed, chain = self.dev_submit(
                     ("id_chain", cfg),
                     lambda c: devsteps.make_id_chain_step(*c), dargs,
-                    post=devsteps.prefetch_decode_lanes)
+                    post=devsteps.prefetch_decode_lanes,
+                    fetch=devsteps.decode_fetch_spec)
             else:
                 packed, chain = devsteps.make_id_chain_step(*cfg)(*dargs)
         if is_ref:

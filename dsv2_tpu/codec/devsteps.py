@@ -450,6 +450,30 @@ def make_pd_chain_step(w, h, subsamp, blk_w, blk_h, lossless,
     return jax.jit(step)
 
 
+def _fill(tree, v):
+    return jax.tree_util.tree_map(lambda _: v, tree)
+
+
+def step_fetch_spec(out_sd):
+    """Lockstep fetch spec for the encode step programs: the host reads
+    the recon planes (tiny dummies on chain steps), the per-plane
+    metadata, and — dense mode only — the fixed-shape split-band buffers.
+    The packed/blob buffer is prefix-fetched by the post hook (its length
+    is data-dependent), the overflow fallback arrays are read lazily on
+    the rare fallback, and the device reference chain never leaves."""
+    recons, buf, smalls, fbarrs = out_sd[:4]
+    chain = out_sd[4:]
+    return (_fill(recons, True), _fill(buf, isinstance(buf, tuple)),
+            _fill(smalls, True), _fill(fbarrs, False)) + _fill(chain, False)
+
+
+def decode_fetch_spec(out_sd):
+    """Lockstep fetch spec for the decode chain steps: only the packed
+    visible payload is host-read; the reference chain stays on device."""
+    packed, chain = out_sd
+    return (True, _fill(chain, False))
+
+
 def prefetch_decode_lanes(out):
     """Lockstep post hook for the decode chain steps: one bulk fetch of
     the packed visible payload; the reference chain stays on device."""

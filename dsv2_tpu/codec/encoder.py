@@ -284,7 +284,8 @@ class Encoder:
             if self.dev_submit is not None:
                 d.dev = self.dev_submit(
                     ("input_prep", cfg),
-                    lambda c: devsteps.make_input_prep(*c), vis)
+                    lambda c: devsteps.make_input_prep(*c), vis,
+                    fetch=False)
             else:
                 d.dev = devsteps.make_input_prep(*cfg)(*vis)
         else:
@@ -509,7 +510,8 @@ class Encoder:
                     outs = self.dev_submit(
                         ("p_chain", cfg),
                         lambda c: devsteps.make_p_chain_step(*c), args,
-                        post=devsteps.prefetch_step_lanes)
+                        post=devsteps.prefetch_step_lanes,
+                        fetch=devsteps.step_fetch_spec)
                 else:
                     outs = devsteps.make_p_chain_step(*cfg)(*args)
             else:
@@ -524,7 +526,8 @@ class Encoder:
                     outs = self.dev_submit(
                         ("p_step", cfg),
                         lambda c: devsteps.make_p_encode_step(*c), args,
-                        post=devsteps.prefetch_step_lanes)
+                        post=devsteps.prefetch_step_lanes,
+                        fetch=devsteps.step_fetch_spec)
                 else:
                     outs = devsteps.make_p_encode_step(*cfg)(*args)
         else:
@@ -548,7 +551,8 @@ class Encoder:
                     outs = self.dev_submit(
                         ("i_chain", cfg),
                         lambda c: devsteps.make_i_chain_step(*c), args,
-                        post=devsteps.prefetch_step_lanes)
+                        post=devsteps.prefetch_step_lanes,
+                        fetch=devsteps.step_fetch_spec)
                 else:
                     outs = devsteps.make_i_chain_step(*cfg)(*args)
             else:
@@ -558,7 +562,8 @@ class Encoder:
                     outs = self.dev_submit(
                         ("i_step", cfg),
                         lambda c: devsteps.make_i_encode_step(*c), args,
-                        post=devsteps.prefetch_step_lanes)
+                        post=devsteps.prefetch_step_lanes,
+                        fetch=devsteps.step_fetch_spec)
                 else:
                     outs = devsteps.make_i_encode_step(*cfg)(*args)
         if len(outs) == 5:  # chain step: keep the device reference state

@@ -472,7 +472,7 @@ def motion_est(enc, d):
     cfg, inputs = hw.prepare_motion_est(enc, d)
     submit = getattr(enc, "dev_submit", None)
     if submit is not None:
-        st = submit(("hme_pl", cfg), make_motion_est, inputs)
+        st = submit(("hme_pl", cfg), make_motion_est, inputs, fetch=True)
     else:
         st = make_motion_est(cfg)(*inputs)
     hw.apply_motion_est(enc, d, st)

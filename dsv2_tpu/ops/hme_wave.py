@@ -1661,7 +1661,7 @@ def motion_est(enc, d):
     cfg, inputs = prepare_motion_est(enc, d)
     submit = getattr(enc, "dev_submit", None)
     if submit is not None:
-        st = submit(("hme", cfg), make_motion_est, inputs)
+        st = submit(("hme", cfg), make_motion_est, inputs, fetch=True)
     else:
         st = make_motion_est(cfg)(*inputs)
     apply_motion_est(enc, d, st)

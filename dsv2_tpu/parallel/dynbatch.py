@@ -28,6 +28,91 @@ _fn_cache = {}
 _fn_lock = threading.Lock()
 
 
+def _leaf_bytes(x):
+    """Device-side: one output leaf -> its little-endian byte image."""
+    import jax.numpy as jnp
+    if x.dtype == jnp.bool_:
+        x = x.astype(jnp.uint8)
+    x = x.reshape(-1)
+    if x.dtype.itemsize == 1:
+        return jax.lax.bitcast_convert_type(x, jnp.uint8)
+    return jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+
+
+def _sig(tree):
+    """Shape/dtype signature of a pytree (works on arrays and tracers).
+    Dtypes are canonicalized so the host-side signature of an int64/
+    float64 input matches what the trace sees with x64 disabled."""
+    return tuple(
+        (tuple(x.shape), jax.dtypes.canonicalize_dtype(x.dtype).name)
+        for x in jax.tree_util.tree_leaves(tree))
+
+
+def _make_packed_fn(vfn, fetch):
+    """Wrap the vmapped program so every host-read output leaf lands in
+    ONE contiguous uint8 buffer: the tunnel charges a full round-trip per
+    d2h transfer (~6-30 ms), so fetching a dozen small leaves one
+    np.asarray at a time costs more than the device compute of the whole
+    flush. Selected leaves are byte-packed inside the jit (descending
+    itemsize, so every view on the host stays aligned); everything else
+    stays device-resident and flows to the next flush as LaneRefs.
+
+    fetch: None -> every leaf <= 1 MB of the BATCHED output (legacy
+    heuristic); True/False -> all/none; callable -> maps the
+    ShapeDtypeStruct output tree to a same-structure tree of bools.
+
+    The leaf selection is decided at trace time (inside the jit trace, so
+    the expensive program trace happens exactly once) and recorded per
+    input signature; _unpack_out reads it back after the call."""
+    import jax.numpy as jnp
+    meta = {}
+
+    def wfn(*args):
+        out = vfn(*args)
+        ls, treedef = jax.tree_util.tree_flatten(out)
+        leaves_sd = [jax.ShapeDtypeStruct(l.shape, l.dtype) for l in ls]
+        if fetch is None:
+            sel = [int(np.prod(l.shape, dtype=np.int64))
+                   * np.dtype(l.dtype).itemsize <= (1 << 20)
+                   for l in leaves_sd]
+        elif isinstance(fetch, bool):
+            sel = [fetch] * len(leaves_sd)
+        else:
+            sds = jax.tree_util.tree_unflatten(treedef, leaves_sd)
+            sel = [bool(s) for s in jax.tree_util.tree_leaves(fetch(sds))]
+            assert len(sel) == len(leaves_sd)
+        order = sorted((i for i, s in enumerate(sel) if s),
+                       key=lambda i: -np.dtype(leaves_sd[i].dtype).itemsize)
+        meta[_sig(args)] = (treedef, leaves_sd, sel, order)
+        packed = (jnp.concatenate([_leaf_bytes(ls[i]) for i in order])
+                  if order else None)
+        rest = [ls[i] for i in range(len(ls)) if not sel[i]]
+        return packed, rest
+
+    return jax.jit(wfn), meta
+
+
+def _unpack_out(bufnp, rest, meta):
+    """Rebuild the full output tree: packed leaves as np views over the
+    single fetched buffer, unselected leaves as the device arrays."""
+    treedef, leaves_sd, sel, order = meta
+    leaves = [None] * len(leaves_sd)
+    off = 0
+    for i in order:
+        sd = leaves_sd[i]
+        dt = np.dtype(sd.dtype)
+        nb = int(np.prod(sd.shape, dtype=np.int64)) * dt.itemsize
+        raw = bufnp[off:off + nb]
+        leaves[i] = (raw.view(np.bool_) if dt == np.bool_
+                     else raw.view(dt)).reshape(sd.shape)
+        off += nb
+    it = iter(rest)
+    for i in range(len(leaves_sd)):
+        if not sel[i]:
+            leaves[i] = next(it)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class LaneRef:
     """Lane i of a batched device array, materialized lazily.
 
@@ -114,17 +199,20 @@ class LockstepBatcher:
             if self._blocked and self._blocked >= self._active:
                 self._flush_locked()
 
-    def submit(self, key, builder, args, post=None):
+    def submit(self, key, builder, args, post=None, fetch=None):
         """Queue one lane; returns this lane's slice of the batched output.
         key = (kind, cfg) — cfg must be hashable and identical for lanes
         batched together. builder(cfg) -> single-example callable.
         post(batched_out) -> batched_out runs once per flushed batch (e.g.
-        merged prefix fetches of big device outputs)."""
+        merged prefix fetches of big device outputs).
+        fetch selects which output leaves the host reads (see
+        _make_packed_fn); the first submission of a key fixes it."""
         entry = [args, None, False]
         with self._cond:
             self._seq += 1
             entry.append(self._seq)
-            self._queues.setdefault(key, []).append((entry, builder, post))
+            self._queues.setdefault(key, []).append(
+                (entry, builder, post, fetch))
             self._blocked += 1
             if self._blocked >= self._active:
                 self._flush_locked()
@@ -169,22 +257,25 @@ class LockstepBatcher:
                 # the wave program dominates (~60 s vs ~10 s deserialize).
                 ck = (key, self.width)
                 with _fn_lock:
-                    fn = _fn_cache.get(ck)
-                    if fn is None:
+                    ent = _fn_cache.get(ck)
+                    if ent is None:
                         # jit AROUND the vmap: a bare vmap re-traces the
                         # whole program through the batching machinery on
                         # every call (~1.5 s of host time for the wave-HME
                         # graph); jit caches that trace after the first
                         # flush
-                        fn = jax.jit(jax.vmap(pending[0][1](key[1])))
-                        _fn_cache[ck] = fn
+                        ent = _make_packed_fn(
+                            jax.vmap(pending[0][1](key[1])),
+                            pending[0][3])
+                        _fn_cache[ck] = ent
+                fn, meta = ent
                 import os
                 import time as _time
                 from ..utils.trace import stage as _stage
                 kname = key[0] if isinstance(key, tuple) else "?"
                 _t0 = _time.perf_counter()
                 with _stage(f"lockstep.stack.{kname}"):
-                    lanes = [e[0] for e, _, _ in pending]
+                    lanes = [e[0] for e, *_ in pending]
                     lanes += [lanes[0]] * (self.width - len(lanes))
                     stacked = jax.tree_util.tree_map(
                         _stack_lanes, *lanes,
@@ -194,21 +285,20 @@ class LockstepBatcher:
                             lambda a: jax.device_put(a, self._sharding),
                             stacked)
                 with _stage(f"lockstep.dispatch.{kname}"):
-                    out = fn(*stacked)
+                    packed, rest = fn(*stacked)
                 with _stage(f"lockstep.run.{kname}"):
-                    # bulk-fetch small leaves once per flush (a device
-                    # tunnel charges per-transfer RTT); big buffers stay on
-                    # device — the post hook fetches exactly the payloads
-                    # the consumer reads every frame (fallback arrays stay
-                    # device-resident)
-                    out = jax.tree_util.tree_map(
-                        lambda a: np.asarray(a)
-                        if getattr(a, "nbytes", 0) <= (1 << 20) else a, out)
+                    # ONE bulk d2h per flush: every host-read leaf was
+                    # byte-packed into `packed` inside the jit (a device
+                    # tunnel charges per-transfer RTT); everything else
+                    # stays device-resident and is handed out as LaneRefs
+                    bufnp = (np.asarray(packed) if packed is not None
+                             else None)
+                    out = _unpack_out(bufnp, rest, meta[_sig(stacked)])
                 with _stage(f"lockstep.post.{kname}"):
                     post = pending[0][2]
                     if post is not None:
                         out = post(out)
-                for i, (e, _, _) in enumerate(pending):
+                for i, (e, *_) in enumerate(pending):
                     e[1] = jax.tree_util.tree_map(
                         lambda a, i=i: _lane_slice(a, i), out)
                     e[2] = True
@@ -216,7 +306,7 @@ class LockstepBatcher:
                     print(f"[flush] {kname:12s} {_time.perf_counter()-_t0:7.3f}s"
                           f" @ {_time.perf_counter():.3f}", flush=True)
             except BaseException as exc:  # propagate to every waiter
-                for e, _, _ in pending:
+                for e, *_ in pending:
                     e[1] = exc
                     e[2] = True
         self._cond.notify_all()

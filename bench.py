@@ -92,7 +92,7 @@ def read_frames(src):
     return frames, meta
 
 
-def our_intra_fps(src, want, nframes, chunk):
+def our_intra_fps(src, want, nframes, chunk, qp=60):
     """Returns (fps, exact)."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.batch import encode_intra_batch
@@ -100,7 +100,7 @@ def our_intra_fps(src, want, nframes, chunk):
     frames, meta = read_frames(src)
 
     def mk():
-        return make_encoder(meta, default_enc_opts(qp=60, gop=0))
+        return make_encoder(meta, default_enc_opts(qp=qp, gop=0))
 
     # warmup (jit compile of the batched device pipeline, same batch shape)
     enc = mk()
@@ -188,31 +188,47 @@ def link_mbps():
     return median3(run)
 
 
-def p_lockstep(ref_bin, gop, width):
-    """BASELINE config 1: CIF lockstep P-frame encode (width x gop
-    streams) vs the C encoder on the identical input; byte-checks stream
-    0 vs the reference's first GOP."""
+def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
+               runs=3, warm_frames=None,
+               pref="/tmp/dsv2_bench_pref.dsv",
+               pref0="/tmp/dsv2_bench_pref0.dsv"):
+    """Lockstep P-frame encode (width streams x gop frames each) vs the
+    C encoder on the identical input; byte-checks stream 0 vs the
+    reference's first GOP. Default geometry is BASELINE config 1
+    (Stefan-class CIF -qp=60 -gop=48, README.md:141); config 3/4 call
+    it with their own (w, h, gop) shapes."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
 
     n = width * gop
-    src = ensure_inputs(352, 288, n)
-    c_fps = ref_fps(ref_bin, src, n, [f"-gop={gop}", "-qp=60"],
-                    out="/tmp/dsv2_bench_pref.dsv")
+    src = ensure_inputs(w, h, n)
+
+    def cref():
+        t0 = time.perf_counter()
+        subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                        "-out=" + pref, "-y4m=1",
+                        f"-gop={gop}", f"-qp={qp}"], capture_output=True)
+        return n / (time.perf_counter() - t0)
+
+    c_fps = statistics.median([cref() for _ in range(runs)])
     # reference bytes for the first GOP (independent stream semantics)
     subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
-                    "-out=/tmp/dsv2_bench_pref0.dsv", "-y4m=1",
-                    f"-gop={gop}", "-qp=60", f"-nfr={gop}"],
+                    "-out=" + pref0, "-y4m=1",
+                    f"-gop={gop}", f"-qp={qp}", f"-nfr={gop}"],
                    capture_output=True)
-    want0 = open("/tmp/dsv2_bench_pref0.dsv", "rb").read()
+    want0 = open(pref0, "rb").read()
 
     frames, meta = read_frames(src)
     streams = [frames[i:i + gop] for i in range(0, n, gop)]
 
     def factory():
-        return make_encoder(meta, default_enc_opts(qp=60, gop=gop))
+        return make_encoder(meta, default_enc_opts(qp=qp, gop=gop))
 
-    encode_streams_lockstep(streams, factory, width=width)  # warm
+    # warm (jit compile); long configs warm on a short slice of each
+    # stream — same traced shapes, fraction of the frames
+    wstreams = streams if warm_frames is None else \
+        [s[:warm_frames] for s in streams]
+    encode_streams_lockstep(wstreams, factory, width=width)
     exact = [True]
 
     def run():
@@ -230,10 +246,30 @@ def p_lockstep(ref_bin, gop, width):
                   file=sys.stderr)
         return n / dt
 
-    fps = median3(run)
-    return {"config": f"cif_qp60_gop{gop}_x{width}",
+    fps = statistics.median([run() for _ in range(runs)])
+    return {"config": name or f"cif_qp{qp}_gop{gop}_x{width}",
             "fps": round(fps, 3), "c_fps": round(c_fps, 3),
-            "vs_baseline": round(fps / c_fps, 4), "exact": exact[0]}
+            "vs_baseline": round(fps / c_fps, 4), "exact": exact[0],
+            "runs": runs}
+
+
+def lossless444_batch(ref_bin, nframes=8, chunk=4):
+    """BASELINE config 5: FHD 4:4:4 mathematically-lossless (CRF
+    quality 100) batch intra encode vs the C encoder, byte-checked."""
+    w, h = 1920, 1080
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import mkfixtures
+    src = f"/tmp/dsv2_bench_{w}x{h}_444_{nframes}.y4m"
+    if not os.path.exists(src):
+        mkfixtures.write_y4m(src, w, h, nframes, subs="444")
+    out = "/tmp/dsv2_bench_ll444_ref.dsv"
+    c_fps = ref_fps(ref_bin, src, nframes,
+                    ["-qp=100", "-gop=0"], out=out)
+    want = open(out, "rb").read()
+    fps, exact = our_intra_fps(src, want, nframes, chunk, qp=100)
+    return {"config": "fhd_lossless444_crf_intra",
+            "fps": round(fps, 3), "c_fps": round(c_fps, 3),
+            "vs_baseline": round(fps / c_fps, 4), "exact": exact}
 
 
 def decode_fps(ref_build, dsv_path):
@@ -427,20 +463,59 @@ def main():
             extra["link_mbps"] = round(link_mbps(), 1)
         except Exception as e:
             print(f"# link probe failed: {e!r}", file=sys.stderr)
-    try:
-        extra["p_lockstep"] = p_lockstep(ref_bin, p_gop, p_width)
-    except Exception as e:
-        print(f"# p_lockstep metric failed: {e!r}", file=sys.stderr)
-    try:
-        extra["decode"] = decode_fps(ref_dir, "/tmp/dsv2_bench_pref0.dsv")
-    except Exception as e:
-        print(f"# decode metric failed: {e!r}", file=sys.stderr)
-    try:
-        extra["decode_lockstep"] = decode_lockstep_fps(
-            ref_dir, "/tmp/dsv2_bench_pref.dsv", p_width)
-    except Exception as e:
-        print(f"# decode_lockstep metric failed: {e!r}", file=sys.stderr)
-    if plat != "cpu":
+    only = os.environ.get("DSV2_BENCH_ONLY")
+
+    def want_extra(key):
+        return only is None or key in only.split(",")
+
+    if want_extra("p_lockstep"):
+        try:
+            extra["p_lockstep"] = p_lockstep(ref_bin, p_gop, p_width)
+        except Exception as e:
+            print(f"# p_lockstep metric failed: {e!r}", file=sys.stderr)
+    if plat != "cpu" and want_extra("mobile_cif"):
+        try:
+            # BASELINE config 3: Mobile-CIF class, GOP=60, -effort=10
+            # (the default effort IS 10 on both encoders; README.md:181,208)
+            extra["mobile_cif"] = p_lockstep(
+                ref_bin, 60, p_width, name="cif_gop60_effort10_x8",
+                pref="/tmp/dsv2_bench_c3.dsv",
+                pref0="/tmp/dsv2_bench_c30.dsv")
+        except Exception as e:
+            print(f"# mobile_cif metric failed: {e!r}", file=sys.stderr)
+    if plat != "cpu" and want_extra("parkrun_720p"):
+        try:
+            # BASELINE config 4: Parkrun-class 1280x720 GOP=250 (qpel +
+            # EPRM motion stress; README.md:229). One timed run: 1000
+            # frames/side bounds the bench wall clock.
+            extra["parkrun_720p"] = p_lockstep(
+                ref_bin, 250, 4, w=1280, h=720,
+                name="720p_gop250_x4", runs=1, warm_frames=8,
+                pref="/tmp/dsv2_bench_c4.dsv",
+                pref0="/tmp/dsv2_bench_c40.dsv")
+        except Exception as e:
+            print(f"# parkrun_720p metric failed: {e!r}", file=sys.stderr)
+    if plat != "cpu" and want_extra("lossless444"):
+        try:
+            # BASELINE config 5: FHD lossless 4:4:4 CRF batch encode
+            extra["lossless444"] = lossless444_batch(ref_bin)
+        except Exception as e:
+            print(f"# lossless444 metric failed: {e!r}", file=sys.stderr)
+    if want_extra("decode") and os.path.exists("/tmp/dsv2_bench_pref0.dsv"):
+        try:
+            extra["decode"] = decode_fps(ref_dir,
+                                         "/tmp/dsv2_bench_pref0.dsv")
+        except Exception as e:
+            print(f"# decode metric failed: {e!r}", file=sys.stderr)
+    if want_extra("decode_lockstep") and \
+            os.path.exists("/tmp/dsv2_bench_pref.dsv"):
+        try:
+            extra["decode_lockstep"] = decode_lockstep_fps(
+                ref_dir, "/tmp/dsv2_bench_pref.dsv", p_width)
+        except Exception as e:
+            print(f"# decode_lockstep metric failed: {e!r}",
+                  file=sys.stderr)
+    if plat != "cpu" and want_extra("decode_fhd"):
         try:
             d = decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv")
             d["config"] = "decode_fhd_intra_dsv"

@@ -23,6 +23,7 @@ e2e-verified oracle). (ref: src/bmc.c:390-457 intra dering, :459-602 luma
 cleanup, :604-659 chroma)
 """
 import functools
+import os
 
 import numpy as np
 import jax
@@ -36,11 +37,22 @@ from .filters import (_Lay, _layout, _skew, _unskew, _band_delta,
                       _tile_maps, _neighbordif2_grids, _lpf6, _flat6,
                       _curve_tex, F_STABLE, F_MAINTAIN, F_RINGING)
 
-LPAD = 128   # per-diagonal property lanes (>= any L this kernel sees)
+def _lpad(lay):
+    """Per-diagonal property-lane padding: lay.L rounded up to the lane
+    width. Large planes exceed 128 lanes (FHD luma 4x4 tiles: L=240)."""
+    return max(128, -(-lay.L // 128) * 128)
 
 
 def _interpret():
     return jax.default_backend() == "cpu"
+
+
+def _vmem_cap():
+    """Whole-plane VMEM residency budget for the wavefront kernel; planes
+    whose skewed buffer exceeds it use the HBM-resident kernel (720p+
+    luma: ~23-51 MB vs ~16 MB VMEM/core). DSV2_PL_VMEM_CAP overrides
+    (lets the on-chip parity session force the HBM path at CIF)."""
+    return int(os.environ.get("DSV2_PL_VMEM_CAP", str(6 << 20)))
 
 
 # ---------------------------------------------------------------------------
@@ -246,11 +258,11 @@ def _prop_tables(lay_key):
 
 
 def _pregather_props(lay, props_t):
-    """props_t (NP, nty, ntx) -> (nd, NP, LPAD) int32."""
+    """props_t (NP, nty, ntx) -> (nd, NP, _lpad(lay)) int32."""
     ic, jc = _prop_tables((lay.nd, lay.L, lay.ntx, lay.nty))
     g = props_t[:, jc, ic]                       # (NP, nd, L)
     g = jnp.moveaxis(g, 0, 1).astype(jnp.int32)  # (nd, NP, L)
-    return jnp.pad(g, ((0, 0), (0, 0), (0, LPAD - lay.L)))
+    return jnp.pad(g, ((0, 0), (0, 0), (0, _lpad(lay) - lay.L)))
 
 
 def _run_wavefront_pl(lay, vis, props_t, step_tr, nscal=(), name="filt"):
@@ -278,34 +290,30 @@ def _run_wavefront_pl(lay, vis, props_t, step_tr, nscal=(), name="filt"):
     base0 = lay.mc - 4 + lay.shift * (lay.mb - 1)
     rks = [_boff_rk(lay, k) for k in range(wh)]
 
-    def kernel(scal_ref, props_ref, s3_in, out_ref):
-        d = pl.program_id(0)
-
-        @pl.when(d == 0)
-        def _init():
-            out_ref[...] = s3_in[...]
-
+    def _addr(d):
         j0 = jnp.maximum(0, (d - (lay.ntx - 1) + 1) >> 1)
         jb = j0 + (lay.mb - 1)
         cstart = base0 + lay.tw * d
         ca = pl.multiple_of(
             jnp.minimum((cstart // 128) * 128, WSp - cw), 128)
-        sh_ = cstart - ca
+        return j0, jb, ca, cstart - ca
+
+    def _diag(d, j0, sh_, scal_ref, props_ref, read, write):
+        """Per-diagonal body shared by both kernel variants. read(r) ->
+        the (L2p, cw) strip of window row r; write(r, back) accumulates
+        the back-scattered deltas into that strip."""
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
         j_arr = j0 + lanes
         i_arr = d - 2 * j_arr
         valid = (j_arr < lay.nty) & (i_arr >= 0)
-        strips = []
-        for r in range(th):
-            s2 = out_ref[pl.ds(jb, L2p), r, pl.ds(ca, cw)]
-            strips.append(pltpu.roll(s2, (-sh_) % cw, 1))
+        strips = [pltpu.roll(read(r), (-sh_) % cw, 1) for r in range(th)]
         rows = []
         for k in range(wh):
             boff, rk = rks[k]
             c0 = _band_delta(lay, k)
             rows.append(strips[rk][boff:boff + L, c0:c0 + ww].T)
         A = jnp.stack(rows, axis=0)              # (wh, ww, L)
-        pv = props_ref[0]                        # (NP, LPAD)
+        pv = props_ref[0]                        # (NP, _lpad(lay))
         pr = [pv[i:i + 1, :L] for i in range(pv.shape[0])]
         sc = [scal_ref[0, i] for i in range(8)]
         A2 = step_tr(A, pr, valid, i_arr, j_arr, sc)
@@ -325,28 +333,80 @@ def _run_wavefront_pl(lay, vis, props_t, step_tr, nscal=(), name="filt"):
                 dstrip = _put(dstrip, 0, boff, mid_)
             if not any_k:
                 continue
-            back = pltpu.roll(dstrip, sh_ % cw, 1)
+            write(r, pltpu.roll(dstrip, sh_ % cw, 1))
+
+    def kernel(scal_ref, props_ref, s3_in, out_ref):
+        d = pl.program_id(0)
+
+        @pl.when(d == 0)
+        def _init():
+            out_ref[...] = s3_in[...]
+
+        j0, jb, ca, sh_ = _addr(d)
+
+        def read(r):
+            return out_ref[pl.ds(jb, L2p), r, pl.ds(ca, cw)]
+
+        def write(r, back):
             cur = out_ref[pl.ds(jb, L2p), r, pl.ds(ca, cw)]
             out_ref[pl.ds(jb, L2p), r, pl.ds(ca, cw)] = cur + back
 
+        _diag(d, j0, sh_, scal_ref, props_ref, read, write)
+
+    def kernel_hbm(scal_ref, props_ref, s3_in, out_ref, scratch, sem):
+        # Large planes: the skewed plane stays in HBM (it exceeds VMEM at
+        # 720p+); each sequential grid step DMAs only the diagonal's
+        # (L2p, th, cw) window into VMEM scratch and back. out_ref IS the
+        # S3 buffer (input_output_aliases), so no init step is needed.
+        d = pl.program_id(0)
+        j0, jb, ca, sh_ = _addr(d)
+        win = out_ref.at[pl.ds(jb, L2p), :, pl.ds(ca, cw)]
+        cp = pltpu.make_async_copy(win, scratch, sem)
+        cp.start()
+        cp.wait()
+
+        def read(r):
+            return scratch[:, r, :]
+
+        def write(r, back):
+            scratch[:, r, :] = scratch[:, r, :] + back
+
+        _diag(d, j0, sh_, scal_ref, props_ref, read, write)
+        cp = pltpu.make_async_copy(scratch, win, sem)
+        cp.start()
+        cp.wait()
+
     NP = props.shape[1]
-    out = pl.pallas_call(
-        kernel, grid=(lay.nd,),
+    plane_bytes = NBp * th * WSp * 4
+    hbm = plane_bytes > _vmem_cap() and not _interpret()
+    common = dict(
+        grid=(lay.nd,),
         out_shape=jax.ShapeDtypeStruct((NBp, th, WSp), jnp.int32),
-        in_specs=[
-            pl.BlockSpec((1, 8), lambda d: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, NP, LPAD), lambda d: (d, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NBp, th, WSp), lambda d: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((NBp, th, WSp), lambda d: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
         interpret=_interpret(),
         compiler_params=None if _interpret() else pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(scal, props, S3)
+    )
+    scal_spec = pl.BlockSpec((1, 8), lambda d: (0, 0),
+                             memory_space=pltpu.SMEM)
+    props_spec = pl.BlockSpec((1, NP, _lpad(lay)), lambda d: (d, 0, 0),
+                              memory_space=pltpu.VMEM)
+    if hbm:
+        call = pl.pallas_call(
+            kernel_hbm,
+            in_specs=[scal_spec, props_spec,
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.VMEM((L2p, th, cw), jnp.int32),
+                            pltpu.SemaphoreType.DMA],
+            input_output_aliases={2: 0},
+            **common)
+    else:
+        full = pl.BlockSpec((NBp, th, WSp), lambda d: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        call = pl.pallas_call(
+            kernel, in_specs=[scal_spec, props_spec, full],
+            out_specs=full, **common)
+    out = call(scal, props, S3)
     S = out.reshape(NBp * th, WSp)[:lay.HS, :lay.WS]
     P = _unskew(lay, S)
     return P[lay.mr:lay.mr + lay.ph, lay.mc:lay.mc + lay.pw]

@@ -51,8 +51,13 @@ def _vmem_cap():
     """Whole-plane VMEM residency budget for the wavefront kernel; planes
     whose skewed buffer exceeds it use the HBM-resident kernel (720p+
     luma: ~23-51 MB vs ~16 MB VMEM/core). DSV2_PL_VMEM_CAP overrides
-    (lets the on-chip parity session force the HBM path at CIF)."""
+    (lets the on-chip parity session and the CPU suite force the HBM
+    path at CIF)."""
     return int(os.environ.get("DSV2_PL_VMEM_CAP", str(6 << 20)))
+
+
+def _vmem_cap_forced():
+    return "DSV2_PL_VMEM_CAP" in os.environ
 
 
 # ---------------------------------------------------------------------------
@@ -298,8 +303,9 @@ def _run_wavefront_pl(lay, vis, props_t, step_tr, nscal=(), name="filt"):
             jnp.minimum((cstart // 128) * 128, WSp - cw), 128)
         return j0, jb, ca, cstart - ca
 
-    def _diag(d, j0, sh_, scal_ref, props_ref, read, write):
-        """Per-diagonal body shared by both kernel variants. read(r) ->
+    def _diag(d, j0, sh_, pv, sc, read, write):
+        """Per-diagonal body shared by both kernel variants. pv is the
+        (NP, _lpad) property block, sc the 8 SMEM scalars. read(r) ->
         the (L2p, cw) strip of window row r; write(r, back) accumulates
         the back-scattered deltas into that strip."""
         lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
@@ -313,9 +319,7 @@ def _run_wavefront_pl(lay, vis, props_t, step_tr, nscal=(), name="filt"):
             c0 = _band_delta(lay, k)
             rows.append(strips[rk][boff:boff + L, c0:c0 + ww].T)
         A = jnp.stack(rows, axis=0)              # (wh, ww, L)
-        pv = props_ref[0]                        # (NP, _lpad(lay))
         pr = [pv[i:i + 1, :L] for i in range(pv.shape[0])]
-        sc = [scal_ref[0, i] for i in range(8)]
         A2 = step_tr(A, pr, valid, i_arr, j_arr, sc)
         delta = jnp.where(valid[None], A2 - A, 0)
         for r in range(th):
@@ -351,62 +355,122 @@ def _run_wavefront_pl(lay, vis, props_t, step_tr, nscal=(), name="filt"):
             cur = out_ref[pl.ds(jb, L2p), r, pl.ds(ca, cw)]
             out_ref[pl.ds(jb, L2p), r, pl.ds(ca, cw)] = cur + back
 
-        _diag(d, j0, sh_, scal_ref, props_ref, read, write)
-
-    def kernel_hbm(scal_ref, props_ref, s3_in, out_ref, scratch, sem):
-        # Large planes: the skewed plane stays in HBM (it exceeds VMEM at
-        # 720p+); each sequential grid step DMAs only the diagonal's
-        # (L2p, th, cw) window into VMEM scratch and back. out_ref IS the
-        # S3 buffer (input_output_aliases), so no init step is needed.
-        d = pl.program_id(0)
-        j0, jb, ca, sh_ = _addr(d)
-        win = out_ref.at[pl.ds(jb, L2p), :, pl.ds(ca, cw)]
-        cp = pltpu.make_async_copy(win, scratch, sem)
-        cp.start()
-        cp.wait()
-
-        def read(r):
-            return scratch[:, r, :]
-
-        def write(r, back):
-            scratch[:, r, :] = scratch[:, r, :] + back
-
-        _diag(d, j0, sh_, scal_ref, props_ref, read, write)
-        cp = pltpu.make_async_copy(scratch, win, sem)
-        cp.start()
-        cp.wait()
+        _diag(d, j0, sh_, props_ref[0],
+              [scal_ref[0, i] for i in range(8)], read, write)
 
     NP = props.shape[1]
     plane_bytes = NBp * th * WSp * 4
-    hbm = plane_bytes > _vmem_cap() and not _interpret()
-    common = dict(
-        grid=(lay.nd,),
-        out_shape=jax.ShapeDtypeStruct((NBp, th, WSp), jnp.int32),
-        interpret=_interpret(),
-        compiler_params=None if _interpret() else pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )
-    scal_spec = pl.BlockSpec((1, 8), lambda d: (0, 0),
-                             memory_space=pltpu.SMEM)
-    props_spec = pl.BlockSpec((1, NP, _lpad(lay)), lambda d: (d, 0, 0),
-                              memory_space=pltpu.VMEM)
-    if hbm:
-        call = pl.pallas_call(
+    # interpret mode (the CPU suite) takes the VMEM kernel unless the cap
+    # is explicitly forced low — that is how tests cover the HBM branch
+    hbm = plane_bytes > _vmem_cap() and (_vmem_cap_forced()
+                                         or not _interpret())
+
+    def _hbm_call(B):
+        """The HBM-resident variant for batch width B (0 = unbatched).
+        memory_space=ANY operands must stay whole-array with a trivial
+        index_map (Mosaic constraint), so the built-in pallas vmap rule
+        cannot block them — the lane axis is folded into the grid
+        instead (wf_hbm's custom_vmap below)."""
+        batched = B > 0
+
+        def kernel_hbm(scal_ref, props_ref, s3_in, out_ref, scratch, sem):
+            # Large planes: the skewed plane stays in HBM (it exceeds
+            # VMEM at 720p+); each sequential grid step DMAs only the
+            # diagonal's (L2p, th, cw) window into VMEM scratch and back.
+            # out_ref IS the S3 buffer (input_output_aliases), so no init
+            # step is needed.
+            if batched:
+                b, d = pl.program_id(0), pl.program_id(1)
+            else:
+                d = pl.program_id(0)
+            j0, jb, ca, sh_ = _addr(d)
+            if batched:
+                win = out_ref.at[b, pl.ds(jb, L2p), :, pl.ds(ca, cw)]
+                pv = props_ref[0, 0]
+                sc = [scal_ref[0, 0, i] for i in range(8)]
+            else:
+                win = out_ref.at[pl.ds(jb, L2p), :, pl.ds(ca, cw)]
+                pv = props_ref[0]
+                sc = [scal_ref[0, i] for i in range(8)]
+            cp = pltpu.make_async_copy(win, scratch, sem)
+            cp.start()
+            cp.wait()
+
+            def read(r):
+                return scratch[:, r, :]
+
+            def write(r, back):
+                scratch[:, r, :] = scratch[:, r, :] + back
+
+            _diag(d, j0, sh_, pv, sc, read, write)
+            cp = pltpu.make_async_copy(scratch, win, sem)
+            cp.start()
+            cp.wait()
+
+        if batched:
+            grid = (B, lay.nd)
+            sspec = pl.BlockSpec((1, 1, 8), lambda b, d: (b, 0, 0),
+                                 memory_space=pltpu.SMEM)
+            pspec = pl.BlockSpec((1, 1, NP, _lpad(lay)),
+                                 lambda b, d: (b, d, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct((B, NBp, th, WSp), jnp.int32)
+        else:
+            grid = (lay.nd,)
+            sspec = pl.BlockSpec((1, 8), lambda d: (0, 0),
+                                 memory_space=pltpu.SMEM)
+            pspec = pl.BlockSpec((1, NP, _lpad(lay)), lambda d: (d, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            oshape = jax.ShapeDtypeStruct((NBp, th, WSp), jnp.int32)
+        return pl.pallas_call(
             kernel_hbm,
-            in_specs=[scal_spec, props_spec,
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            grid=grid,
+            out_shape=oshape,
+            in_specs=[sspec, pspec, pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[pltpu.VMEM((L2p, th, cw), jnp.int32),
                             pltpu.SemaphoreType.DMA],
             input_output_aliases={2: 0},
-            **common)
+            interpret=_interpret(),
+            compiler_params=None if _interpret() else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",) * len(grid)))
+
+    @jax.custom_batching.custom_vmap
+    def wf_hbm(scal_a, props_a, S3_a):
+        return _hbm_call(0)(scal_a, props_a, S3_a)
+
+    @wf_hbm.def_vmap
+    def _wf_hbm_rule(axis_size, in_batched, scal_b, props_b, S3_b):
+        # the lockstep batcher vmaps the whole encode step; fold the lane
+        # axis into the pallas grid (lanes run as sequential "arbitrary"
+        # steps over disjoint out_ref slices, so aliasing stays safe)
+        B = axis_size
+        sb, pb, s3b = in_batched
+        if not sb:
+            scal_b = jnp.broadcast_to(scal_b[None], (B,) + scal_b.shape)
+        if not pb:
+            props_b = jnp.broadcast_to(props_b[None], (B,) + props_b.shape)
+        if not s3b:
+            S3_b = jnp.broadcast_to(S3_b[None], (B,) + S3_b.shape)
+        return _hbm_call(B)(scal_b, props_b, S3_b), True
+
+    if hbm:
+        out = wf_hbm(scal, props, S3)
     else:
         full = pl.BlockSpec((NBp, th, WSp), lambda d: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-        call = pl.pallas_call(
+        scal_spec = pl.BlockSpec((1, 8), lambda d: (0, 0),
+                                 memory_space=pltpu.SMEM)
+        props_spec = pl.BlockSpec((1, NP, _lpad(lay)), lambda d: (d, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
             kernel, in_specs=[scal_spec, props_spec, full],
-            out_specs=full, **common)
-    out = call(scal, props, S3)
+            out_specs=full,
+            grid=(lay.nd,),
+            out_shape=jax.ShapeDtypeStruct((NBp, th, WSp), jnp.int32),
+            interpret=_interpret(),
+            compiler_params=None if _interpret() else pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)))(scal, props, S3)
     S = out.reshape(NBp * th, WSp)[:lay.HS, :lay.WS]
     P = _unskew(lay, S)
     return P[lay.mr:lay.mr + lay.ph, lay.mc:lay.mc + lay.pw]

@@ -17,25 +17,39 @@ driver-defined metric resolution (BASELINE.md "1080p encode fps per
 chip"). Timed runs are MEDIAN-OF-3 for both encoders (the axon tunnel
 bandwidth swings 4-170 MB/s run to run; single-shot numbers are weather).
 
-"extra" carries transfer-independent and per-BASELINE-config numbers:
-  - device_ms_per_frame: pure device compute per 1080p intra frame
-    (repeated dispatch on device-resident inputs, metadata-only fetch)
-  - link_mbps: measured d2h bandwidth at bench time (ceiling-model term)
-  - p_lockstep: BASELINE config 1 as defined — CIF 4:2:0 -qp=60 -gop=48
-    (README.md:141) lockstep x8 vs the C encoder on the same input,
-    stream 0 byte-checked against the reference binary's first GOP.
-    Emitted on the CPU fallback too (smaller geometry) so the P-path
-    record never vanishes with the tunnel.
-  - decode: BASELINE config 2 — decode the config-1 .dsv back to frames,
-    wall-clock vs the single-header dsv28dec reference decoder binary,
-    output byte-checked against d28dec's y4m.
+"extra" carries the other BASELINE configs plus transfer-independent
+numbers, run in PRIORITY ORDER under a global wall-clock budget
+(DSV2_BENCH_BUDGET seconds, default 900): each extra is entered only if
+enough budget remains, is hard-capped with SIGALRM, and the record is
+re-persisted to bench_artifacts/ after every metric — one slow or crashed
+extra can degrade itself but never erase the headline (round-4 lesson:
+BENCH_r04 was rc=124/parsed:null because the whole record printed only
+after every extra finished).
 
-Every successful TPU run is also persisted as a tracked artifact
-(bench_artifacts/BENCH_tpu_<ts>.json) so a later tunnel outage cannot
-erase the record (round-3 lesson).
+  - device_ms_per_frame: pure device compute per 1080p intra frame
+  - link_mbps: end-to-end d2h fetch bandwidth of a FRESH device buffer
+    per run (re-fetching one buffer measures the host-side cache)
+  - p_lockstep: BASELINE config 1 — Stefan-class CIF -qp=60 -gop=48
+    (README.md:141) lockstep x8 vs the C encoder; EVERY lane is
+    byte-checked against the reference binary's matching GOP
+  - decode: BASELINE config 2 — .dsv -> frames vs the single-header
+    dsv28dec reference decoder, output byte-checked
+  - mobile_cif: BASELINE config 3 — CIF GOP=60 at effort 10 (the
+    default effort on both encoders; README.md:181,:208)
+  - lossless444: BASELINE config 5 — FHD 4:4:4 lossless batch intra
+  - parkrun_720p: BASELINE config 4 — 1280x720 GOP=250 qpel+EPRM
+    motion stress (README.md:229), 32 frames x4 streams (128 frames
+    per side keeps it inside the bench budget)
+  - decode_fhd: config 2 at the headline resolution
+
+Transient tunnel failures (remote_compile / read-body JaxRuntimeErrors)
+are retried with backoff so an HTTP hiccup degrades one run, not the
+record.
 """
+import contextlib
 import json
 import os
+import signal
 import statistics
 import subprocess
 import sys
@@ -49,6 +63,59 @@ P_GOP = 48          # BASELINE config 1: Stefan CIF -qp=60 -gop=48
 P_WIDTH = 8
 P_GOP_CPU = 12      # smaller CPU-fallback geometry
 P_WIDTH_CPU = 4
+
+BUDGET = float(os.environ.get("DSV2_BENCH_BUDGET", "900"))
+_T0 = time.monotonic()
+
+
+def remaining():
+    return BUDGET - (time.monotonic() - _T0)
+
+
+class MetricTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def metric_cap(seconds):
+    """Hard per-metric wall-clock cap (SIGALRM; main thread only). A
+    metric that overruns raises MetricTimeout at the next bytecode
+    boundary instead of eating the whole bench budget."""
+    def _raise(signum, frame):
+        raise MetricTimeout()
+
+    old = signal.signal(signal.SIGALRM, _raise)
+    signal.setitimer(signal.ITIMER_REAL, max(1.0, seconds))
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def _is_transient(exc):
+    s = repr(exc)
+    return any(m in s for m in ("remote_compile", "read body",
+                                "DEADLINE_EXCEEDED", "UNAVAILABLE",
+                                "Connection reset", "EOF"))
+
+
+def with_retry(fn, tries=3, backoff=5.0):
+    """Retry transient tunnel flakes (seen: JaxRuntimeError
+    'remote_compile: read body' mid-bench) so an HTTP hiccup degrades
+    one run, never the record."""
+    for i in range(tries):
+        try:
+            return fn()
+        except MetricTimeout:
+            raise
+        except Exception as e:
+            if i + 1 == tries or not _is_transient(e):
+                raise
+            print(f"# transient failure, retrying in {backoff}s: {e!r}",
+                  file=sys.stderr)
+            time.sleep(backoff)
+            backoff *= 2
 
 
 def ensure_inputs(w, h, nframes):
@@ -121,7 +188,7 @@ def our_intra_fps(src, want, nframes, chunk, qp=60):
                   file=sys.stderr)
         return nframes / dt
 
-    return median3(run), exact[0]
+    return median3(lambda: with_retry(run)), exact[0]
 
 
 def device_ms_per_frame(src, chunk):
@@ -167,40 +234,46 @@ def device_ms_per_frame(src, chunk):
 
 
 def link_mbps():
-    """Measured d2h bandwidth right now (the dominant ceiling-model term
-    on the axon tunnel). The payload must be incompressible: a constant
-    buffer measures the tunnel's compressor (~160 GB/s apparent), not
-    the link."""
+    """End-to-end d2h bandwidth: dispatch + fetch of a FRESH 16 MB
+    incompressible device buffer per run. Re-fetching one buffer measures
+    the host-side array cache (the physically impossible 139-172 Gbps of
+    the round-3/4 records: the first fetch paid the link, the median run
+    returned a cached copy); a fresh buffer per run pays the tunnel every
+    time, wherever in dispatch/compute/fetch the transfer happens."""
     import numpy as np
     import jax
     import jax.numpy as jnp
-    # generate ON device: device_put keeps a host copy that np.asarray
-    # returns without touching the link (the 160+ GB/s apparent readings)
-    x = jax.jit(lambda k: jax.random.bits(k, (8 << 20,), jnp.uint8))(
-        jax.random.key(1))
-    x.block_until_ready()
 
-    def run():
+    nbytes = 16 << 20
+    gen = jax.jit(lambda k: jax.random.bits(k, (nbytes,), jnp.uint8))
+    gen(jax.random.key(0)).block_until_ready()  # compile
+
+    def run(i):
         t0 = time.perf_counter()
-        np.asarray(x)
-        return (8.0) / (time.perf_counter() - t0)  # MB/s (8 MB payload)
+        x = gen(jax.random.key(2 + i))
+        b = np.asarray(x)
+        dt = time.perf_counter() - t0
+        assert b.size == nbytes
+        return (nbytes / (1 << 20)) / dt  # MB/s
 
-    return median3(run)
+    return statistics.median([run(i) for i in range(3)])
 
 
 def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
-               runs=3, warm_frames=None,
-               pref="/tmp/dsv2_bench_pref.dsv",
-               pref0="/tmp/dsv2_bench_pref0.dsv"):
-    """Lockstep P-frame encode (width streams x gop frames each) vs the
-    C encoder on the identical input; byte-checks stream 0 vs the
-    reference's first GOP. Default geometry is BASELINE config 1
-    (Stefan-class CIF -qp=60 -gop=48, README.md:141); config 3/4 call
-    it with their own (w, h, gop) shapes."""
+               runs=3, warm_frames=None, frames_per_stream=None,
+               pref="/tmp/dsv2_bench_pref.dsv"):
+    """Lockstep P-frame encode (width streams x frames_per_stream frames,
+    default gop frames each) vs the C encoder on the identical input;
+    EVERY lane is byte-checked against the reference binary encoding the
+    same frame range (-sfr/-nfr chunk semantics, parallel_encode.sh:35-75).
+    Default geometry is BASELINE config 1 (Stefan-class CIF -qp=60
+    -gop=48, README.md:141); configs 3/4 call it with their own shapes."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
+    from dsv2_tpu.utils.packet import encode_eos
 
-    n = width * gop
+    fps_n = frames_per_stream or gop
+    n = width * fps_n
     src = ensure_inputs(w, h, n)
 
     def cref():
@@ -211,15 +284,22 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
         return n / (time.perf_counter() - t0)
 
     c_fps = statistics.median([cref() for _ in range(runs)])
-    # reference bytes for the first GOP (independent stream semantics)
-    subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
-                    "-out=" + pref0, "-y4m=1",
-                    f"-gop={gop}", f"-qp={qp}", f"-nfr={gop}"],
-                   capture_output=True)
-    want0 = open(pref0, "rb").read()
+    # reference bytes per lane: the reference encoding the same frame
+    # range as an independent chunked stream (parallel_encode.sh GOP
+    # chunking). Round 4 checked lane 0 only; the headline claim is
+    # all-lane exactness, so check all lanes.
+    wants = []
+    for i in range(width):
+        out_i = f"/tmp/dsv2_bench_pref_l{i}.dsv"
+        subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                        "-out=" + out_i, "-y4m=1",
+                        f"-gop={gop}", f"-qp={qp}",
+                        f"-sfr={i * fps_n}", f"-nfr={fps_n}"],
+                       capture_output=True)
+        wants.append(open(out_i, "rb").read())
 
     frames, meta = read_frames(src)
-    streams = [frames[i:i + gop] for i in range(0, n, gop)]
+    streams = [frames[i:i + fps_n] for i in range(0, n, fps_n)]
 
     def factory():
         return make_encoder(meta, default_enc_opts(qp=qp, gop=gop))
@@ -228,29 +308,30 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
     # stream — same traced shapes, fraction of the frames
     wstreams = streams if warm_frames is None else \
         [s[:warm_frames] for s in streams]
-    encode_streams_lockstep(wstreams, factory, width=width)
+    with_retry(lambda: encode_streams_lockstep(wstreams, factory,
+                                               width=width))
     exact = [True]
+    eos_len = len(encode_eos())
 
     def run():
-        from dsv2_tpu.utils.packet import encode_eos
         t0 = time.perf_counter()
         out = encode_streams_lockstep(streams, factory, width=width)
         dt = time.perf_counter() - t0
         # lockstep streams carry no EOS packet (the concatenating caller
-        # appends one); the reference file ends with one
-        eos_len = len(encode_eos())
-        if (want0[:len(out[0])] != out[0]
-                or len(want0) - len(out[0]) != eos_len):
-            exact[0] = False
-            print("# WARNING: P stream 0 does not byte-match the reference",
-                  file=sys.stderr)
+        # appends one); each reference chunk ends with one
+        for i in range(width):
+            if (wants[i][:len(out[i])] != out[i]
+                    or len(wants[i]) - len(out[i]) != eos_len):
+                exact[0] = False
+                print(f"# WARNING: P stream {i} does not byte-match the"
+                      " reference", file=sys.stderr)
         return n / dt
 
-    fps = statistics.median([run() for _ in range(runs)])
+    fps = statistics.median([with_retry(run) for _ in range(runs)])
     return {"config": name or f"cif_qp{qp}_gop{gop}_x{width}",
             "fps": round(fps, 3), "c_fps": round(c_fps, 3),
             "vs_baseline": round(fps / c_fps, 4), "exact": exact[0],
-            "runs": runs}
+            "exact_lanes": width, "runs": runs}
 
 
 def lossless444_batch(ref_bin, nframes=8, chunk=4):
@@ -272,7 +353,7 @@ def lossless444_batch(ref_bin, nframes=8, chunk=4):
             "vs_baseline": round(fps / c_fps, 4), "exact": exact}
 
 
-def decode_fps(ref_build, dsv_path):
+def decode_fps(ref_build, dsv_path, runs=3):
     """BASELINE config 2: decode dsv_path to frames, wall-clock vs the
     single-header d28dec reference decoder binary on the same file;
     our y4m output byte-checked against d28dec's."""
@@ -301,10 +382,9 @@ def decode_fps(ref_build, dsv_path):
         dec = D.Decoder()
         prev = None
 
-        def emit(realize):
+        def emit(realize, meta):
             nonlocal writer, n
             frame = realize()
-            meta = dec.meta
             if writer is None:
                 writer = y4m.Y4MWriter(buf, meta.width, meta.height,
                                        meta.subsamp,
@@ -314,7 +394,8 @@ def decode_fps(ref_build, dsv_path):
             n += 1
 
         # 1-frame pipeline: frame N's fetch overlaps packet N+1's host
-        # entropy decode + dispatch
+        # entropy decode + dispatch. meta is captured WITH the frame: a
+        # mid-stream PT_META packet must not retag frames already decoded.
         for t, pkt in packet.iter_packets(io.BytesIO(data)):
             code, realize, fno = dec.decode_packet_lazy(pkt)
             if code == D.DEC_EOS:
@@ -322,18 +403,18 @@ def decode_fps(ref_build, dsv_path):
             if code != D.DEC_OK or realize is None:
                 continue
             if prev is not None:
-                emit(prev)
-            prev = realize
+                emit(*prev)
+            prev = (realize, dec.meta)
         if prev is not None:
-            emit(prev)
+            emit(*prev)
         return time.perf_counter() - t0, n, buf.getvalue()
 
-    our_run()  # warm (jit compile of the decode chain)
+    with_retry(our_run)  # warm (jit compile of the decode chain)
     dts = []
     n = 0
     ours = b""
-    for _ in range(3):
-        dt, n, ours = our_run()
+    for _ in range(runs):
+        dt, n, ours = with_retry(our_run)
         dts.append(dt)
     our_dt = statistics.median(dts)
     exact = ours == want
@@ -341,67 +422,6 @@ def decode_fps(ref_build, dsv_path):
         print("# WARNING: decode output does not byte-match d28dec",
               file=sys.stderr)
     return {"config": "decode_dsv_to_y4m", "frames": n,
-            "fps": round(n / our_dt, 3),
-            "d28dec_fps": round(n / ref_dt, 3),
-            "vs_baseline": round(ref_dt / our_dt, 4), "exact": exact}
-
-
-def decode_lockstep_fps(ref_build, dsv_path, width):
-    """BASELINE config 2, throughput form: GOP-parallel lockstep decode
-    of the multi-GOP config-1 stream vs the single-header d28dec binary
-    on the same file; y4m output byte-checked against d28dec's. The
-    single-stream form above is tunnel-RTT-bound (one flush per frame);
-    lockstep amortizes the RTT across width streams exactly like the
-    encode side."""
-    import io
-    from dsv2_tpu.codec import decoder as D
-    from dsv2_tpu.parallel.gop import decode_gops_parallel
-    from dsv2_tpu.utils import y4m, packet
-
-    d28 = os.path.join(ref_build, "d28dec")
-    refy = "/tmp/dsv2_bench_declk_ref.y4m"
-
-    def ref_run():
-        t0 = time.perf_counter()
-        subprocess.run([d28, "-y", "-inp=" + dsv_path, "-out=" + refy,
-                        "-y4m=1"], capture_output=True)
-        return time.perf_counter() - t0
-
-    ref_dt = median3(ref_run)
-    want = open(refy, "rb").read()
-    data = open(dsv_path, "rb").read()
-
-    # stream metadata for the y4m header (first packet is PT_META)
-    mdec = D.Decoder()
-    for t, pkt in packet.iter_packets(io.BytesIO(data)):
-        mdec.decode_packet(pkt)
-        break
-    meta = mdec.meta
-
-    def our_run():
-        t0 = time.perf_counter()
-        frames = decode_gops_parallel(io.BytesIO(data), width=width)
-        buf = io.BytesIO()
-        writer = y4m.Y4MWriter(buf, meta.width, meta.height, meta.subsamp,
-                               (meta.fps_num, meta.fps_den),
-                               (meta.aspect_num, meta.aspect_den))
-        for fr in frames:
-            writer.write_frame([fr.view(c) for c in range(3)])
-        return time.perf_counter() - t0, len(frames), buf.getvalue()
-
-    our_run()  # warm
-    dts = []
-    n = 0
-    ours = b""
-    for _ in range(3):
-        dt, n, ours = our_run()
-        dts.append(dt)
-    our_dt = statistics.median(dts)
-    exact = ours == want
-    if not exact:
-        print("# WARNING: lockstep decode does not byte-match d28dec",
-              file=sys.stderr)
-    return {"config": f"decode_lockstep_x{width}", "frames": n,
             "fps": round(n / our_dt, 3),
             "d28dec_fps": round(n / ref_dt, 3),
             "vs_baseline": round(ref_dt / our_dt, 4), "exact": exact}
@@ -434,16 +454,17 @@ def main():
             print("# WARNING: TPU tunnel unreachable, benching on CPU",
                   file=sys.stderr)
     dsv2_tpu.enable_compile_cache()
-    if plat == "cpu":
-        w, h, nframes, chunk, metric = 352, 288, 64, 16, \
-            "cif_intra_encode_fps_cpu"
-        p_gop, p_width = P_GOP_CPU, P_WIDTH_CPU
-        extra_flags = {"tpu_tunnel_down": True}
-    else:
+    on_tpu = plat != "cpu"
+    if on_tpu:
         w, h, nframes, chunk, metric = 1920, 1080, 32, 8, \
             "fhd_intra_encode_fps"
         p_gop, p_width = P_GOP, P_WIDTH
-        extra_flags = {}
+        extra = {}
+    else:
+        w, h, nframes, chunk, metric = 352, 288, 64, 16, \
+            "cif_intra_encode_fps_cpu"
+        p_gop, p_width = P_GOP_CPU, P_WIDTH_CPU
+        extra = {"tpu_tunnel_down": True}
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,
                              check=True).stdout.strip()
@@ -452,76 +473,6 @@ def main():
     c_fps = ref_fps(ref_bin, src, nframes, ARGS)
     want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
     fps, exact = our_intra_fps(src, want, nframes, chunk)
-    extra = dict(extra_flags)
-    try:
-        extra["device_ms_per_frame"] = round(
-            device_ms_per_frame(src, chunk), 3)
-    except Exception as e:  # never lose the headline to an extra
-        print(f"# device-only metric failed: {e!r}", file=sys.stderr)
-    if plat != "cpu":
-        try:
-            extra["link_mbps"] = round(link_mbps(), 1)
-        except Exception as e:
-            print(f"# link probe failed: {e!r}", file=sys.stderr)
-    only = os.environ.get("DSV2_BENCH_ONLY")
-
-    def want_extra(key):
-        return only is None or key in only.split(",")
-
-    if want_extra("p_lockstep"):
-        try:
-            extra["p_lockstep"] = p_lockstep(ref_bin, p_gop, p_width)
-        except Exception as e:
-            print(f"# p_lockstep metric failed: {e!r}", file=sys.stderr)
-    if plat != "cpu" and want_extra("mobile_cif"):
-        try:
-            # BASELINE config 3: Mobile-CIF class, GOP=60, -effort=10
-            # (the default effort IS 10 on both encoders; README.md:181,208)
-            extra["mobile_cif"] = p_lockstep(
-                ref_bin, 60, p_width, name="cif_gop60_effort10_x8",
-                pref="/tmp/dsv2_bench_c3.dsv",
-                pref0="/tmp/dsv2_bench_c30.dsv")
-        except Exception as e:
-            print(f"# mobile_cif metric failed: {e!r}", file=sys.stderr)
-    if plat != "cpu" and want_extra("parkrun_720p"):
-        try:
-            # BASELINE config 4: Parkrun-class 1280x720 GOP=250 (qpel +
-            # EPRM motion stress; README.md:229). One timed run: 1000
-            # frames/side bounds the bench wall clock.
-            extra["parkrun_720p"] = p_lockstep(
-                ref_bin, 250, 4, w=1280, h=720,
-                name="720p_gop250_x4", runs=1, warm_frames=8,
-                pref="/tmp/dsv2_bench_c4.dsv",
-                pref0="/tmp/dsv2_bench_c40.dsv")
-        except Exception as e:
-            print(f"# parkrun_720p metric failed: {e!r}", file=sys.stderr)
-    if plat != "cpu" and want_extra("lossless444"):
-        try:
-            # BASELINE config 5: FHD lossless 4:4:4 CRF batch encode
-            extra["lossless444"] = lossless444_batch(ref_bin)
-        except Exception as e:
-            print(f"# lossless444 metric failed: {e!r}", file=sys.stderr)
-    if want_extra("decode") and os.path.exists("/tmp/dsv2_bench_pref0.dsv"):
-        try:
-            extra["decode"] = decode_fps(ref_dir,
-                                         "/tmp/dsv2_bench_pref0.dsv")
-        except Exception as e:
-            print(f"# decode metric failed: {e!r}", file=sys.stderr)
-    if want_extra("decode_lockstep") and \
-            os.path.exists("/tmp/dsv2_bench_pref.dsv"):
-        try:
-            extra["decode_lockstep"] = decode_lockstep_fps(
-                ref_dir, "/tmp/dsv2_bench_pref.dsv", p_width)
-        except Exception as e:
-            print(f"# decode_lockstep metric failed: {e!r}",
-                  file=sys.stderr)
-    if plat != "cpu" and want_extra("decode_fhd"):
-        try:
-            d = decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv")
-            d["config"] = "decode_fhd_intra_dsv"
-            extra["decode_fhd"] = d
-        except Exception as e:
-            print(f"# decode_fhd metric failed: {e!r}", file=sys.stderr)
     rec = {
         "metric": metric,
         "value": round(fps, 3),
@@ -532,17 +483,89 @@ def main():
     }
     if not exact:
         rec["vs_baseline_valid"] = False
-    print(json.dumps(rec))
-    print(f"# reference C encoder: {c_fps:.2f} fps (same host, same config)",
-          file=sys.stderr)
-    if plat != "cpu":
-        # persist the record: a tunnel outage later in the round must not
-        # erase it (round-3 lesson)
+
+    # ---- incremental persistence: the record survives anything below
+    art_path = None
+    if on_tpu:
         art = os.path.join(REPO, "bench_artifacts")
         os.makedirs(art, exist_ok=True)
         ts = time.strftime("%Y%m%dT%H%M%S")
-        with open(os.path.join(art, f"BENCH_tpu_{ts}.json"), "w") as f:
-            json.dump(rec, f, indent=1)
+        art_path = os.path.join(art, f"BENCH_tpu_{ts}.json")
+
+    def persist():
+        if art_path:
+            with open(art_path, "w") as f:
+                json.dump(rec, f, indent=1)
+
+    persist()
+
+    # ---- extras: priority order, each gated on remaining budget and
+    # hard-capped (SIGALRM) so one slow extra cannot erase the record
+    only = os.environ.get("DSV2_BENCH_ONLY")
+
+    def want_extra(key):
+        return only is None or key in only.split(",")
+
+    def run_extra(key, need, cap, fn, tpu_only=False):
+        if not want_extra(key) or (tpu_only and not on_tpu):
+            return
+        if remaining() < need:
+            extra[key] = {"skipped": "budget",
+                          "remaining_s": round(remaining(), 1)}
+            print(f"# {key} skipped: {remaining():.0f}s left < {need}s "
+                  "needed", file=sys.stderr)
+            persist()
+            return
+        try:
+            with metric_cap(min(cap, remaining() - 20)):
+                extra[key] = fn()
+        except MetricTimeout:
+            extra[key] = {"skipped": "metric_cap", "cap_s": cap}
+            print(f"# {key} hit its {cap}s cap", file=sys.stderr)
+        except Exception as e:
+            print(f"# {key} metric failed: {e!r}", file=sys.stderr)
+        persist()
+
+    run_extra("device_ms_per_frame", 30, 120,
+              lambda: round(device_ms_per_frame(src, chunk), 3))
+    run_extra("link_mbps", 20, 90, lambda: round(link_mbps(), 1),
+              tpu_only=True)
+    # BASELINE config 1
+    run_extra("p_lockstep", 200, 420,
+              lambda: p_lockstep(ref_bin, p_gop, p_width))
+    # BASELINE config 2
+    run_extra("decode", 60, 180,
+              lambda: decode_fps(ref_dir, "/tmp/dsv2_bench_pref_l0.dsv")
+              if os.path.exists("/tmp/dsv2_bench_pref_l0.dsv") else None)
+    # BASELINE config 3: Mobile-CIF class, GOP=60, -effort=10 (the
+    # default effort IS 10 on both encoders; README.md:181,:208)
+    run_extra("mobile_cif", 150, 360,
+              lambda: p_lockstep(ref_bin, 60, p_width,
+                                 name="cif_gop60_effort10_x8", runs=1,
+                                 pref="/tmp/dsv2_bench_c3.dsv"),
+              tpu_only=True)
+    # BASELINE config 5
+    run_extra("lossless444", 120, 300,
+              lambda: lossless444_batch(ref_bin), tpu_only=True)
+    # BASELINE config 4: Parkrun-class 1280x720 GOP=250 (qpel + EPRM
+    # motion stress; README.md:229). 32 frames x4 streams = 128 frames
+    # per side (a full 1000-frame GOP does not fit the bench budget;
+    # gop=250 semantics are identical for the frames encoded).
+    run_extra("parkrun_720p", 180, 420,
+              lambda: p_lockstep(ref_bin, 250, 4, w=1280, h=720,
+                                 name="720p_gop250_x4_32f", runs=1,
+                                 warm_frames=4, frames_per_stream=32,
+                                 pref="/tmp/dsv2_bench_c4.dsv"),
+              tpu_only=True)
+    run_extra("decode_fhd", 60, 180, lambda: dict(
+        decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv"),
+        config="decode_fhd_intra_dsv"), tpu_only=True)
+
+    print(json.dumps(rec))
+    print(f"# reference C encoder: {c_fps:.2f} fps (same host, same "
+          f"config); bench wall {time.monotonic() - _T0:.0f}s",
+          file=sys.stderr)
+    persist()
 
 
 if __name__ == "__main__":

@@ -301,7 +301,10 @@ def cmd_decode(argv):
 
     def lazy_frames():
         # 1-frame pipeline: frame N's pixel fetch overlaps packet N+1's
-        # host entropy decode + device dispatch
+        # host entropy decode + device dispatch. meta is captured WITH
+        # the frame: a mid-stream PT_META packet (legal per the packet
+        # grammar, dsv_decoder.c re-decodes meta whenever one appears)
+        # must not retag a frame decoded under the previous metadata.
         prev = None
         for t, buf in packet.iter_packets(inp):
             code, realize, fno = dec.decode_packet_lazy(buf)
@@ -310,13 +313,12 @@ def cmd_decode(argv):
             if code != D.DEC_OK or realize is None:
                 continue
             if prev is not None:
-                yield prev()
-            prev = realize
+                yield prev[0](), prev[1]
+            prev = (realize, dec.meta)
         if prev is not None:
-            yield prev()
+            yield prev[0](), prev[1]
 
-    for frame in lazy_frames():
-        meta = dec.meta
+    for frame, meta in lazy_frames():
         planes = [frame.view(c) for c in range(3)]
         subs = meta.subsamp
         if opts["out420p"] and subs != K.SUBSAMP_420:

@@ -319,11 +319,15 @@ def _part_word(s, ln, lo, hi, w):
     return acc
 
 
-def _scatter_part(buf, live, s, ln, lo, hi, mw):
-    """Scatter-add one code part's <=3-word footprint into buf (mw int32
-    words); bits are disjoint across all parts so add == or."""
+def _scatter_part(buf, live, s, ln, lo, hi, mw, nwords=3):
+    """Scatter-add one code part's word footprint into buf (mw int32
+    words); bits are disjoint across all parts so add == or. A <=64-bit
+    part at an arbitrary bit offset touches <=3 consecutive words
+    (nwords=3, the generic case); L2's merged parts are <=33 bits and
+    can only intersect 2 (bit 31 + 33 bits ends at bit 63 of the next
+    word), so nwords=2 drops a third of their scatter traffic."""
     ws = s >> 5                 # s >= 0 always (bit offsets)
-    for m in range(3):
+    for m in range(nwords):
         w = ws + m
         c = _part_word(s, ln, lo, hi, w).astype(jnp.int32)
         idx = jnp.where(live & (c != 0), w, mw)
@@ -385,9 +389,11 @@ def make_scan_blob(segments, cap_bytes):
         dsafe = jnp.maximum(dmp, 0)
         thr = jnp.where(isr, (e + 1) << dsafe, 0)
         vkpre = _vk_call(npad)(thr, nll, nruns)
-        # NEG slots never enter the kernel loop: their out rows hold
-        # whatever the SMEM scratch held; clamp so the masked-out shift
-        # math below stays defined
+        # the vector kernel writes every row below its lim chunk bound
+        # from VMEM state (NEG-prefix rows get the coasting vk, rows
+        # below s0 hold vk=0); only rows in chunks past max(nnz) are
+        # never written. Clamp so the masked-out shift math below stays
+        # defined for those
         k = jnp.clip(jnp.maximum(vkpre, 0) >> dsafe, 0, 30)
 
         # part A: UEG(run); run = pos diff - 1 (pos[-1] == -1)
@@ -455,7 +461,7 @@ def make_scan_blob(segments, cap_bytes):
             mlo = mlo | sl(blo)
             mhi = mhi | sl(bhi)
             buf = _scatter_part(buf, mlive, sl(sa), sl(mlen),
-                                mlo, mhi, Mw)
+                                mlo, mhi, Mw, nwords=2)
             srows = jnp.stack(
                 [sl(sa), sl(alen),
                  sl(alo).astype(jnp.int32), sl(ahi).astype(jnp.int32),

@@ -250,6 +250,14 @@ class LockstepBatcher:
         self._blocked -= n
         for key, pending in queues.items():
             try:
+                # the first submission of a key fixes its fetch spec; a
+                # lane submitting the same key with a different spec would
+                # silently get the wrong host/device leaf split
+                f0 = pending[0][3]
+                if any(p[3] is not f0 for p in pending):
+                    raise ValueError(
+                        f"lockstep key {key[0]!r}: lanes submitted "
+                        "different fetch specs")
                 # NB: sharding is NOT part of the key — the same jit object
                 # serves sharded and unsharded batches (sharding comes from
                 # the device_put on the inputs below). jit re-lowers per

@@ -287,16 +287,24 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
     # reference bytes per lane: the reference encoding the same frame
     # range as an independent chunked stream (parallel_encode.sh GOP
     # chunking). Round 4 checked lane 0 only; the headline claim is
-    # all-lane exactness, so check all lanes.
+    # all-lane exactness, so check all lanes. Lane outputs are cached on
+    # disk keyed by the full config (the input fixture is deterministic),
+    # so re-running the bench skips ~8 reference encodes per metric.
     wants = []
     for i in range(width):
-        out_i = f"/tmp/dsv2_bench_pref_l{i}.dsv"
-        subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
-                        "-out=" + out_i, "-y4m=1",
-                        f"-gop={gop}", f"-qp={qp}",
-                        f"-sfr={i * fps_n}", f"-nfr={fps_n}"],
-                       capture_output=True)
+        out_i = (f"/tmp/dsv2_bench_pref_{w}x{h}n{n}g{gop}q{qp}_l{i}.dsv")
+        if not os.path.exists(out_i):
+            subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                            "-out=" + out_i, "-y4m=1",
+                            f"-gop={gop}", f"-qp={qp}",
+                            f"-sfr={i * fps_n}", f"-nfr={fps_n}"],
+                           capture_output=True)
         wants.append(open(out_i, "rb").read())
+    # the decode metric reads lane 0's chunk stream
+    if w == 352 and gop == P_GOP:
+        import shutil
+        shutil.copy(f"/tmp/dsv2_bench_pref_{w}x{h}n{n}g{gop}q{qp}_l0.dsv",
+                    "/tmp/dsv2_bench_pref_l0.dsv")
 
     frames, meta = read_frames(src)
     streams = [frames[i:i + fps_n] for i in range(0, n, fps_n)]
@@ -379,12 +387,10 @@ def decode_fps(ref_build, dsv_path, runs=3):
         t0 = time.perf_counter()
         writer = None
         n = 0
-        dec = D.Decoder()
-        prev = None
-
-        def emit(realize, meta):
-            nonlocal writer, n
-            frame = realize()
+        # chunked decode: runs of P frames fuse into one scan dispatch +
+        # one [K, npix] fetch (intra runs vmap); host entropy decode of
+        # the next chunk overlaps device compute of the previous one
+        for fno, meta, frame in D.decode_stream_chunked(io.BytesIO(data)):
             if writer is None:
                 writer = y4m.Y4MWriter(buf, meta.width, meta.height,
                                        meta.subsamp,
@@ -392,21 +398,6 @@ def decode_fps(ref_build, dsv_path, runs=3):
                                        (meta.aspect_num, meta.aspect_den))
             writer.write_frame([frame.view(c) for c in range(3)])
             n += 1
-
-        # 1-frame pipeline: frame N's fetch overlaps packet N+1's host
-        # entropy decode + dispatch. meta is captured WITH the frame: a
-        # mid-stream PT_META packet must not retag frames already decoded.
-        for t, pkt in packet.iter_packets(io.BytesIO(data)):
-            code, realize, fno = dec.decode_packet_lazy(pkt)
-            if code == D.DEC_EOS:
-                break
-            if code != D.DEC_OK or realize is None:
-                continue
-            if prev is not None:
-                emit(*prev)
-            prev = (realize, dec.meta)
-        if prev is not None:
-            emit(*prev)
         return time.perf_counter() - t0, n, buf.getvalue()
 
     with_retry(our_run)  # warm (jit compile of the decode chain)
@@ -530,18 +521,20 @@ def main():
               lambda: round(device_ms_per_frame(src, chunk), 3))
     run_extra("link_mbps", 20, 90, lambda: round(link_mbps(), 1),
               tpu_only=True)
-    # BASELINE config 1
-    run_extra("p_lockstep", 200, 420,
-              lambda: p_lockstep(ref_bin, p_gop, p_width))
+    # BASELINE config 1 (warm_frames=2 compiles the I + P step shapes
+    # without paying a full extra 384-frame pass before the timed runs)
+    run_extra("p_lockstep", 180, 360,
+              lambda: p_lockstep(ref_bin, p_gop, p_width, warm_frames=2))
     # BASELINE config 2
     run_extra("decode", 60, 180,
               lambda: decode_fps(ref_dir, "/tmp/dsv2_bench_pref_l0.dsv")
               if os.path.exists("/tmp/dsv2_bench_pref_l0.dsv") else None)
     # BASELINE config 3: Mobile-CIF class, GOP=60, -effort=10 (the
     # default effort IS 10 on both encoders; README.md:181,:208)
-    run_extra("mobile_cif", 150, 360,
+    run_extra("mobile_cif", 120, 300,
               lambda: p_lockstep(ref_bin, 60, p_width,
                                  name="cif_gop60_effort10_x8", runs=1,
+                                 warm_frames=2,
                                  pref="/tmp/dsv2_bench_c3.dsv"),
               tpu_only=True)
     # BASELINE config 5

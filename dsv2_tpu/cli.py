@@ -299,26 +299,11 @@ def cmd_decode(argv):
     dec = D.Decoder(draw_info=opts["drawinfo"])
     writer = None
 
-    def lazy_frames():
-        # 1-frame pipeline: frame N's pixel fetch overlaps packet N+1's
-        # host entropy decode + device dispatch. meta is captured WITH
-        # the frame: a mid-stream PT_META packet (legal per the packet
-        # grammar, dsv_decoder.c re-decodes meta whenever one appears)
-        # must not retag a frame decoded under the previous metadata.
-        prev = None
-        for t, buf in packet.iter_packets(inp):
-            code, realize, fno = dec.decode_packet_lazy(buf)
-            if code == D.DEC_EOS:
-                break
-            if code != D.DEC_OK or realize is None:
-                continue
-            if prev is not None:
-                yield prev[0](), prev[1]
-            prev = (realize, dec.meta)
-        if prev is not None:
-            yield prev[0](), prev[1]
-
-    for frame, meta in lazy_frames():
+    # chunked decode: consecutive P frames fuse into one lax.scan
+    # dispatch + one [K, npix] pixel fetch; irregular packets fall back
+    # to the single-frame path inside the driver. meta comes WITH each
+    # frame: a mid-stream PT_META packet must not retag earlier frames.
+    for fno, meta, frame in D.decode_stream_chunked(inp, decoder=dec):
         planes = [frame.view(c) for c in range(3)]
         subs = meta.subsamp
         if opts["out420p"] and subs != K.SUBSAMP_420:

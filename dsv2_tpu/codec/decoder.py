@@ -159,6 +159,18 @@ class Decoder:
         frame N overlaps the fetch with the next frame's host entropy
         decode + dispatch (the reference chain itself stays on device
         and never blocks on the fetch)."""
+        code, job, fno = self.parse_packet(buf)
+        if job is None:
+            return code, None, fno
+        return self._execute_job(job)
+
+    def parse_packet(self, buf):
+        """Host phase of packet decode: header, metadata/EOS handling,
+        and — for picture packets — stability/motion deserialization plus
+        the native entropy decode of the three planes. Returns
+        (code, job|None, fno): job is a dict of everything the device
+        phase needs, consumed by _execute_job (one frame) or batched by
+        decode_stream_chunked (many frames, one dispatch)."""
         r = BitReader(buf)
         pkt_type = packet.parse_packet_hdr(r)
         if pkt_type is None:
@@ -217,7 +229,6 @@ class Decoder:
         r.align()
 
         bd_grid = blockdata.reshape(pcfg.nbv, pcfg.nbh)
-        from . import devsteps
         vs = []
         lls = []
         bad_planes = []
@@ -229,6 +240,23 @@ class Decoder:
                 log.warning("corrupt plane %d (bad EOP)", c)
             vs.append(v)
             lls.append(np.int32(ll))
+        job = dict(fno=fno, has_ref=has_ref, is_ref=is_ref, meta=meta,
+                   pcfg=pcfg, blk_w=blk_w, blk_h=blk_h, quant=quant,
+                   lossless=lossless, do_filter=do_filter,
+                   blockdata=blockdata, bd_grid=bd_grid, mf=mf,
+                   vs=vs, lls=lls, bad_planes=bad_planes)
+        return DEC_OK, job, fno
+
+    def _execute_job(self, job):
+        """Device phase of one picture packet (see parse_packet)."""
+        from . import devsteps
+        meta = job["meta"]
+        fno, has_ref, is_ref = job["fno"], job["has_ref"], job["is_ref"]
+        pcfg, blk_w, blk_h = job["pcfg"], job["blk_w"], job["blk_h"]
+        quant, lossless = job["quant"], job["lossless"]
+        do_filter, bd_grid, mf = job["do_filter"], job["bd_grid"], job["mf"]
+        vs, lls, bad_planes = job["vs"], job["lls"], job["bad_planes"]
+        blockdata = job["blockdata"]
         if bad_planes and self.ref_dev is not None:
             # corrupt stream: drop to the host chain for the rest of the
             # stream (the recovery paths read reference pixels host-side)
@@ -397,6 +425,146 @@ class Decoder:
                                  has_ref)
 
         return DEC_OK, realize, fno
+
+
+    def _dispatch_multi(self, kind, jobs):
+        """One fused dispatch for a run of chain-eligible picture jobs.
+        kind "p": lax.scan threading the device reference chain through
+        consecutive ref P frames; kind "i": vmap over independent non-ref
+        intra frames. Returns the device [K, npix] packed payload (ONE
+        d2h fetch for all K frames); for "p" the reference chain advances
+        to the last frame's recon. Byte-identical to per-frame dispatch —
+        the fused bodies are the single-frame programs."""
+        from . import devsteps
+        meta = jobs[0]["meta"]
+        vs = tuple(np.stack([j["vs"][c] for j in jobs]) for c in range(3))
+        bd = np.stack([j["bd_grid"] for j in jobs])
+        q = np.asarray([j["quant"] for j in jobs], np.int32)
+        lls = np.stack([np.asarray(j["lls"], np.int32) for j in jobs])
+        fqs = [compute_filter_q(j["pcfg"].hzcc_cfg(0), j["quant"])
+               for j in jobs]
+        fq = np.asarray(fqs, np.int32)
+        fthresh = np.asarray([32 * (14 - im.lb2(v)) for v in fqs],
+                             np.int32)
+        df = np.asarray([j["do_filter"] for j in jobs], np.int32)
+        if kind == "p":
+            def g(a):
+                return np.stack([j["mf"].grid(getattr(j["mf"], a))
+                                 .astype(np.int32) for j in jobs])
+            tmc = np.asarray([K.temporal_mc(j["fno"]) for j in jobs],
+                             np.int32)
+            fn = devsteps.make_pd_chain_multi(
+                meta.width, meta.height, meta.subsamp, jobs[0]["blk_w"],
+                jobs[0]["blk_h"], jobs[0]["lossless"], meta.inter_sharpen)
+            packed, chain = fn(vs, bd, q, lls,
+                               tuple(self.ref_dev["recon"]),
+                               g("x"), g("y"), g("flags"), g("submask"),
+                               g("dc"), tmc, fq, fthresh, df)
+            self.ref_dev = chain
+            return packed
+        fn = devsteps.make_id_chain_multi(
+            meta.width, meta.height, meta.subsamp, jobs[0]["blk_w"],
+            jobs[0]["blk_h"], jobs[0]["lossless"])
+        return fn(vs, bd, q, lls, fq, fthresh, df)
+
+
+def _auto_chunk(pcfg):
+    """Frames per fused decode dispatch: bound the staged visible payload
+    (and the scan/vmap working set) to ~24 MB."""
+    npix = sum(pw * ph for pw, ph in pcfg.pdims)
+    return max(2, min(32, (24 << 20) // max(npix, 1)))
+
+
+def decode_stream_chunked(stream, chunk=None, decoder=None):
+    """Decode a .dsv stream with multi-frame fused dispatches: runs of
+    consecutive ref P pictures (same geometry) become ONE lax.scan
+    dispatch + ONE [K, npix] pixel fetch, and runs of non-ref intra
+    pictures ONE vmapped dispatch. Yields (fno, meta, Frame) in stream
+    order, byte-identical to decode_stream (the fused bodies are the
+    single-frame programs). A 1-chunk pipeline overlaps the host entropy
+    decode of the next chunk with device compute + fetch of the previous
+    one. Anything irregular — metadata changes, corrupt planes, non-ref
+    P, arena geometry, host-chain fallback — flushes the run and takes
+    the single-frame path."""
+    dec = decoder or Decoder()
+    pend = []   # chain-eligible jobs, all sharing pend[0]["key"]
+    outq = []   # dispatched, unrealized: (tag, payload, jobs)
+
+    def jkey(job, kind):
+        m = job["meta"]
+        return (kind, m.width, m.height, m.subsamp, job["blk_w"],
+                job["blk_h"], job["lossless"], m.inter_sharpen)
+
+    def kind_of(job):
+        if not (dec.device_chain and not dec._use_arena
+                and not job["bad_planes"] and dec.ref is None):
+            return None
+        if job["has_ref"]:
+            # every chunked P must advance the chain (scan carries it);
+            # a non-ref P or a chain-less start falls back to single
+            return ("p" if job["is_ref"] and dec.ref_dev is not None
+                    else None)
+        return "i" if not job["is_ref"] else None
+
+    def flush():
+        if not pend:
+            return
+        jobs = pend[:]
+        del pend[:]
+        if len(jobs) == 1:
+            code, realize, _ = dec._execute_job(jobs[0])
+            if code == DEC_OK and realize is not None:
+                outq.append(("one", realize, jobs))
+            return
+        outq.append(("multi", dec._dispatch_multi(jobs[0]["kind"], jobs),
+                     jobs))
+
+    def realize_entry(entry):
+        tag, payload, jobs = entry
+        if tag == "one":
+            j = jobs[0]
+            yield j["fno"], j["meta"], payload()
+            return
+        flat = payload if isinstance(payload, np.ndarray) \
+            else np.asarray(payload)
+        for k, j in enumerate(jobs):
+            pcfg = j["pcfg"]
+            m = j["meta"]
+            out = Frame(m.subsamp, m.width, m.height, border=True)
+            row = flat[k]
+            off = 0
+            for c in range(3):
+                pw, ph = pcfg.pdims[c]
+                out.view(c)[:, :] = row[off:off + ph * pw].reshape(ph, pw)
+                off += ph * pw
+            yield (j["fno"], m,
+                   dec._present(out, j["blockdata"], j["mf"], pcfg,
+                                j["has_ref"]))
+
+    for t, buf in packet.iter_packets(stream):
+        code, job, fno = dec.parse_packet(buf)
+        if code == DEC_EOS:
+            break
+        if job is None:
+            continue
+        k = kind_of(job)
+        if k is None or (pend and pend[0]["key"] != jkey(job, k)):
+            flush()
+        if k is None:
+            code, realize, _ = dec._execute_job(job)
+            if code == DEC_OK and realize is not None:
+                outq.append(("one", realize, [job]))
+        else:
+            job["kind"] = k
+            job["key"] = jkey(job, k)
+            pend.append(job)
+            if len(pend) >= (chunk or _auto_chunk(job["pcfg"])):
+                flush()
+        while len(outq) > 1:
+            yield from realize_entry(outq.pop(0))
+    flush()
+    while outq:
+        yield from realize_entry(outq.pop(0))
 
 
 def decode_stream(stream, out_writer=None):

@@ -71,6 +71,33 @@ def test_decode_matches_reference(ref_build, fixtures_dir, tmp_path,
             f"(ours {a[bad[0]]} ref {b[bad[0]]})")
 
 
+CHUNK_CASES = [
+    ("qcif176x144_420_10f.y4m", ["-qp=70", "-gop=4"]),   # I at 0,4,8: runs
+    ("qcif176x144_420_10f.y4m", ["-qp=60", "-gop=48"]),  # one long P run
+    ("tiny64x48_420_6f.y4m", ["-qp=85", "-gop=0"]),      # intra vmap run
+    ("odd100x62_420_4f.y4m", ["-qp=60", "-gop=48"]),     # odd dims
+    ("tiny64x48_444_4f.y4m", ["-qp=100", "-gop=48"]),    # lossless
+]
+
+
+@pytest.mark.parametrize("fixture,args", CHUNK_CASES)
+def test_chunked_decode_matches_reference(ref_build, fixtures_dir,
+                                          tmp_path, fixture, args):
+    """decode_stream_chunked (multi-frame fused dispatches: P runs as one
+    lax.scan, intra runs as one vmap) must be byte-identical to the
+    serial driver; chunk=3 forces mid-run chunk boundaries AND tail
+    chunks shorter than the chunk size."""
+    src = os.path.join(fixtures_dir, fixture)
+    dsv = str(tmp_path / "t.dsv")
+    ref_encode(ref_build, src, dsv, args)
+    want = ref_decode(ref_build, dsv, str(tmp_path / "ref.yuv"))
+    chunks = []
+    with open(dsv, "rb") as f:
+        for fno, meta, frame in dec.decode_stream_chunked(f, chunk=3):
+            chunks.append(frame.tobytes())
+    assert b"".join(chunks) == want
+
+
 def test_decode_matches_d28dec(ref_build, fixtures_dir, tmp_path):
     """Cross-check vs the independent single-header conformance decoder."""
     src = os.path.join(fixtures_dir, "qcif176x144_420_10f.y4m")

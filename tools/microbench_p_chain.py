@@ -112,8 +112,10 @@ def main():
     (w, h, subsamp, blk_w, blk_h, lossless, do_psy,
      levels, inter_sharpen) = cfg
     print(f"captured p_chain cfg={cfg}, {len(args)} args")
-    args = [jax.device_put(np.asarray(a)) for a in args]
-    for a in args:
+    # args are pytrees (per-plane tuples of differently-shaped arrays)
+    args = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a)), args)
+    for a in jax.tree_util.tree_leaves(args):
         a.block_until_ready()
 
     from dsv2_tpu.core.frame import B
@@ -156,21 +158,73 @@ def main():
 
         return jax.jit(jax.vmap(step))
 
+    # cumulative prefixes of the base step: consecutive diffs attribute
+    # MC / fwd SBT / quantize / inverse+recon / blob emission
+    from dsv2_tpu.ops import sbt as sbt_ops, hzcc as hzcc_ops, mc as mc_ops
+
+    def prefix_var(upto):
+        def step(srcs_full, refs, mvx, mvy, flags, submask, dc, bd,
+                 eprm_m, mlt_m, q, tmc, fq, fthresh, do_filter):
+            outs = []
+            for c in range(3):
+                mcc = pcfg.mc_cfg(c)
+                scfg = pcfg.sbt_cfg(c)
+                hcfg = pcfg.hzcc_cfg(c)
+                cw, ch = pcfg.cdims[c]
+                pw, ph = pcfg.pdims[c]
+                src = jax.lax.slice(srcs_full[c], (B, B),
+                                    (B + mcc.gh, B + mcc.gw))
+                pred = mc_ops.make_predict(mcc)(refs[c], mvx, mvy, flags,
+                                                submask, dc, tmc)
+                res = mc_ops.make_subtract(mcc)(src, pred, flags)
+                if upto == "mc":
+                    outs.append(res)
+                    continue
+                x = jnp.zeros((ch, cw), jnp.int32)
+                x = x.at[:ph, :].set(res[:ph, :cw].astype(jnp.int32)
+                                     - 128)
+                coefs, cr = sbt_ops.make_fwd_sbt_carry(scfg)(x, bd)
+                if upto == "sbt":
+                    outs.append(coefs)
+                    continue
+                deq, v = hzcc_ops.make_quantize(hcfg)(coefs, bd, eprm_m,
+                                                      mlt_m, q)
+                if upto == "quant":
+                    outs.append(v)
+                    continue
+                rpx = sbt_ops.make_inv_sbt_stale(scfg)(deq, bd, q, cr)
+                rpx = jnp.clip(rpx + 128, 0, 255).astype(jnp.uint8)
+                res2 = res.at[:ph, :pw].set(rpx[:ph, :pw])
+                outs.append(mc_ops.make_reconstruct(mcc)(res2, pred,
+                                                         flags))
+            return outs
+
+        return jax.jit(jax.vmap(step))
+
     variants = {
         "full": step_var(True, True),
         "nofilt": step_var(False, True),
         "base": step_var(False, False),
+        "mc": prefix_var("mc"),
+        "+fwdsbt": prefix_var("sbt"),
+        "+quant": prefix_var("quant"),
+        "+invrec": prefix_var("inv"),
     }
     import statistics
+
+    def tiny_sync(out):
+        # 1-element fetch forces completion without paying a bulk d2h
+        leaf = jax.tree_util.tree_leaves(out)[1]
+        np.asarray(leaf[tuple(0 for _ in leaf.shape)])
+
     for name, fn in variants.items():
         out = fn(*args)
-        sync = jax.tree_util.tree_leaves(out)[1]
-        np.asarray(sync)  # smalls: tiny sync fetch
+        tiny_sync(out)
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
             out = fn(*args)
-            np.asarray(jax.tree_util.tree_leaves(out)[1])
+            tiny_sync(out)
             ts.append((time.perf_counter() - t0) * 1000)
         print(f"{name:8s} {statistics.median(ts):8.1f} ms/flush "
               f"({statistics.median(ts)/width:6.2f} ms/frame)  "

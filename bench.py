@@ -27,8 +27,9 @@ BENCH_r04 was rc=124/parsed:null because the whole record printed only
 after every extra finished).
 
   - device_ms_per_frame: pure device compute per 1080p intra frame
-  - link_mbps: end-to-end d2h fetch bandwidth of a FRESH device buffer
-    per run (re-fetching one buffer measures the host-side cache)
+  - link_MBps: end-to-end d2h fetch bandwidth (MB/s) of a FRESH device
+    buffer per run (re-fetching one buffer measures the host-side
+    cache); runs LAST — diagnostics never outrank BASELINE configs
   - p_lockstep: BASELINE config 1 — Stefan-class CIF -qp=60 -gop=48
     (README.md:141) lockstep x8 vs the C encoder; EVERY lane is
     byte-checked against the reference binary's matching GOP
@@ -260,14 +261,16 @@ def link_mbps():
 
 
 def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
-               runs=3, warm_frames=None, frames_per_stream=None,
+               runs=3, c_runs=1, warm_frames=None, frames_per_stream=None,
                pref="/tmp/dsv2_bench_pref.dsv"):
     """Lockstep P-frame encode (width streams x frames_per_stream frames,
     default gop frames each) vs the C encoder on the identical input;
     EVERY lane is byte-checked against the reference binary encoding the
     same frame range (-sfr/-nfr chunk semantics, parallel_encode.sh:35-75).
     Default geometry is BASELINE config 1 (Stefan-class CIF -qp=60
-    -gop=48, README.md:141); configs 3/4 call it with their own shapes."""
+    -gop=48, README.md:141); configs 3/4 call it with their own shapes.
+    c_runs: timed C-encoder passes (1 keeps the extras inside the bench
+    budget; the C side has low run-to-run variance on an idle host)."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.dynbatch import encode_streams_lockstep
     from dsv2_tpu.utils.packet import encode_eos
@@ -283,7 +286,7 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
                         f"-gop={gop}", f"-qp={qp}"], capture_output=True)
         return n / (time.perf_counter() - t0)
 
-    c_fps = statistics.median([cref() for _ in range(runs)])
+    c_fps = statistics.median([cref() for _ in range(c_runs)])
     # reference bytes per lane: the reference encoding the same frame
     # range as an independent chunked stream (parallel_encode.sh GOP
     # chunking). Round 4 checked lane 0 only; the headline claim is
@@ -300,12 +303,6 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
                             f"-sfr={i * fps_n}", f"-nfr={fps_n}"],
                            capture_output=True)
         wants.append(open(out_i, "rb").read())
-    # the decode metric reads lane 0's chunk stream
-    if w == 352 and gop == P_GOP:
-        import shutil
-        shutil.copy(f"/tmp/dsv2_bench_pref_{w}x{h}n{n}g{gop}q{qp}_l0.dsv",
-                    "/tmp/dsv2_bench_pref_l0.dsv")
-
     frames, meta = read_frames(src)
     streams = [frames[i:i + fps_n] for i in range(0, n, fps_n)]
 
@@ -359,6 +356,22 @@ def lossless444_batch(ref_bin, nframes=8, chunk=4):
     return {"config": "fhd_lossless444_crf_intra",
             "fps": round(fps, 3), "c_fps": round(c_fps, 3),
             "vs_baseline": round(fps / c_fps, 4), "exact": exact}
+
+
+def p_chunk_input(ref_bin, gop=P_GOP, w=352, h=288, qp=60):
+    """The decode metric's input: the reference binary encoding lane 0's
+    frame range as a chunked stream (identical to what p_lockstep caches;
+    regenerated here so the decode metric never depends on p_lockstep
+    having run first)."""
+    n = P_WIDTH * gop
+    src = ensure_inputs(w, h, n)
+    out = f"/tmp/dsv2_bench_pref_{w}x{h}n{n}g{gop}q{qp}_l0.dsv"
+    if not os.path.exists(out):
+        subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                        "-out=" + out, "-y4m=1", f"-gop={gop}",
+                        f"-qp={qp}", "-sfr=0", f"-nfr={gop}"],
+                       capture_output=True)
+    return out
 
 
 def decode_fps(ref_build, dsv_path, runs=3):
@@ -519,40 +532,41 @@ def main():
 
     run_extra("device_ms_per_frame", 30, 120,
               lambda: round(device_ms_per_frame(src, chunk), 3))
-    run_extra("link_mbps", 20, 90, lambda: round(link_mbps(), 1),
-              tpu_only=True)
     # BASELINE config 1 (warm_frames=2 compiles the I + P step shapes
     # without paying a full extra 384-frame pass before the timed runs)
-    run_extra("p_lockstep", 180, 360,
+    run_extra("p_lockstep", 120, 360,
               lambda: p_lockstep(ref_bin, p_gop, p_width, warm_frames=2))
-    # BASELINE config 2
+    # BASELINE config 2 (generates its own input; independent of whether
+    # p_lockstep ran)
     run_extra("decode", 60, 180,
-              lambda: decode_fps(ref_dir, "/tmp/dsv2_bench_pref_l0.dsv")
-              if os.path.exists("/tmp/dsv2_bench_pref_l0.dsv") else None)
+              lambda: decode_fps(ref_dir, p_chunk_input(ref_bin)))
     # BASELINE config 3: Mobile-CIF class, GOP=60, -effort=10 (the
     # default effort IS 10 on both encoders; README.md:181,:208)
-    run_extra("mobile_cif", 120, 300,
+    run_extra("mobile_cif", 90, 300,
               lambda: p_lockstep(ref_bin, 60, p_width,
                                  name="cif_gop60_effort10_x8", runs=1,
                                  warm_frames=2,
                                  pref="/tmp/dsv2_bench_c3.dsv"),
               tpu_only=True)
     # BASELINE config 5
-    run_extra("lossless444", 120, 300,
+    run_extra("lossless444", 90, 300,
               lambda: lossless444_batch(ref_bin), tpu_only=True)
     # BASELINE config 4: Parkrun-class 1280x720 GOP=250 (qpel + EPRM
     # motion stress; README.md:229). 32 frames x4 streams = 128 frames
     # per side (a full 1000-frame GOP does not fit the bench budget;
     # gop=250 semantics are identical for the frames encoded).
-    run_extra("parkrun_720p", 180, 420,
+    run_extra("parkrun_720p", 120, 420,
               lambda: p_lockstep(ref_bin, 250, 4, w=1280, h=720,
                                  name="720p_gop250_x4_32f", runs=1,
                                  warm_frames=4, frames_per_stream=32,
                                  pref="/tmp/dsv2_bench_c4.dsv"),
               tpu_only=True)
-    run_extra("decode_fhd", 60, 180, lambda: dict(
+    run_extra("decode_fhd", 45, 180, lambda: dict(
         decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv"),
         config="decode_fhd_intra_dsv"), tpu_only=True)
+    # diagnostics last: BASELINE configs always outrank them for budget
+    run_extra("link_MBps", 20, 60, lambda: round(link_mbps(), 1),
+              tpu_only=True)
 
     print(json.dumps(rec))
     print(f"# reference C encoder: {c_fps:.2f} fps (same host, same "

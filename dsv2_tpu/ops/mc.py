@@ -77,6 +77,7 @@ _BF_MULADD = 1 << K.HP_SHF    # 32
 
 def _qp_blend(f, b, c, phase):
     """Quarter-pel linear blend (ref: bmc.c:700-723)."""
+    phase = jnp.broadcast_to(phase, f.shape)
     cases = [
         (_BF_MULADD * 2 * b + _BF_MULADD) >> _BF_SHIFT,
         (f + _BF_MULADD * b + _BF_MULADD) >> _BF_SHIFT,
@@ -84,6 +85,24 @@ def _qp_blend(f, b, c, phase):
         (f + _BF_MULADD * c + _BF_MULADD) >> _BF_SHIFT,
     ]
     return jax.lax.select_n(phase, *cases)
+
+
+def _win_gather(ref, offy, offx, wh, ww):
+    """One gather of per-block (wh, ww) windows: out[j, i, r, c] =
+    ref[clip(offy[j,i] + r), clip(offx[j,i] + c)] — the per-tap clamped
+    gathers collapse into a single canvas because MV offsets are constant
+    per block, so every tap is a STATIC slice of the canvas. Gather
+    volume drops from one plane per tap to wh*ww/(bh*bw) planes total."""
+    ry = jnp.clip(offy[:, :, None] + jnp.arange(wh, dtype=jnp.int32),
+                  0, ref.shape[0] - 1)
+    rx = jnp.clip(offx[:, :, None] + jnp.arange(ww, dtype=jnp.int32),
+                  0, ref.shape[1] - 1)
+    return ref[ry[:, :, :, None], rx[:, :, None, :]].astype(jnp.int32)
+
+
+def _blocks_to_plane(bk, cfg):
+    """(nbv, nbh, bh, bw) block tensor -> (gh, gw) plane."""
+    return bk.transpose(0, 2, 1, 3).reshape(cfg.gh, cfg.gw)
 
 
 @functools.lru_cache(maxsize=None)
@@ -95,8 +114,6 @@ def make_predict(cfg: McCfg):
     jbase = np.arange(cfg.nbv) * cfg.bh
     limx = cfg.w - cfg.bw + B - 1
     limy = cfg.h - cfg.bh + B - 1
-    Y = np.arange(cfg.gh)[:, None]
-    X = np.arange(cfg.gw)[None, :]
     sbw, sbh = cfg.bw // 2, cfg.bh // 2
     # chroma fractional setup (ref: bmc.c:771-812)
     hbits, vbits = 2 + cfg.sh, 2 + cfg.sv
@@ -110,66 +127,58 @@ def make_predict(cfg: McCfg):
         pxb = ibase[None, :] + (mvx >> (2 + cfg.sh))
         pyb = jbase[:, None] + (mvy >> (2 + cfg.sv))
         # whole-pel / intra-copy source offsets (ref: bmc.c:850-851, 905-906)
-        offx_w = jnp.clip(pxb, -B, limx) - ibase[None, :]
-        offy_w = jnp.clip(pyb, -B, limy) - jbase[:, None]
-        wx = B + X + _bcast(offx_w, cfg)
-        wy = B + Y + _bcast(offy_w, cfg)
-        wholepel = _gather(ref, wy, wx)
-
-        intra_b = (flags & (1 << K.MV_BIT_INTRA)) != 0
+        offx_w = jnp.clip(pxb, -B, limx) + B
+        offy_w = jnp.clip(pyb, -B, limy) + B
+        bb = lambda m: m[:, :, None, None]  # per-block -> block-tensor bcast
 
         if cfg.is_luma:
+            wins = _win_gather(ref, offy_w, offx_w, cfg.bh, cfg.bw)
+            wholepel = _blocks_to_plane(wins, cfg)
             # subpel two-pass 4-tap + quarter-pel blend (ref: bmc.c:661-769)
-            offx_s = jnp.clip(pxb - 1, -B, limx) - ibase[None, :]
-            offy_s = jnp.clip(pyb - 1, -B, limy) - jbase[:, None]
-            sx = B + X + _bcast(offx_s, cfg)
-            sy = B + Y + _bcast(offy_s, cfg)
+            offx_s = jnp.clip(pxb - 1, -B, limx) + B
+            offy_s = jnp.clip(pyb - 1, -B, limy) + B
+            C = _win_gather(ref, offy_s, offx_s, cfg.bh + 3, cfg.bw + 3)
             large = (jnp.abs(mvx) >= 8) | (jnp.abs(mvy) >= 8)
             dxp = mvx & 3
             dyp = mvy & 3
             tmc_odd = (tmc & 1) != 0
-            dqtx = large | ((dxp & 1) == 0) | tmc_odd
-            dqty = large | ((dyp & 1) == 0) | tmc_odd
-            dxp_p = _bcast(dxp, cfg)
-            dyp_p = _bcast(dyp, cfg)
-            dqtx_p = _bcast(dqtx, cfg)
-            dqty_p = _bcast(dqty, cfg)
+            dqtx = bb(large | ((dxp & 1) == 0) | tmc_odd)
+            dqty = bb(large | ((dyp & 1) == 0) | tmc_odd)
             rows = []
             for t in range(4):
-                a = _gather(ref, sy + t, sx + 0)
-                b = _gather(ref, sy + t, sx + 1)
-                c = _gather(ref, sy + t, sx + 2)
-                d = _gather(ref, sy + t, sx + 3)
-                fv = jnp.where(dqtx_p, _hpf_a(a, b, c, d), _hpf_b(a, b, c, d))
-                rows.append(_qp_blend(fv, b, c, dxp_p))
-            fv = jnp.where(dqty_p,
+                a, b, c, d = (C[:, :, t:t + cfg.bh, k:k + cfg.bw]
+                              for k in range(4))
+                fv = jnp.where(dqtx, _hpf_a(a, b, c, d), _hpf_b(a, b, c, d))
+                rows.append(_qp_blend(fv, b, c, bb(dxp)))
+            fv = jnp.where(dqty,
                            _hpf_a(rows[0], rows[1], rows[2], rows[3]),
                            _hpf_b(rows[0], rows[1], rows[2], rows[3]))
-            subpel = jnp.clip(_qp_blend(fv, rows[1], rows[2], dyp_p), 0, 255)
-            is_subpel = _bcast(((mvx | mvy) & 3) != 0, cfg)
-            inter = jnp.where(is_subpel, subpel, wholepel)
+            subpel = jnp.clip(_qp_blend(fv, rows[1], rows[2], bb(dyp)),
+                              0, 255)
+            is_subpel = bb(((mvx | mvy) & 3) != 0)
+            inter = _blocks_to_plane(jnp.where(is_subpel, subpel, wins), cfg)
         else:
+            C = _win_gather(ref, offy_w, offx_w, cfg.bh + 1, cfg.bw + 1)
+            wins = C[:, :, :cfg.bh, :cfg.bw]
+            wholepel = _blocks_to_plane(wins, cfg)
             dxc = mvx & (hf - 1)
             dyc = mvy & (vf - 1)
             f0 = (hf - dxc) * (vf - dyc)
             f1 = dxc * (vf - dyc)
             f2 = (hf - dxc) * dyc
             f3 = dxc * dyc
-            p00 = wholepel
-            p01 = _gather(ref, wy, wx + 1)
-            p10 = _gather(ref, wy + 1, wx)
-            p11 = _gather(ref, wy + 1, wx + 1)
-            inter = (_bcast(f0, cfg) * p00 + _bcast(f1, cfg) * p01
-                     + _bcast(f2, cfg) * p10 + _bcast(f3, cfg) * p11
-                     + af) >> sf
+            p00 = wins
+            p01 = C[:, :, :cfg.bh, 1:cfg.bw + 1]
+            p10 = C[:, :, 1:cfg.bh + 1, :cfg.bw]
+            p11 = C[:, :, 1:cfg.bh + 1, 1:cfg.bw + 1]
+            inter = _blocks_to_plane(
+                (bb(f0) * p00 + bb(f1) * p01 + bb(f2) * p10
+                 + bb(f3) * p11 + af) >> sf, cfg)
 
-        # intra fills (ref: bmc.c:845-900)
-        def block_window(py, px):
-            return jax.lax.dynamic_slice(
-                ref, (py + B, px + B), (cfg.bh, cfg.bw)).astype(jnp.int32)
+        intra_b = (flags & (1 << K.MV_BIT_INTRA)) != 0
 
-        wins = jax.vmap(jax.vmap(block_window))(
-            jnp.clip(pyb, -B, limy), jnp.clip(pxb, -B, limx))
+        # intra fills (ref: bmc.c:845-900) — windows ARE the whole-pel
+        # canvas blocks (same clamped offsets), so no extra gather
         full_avg = wins.sum(axis=(-1, -2)) // (cfg.bw * cfg.bh)
         q_avgs = []
         for g in (0, sbh):

@@ -38,13 +38,19 @@ scatter-update count proportional to the LIVE code count, not the plane
 size (under jax.vmap the traced loop bounds batch to the lane maximum):
 
   L1 — LL prefix (compacted slots [0, nll)): generic two-part emission,
-       6 word-updates per slot (LL NEG codes are routinely long);
-  L2 — HF slots [0, nruns): the common case alen+gap+blen <= 33 bits
-       emits ONE merged part, 2 word-updates per slot; longer codes are
-       row-scattered into a spill table instead (rare: big runs on very
-       sparse planes, rice q spikes while vk is cold);
-  L3 — the spill table: generic two-part emission, 6 updates per slot,
-       usually zero trips.
+       6 word-updates per slot (LL NEG codes are routinely long); its
+       chunk is sized to the STATIC LL band (ll_n is known per plane),
+       so one trip covers it with no dead slots;
+  L2 — HF slots [0, nruns): two-part emission, 5 word-updates per slot
+       (run UEG <=45 bits -> 3 words; rice tail <=31 bits -> 2). An
+       earlier design merged short codes into one 2-update part and
+       row-scattered long ones into a spill table, but the per-trip
+       8-column spill-row scatter cost more than the 3 updates it
+       saved (measured 62 -> ~30 ms per 8-frame FHD luma chunk).
+
+  Chunk sizes adapt to the plane: the HF chunk targets ~1/16 density
+  (clamped [2048, 65536]) so small planes (CIF P frames) don't pay a
+  65536-slot floor per trip.
 
 The first emission profile of this path's predecessor (per-BYTE gather
 of 8 candidate records + a searchsorted over the byte grid) measured
@@ -66,10 +72,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 RUN_BITS = 24
-_CLL = 1 << 15     # L1 slots per chunk (LL prefix)
-_CHF = 1 << 16     # L2 slots per chunk (HF short/merged)
-_CSP = 1 << 13     # L3 slots per chunk (spill)
-SPILL = 1 << 13    # spill-table capacity (beyond -> plane fallback)
+_RCH_MIN = 1 << 11   # vk kernel row-chunk; HF chunks stay multiples of it
+
+
+def _chunk_sizes(total, ll_n):
+    """(cll, chf, TP) for a plane with `total` scan positions and an
+    `ll_n`-wide LL NEG prefix. cll: one L1 trip covers the whole LL band
+    (it is tiny and static); chf: ~total/16 (the emit trip count tracks
+    the live density instead of paying a 65536-slot floor on small
+    planes); TP: compacted-slot padding, a multiple of chf (so the
+    emission dynamic_slice chunks fit) and of the vk kernel's row chunk.
+    cll and chf are powers of two with cll | chf."""
+    chf = max(_RCH_MIN,
+              min(1 << 16, 1 << (max(total // 16, 1) - 1).bit_length()))
+    cll = max(8, min(chf, 1 << (max(ll_n, 1) - 1).bit_length()))
+    tp = _pad_to(max(total, chf), chf)
+    return cll, chf, tp
 
 
 def _interpret():
@@ -346,12 +364,10 @@ def make_scan_blob(segments, cap_bytes):
     hzcc.scan_segments. Blob bytes [0, nbytes) byte-match the native
     scan encoder's; on fallback the caller must host-encode instead."""
     total = sum(c for c, _ in segments)
-    # TP: compacted-slot padding so the emission loops' dynamic_slice
-    # chunks always fit; the vk kernel's chunk grid divides it too
-    TP = _pad_to(max(total, _CHF), _CHF)
+    ll_n = segments[0][0] if segments and segments[0][1] < 0 else 0
+    _CLL, _CHF, TP = _chunk_sizes(total, ll_n)
     assert TP % _RCH == 0 and _CHF % _CLL == 0
     npad = TP
-    ll_n = segments[0][0] if segments and segments[0][1] < 0 else 0
     Mb = cap_bytes
     Mw = _pad_to(Mb, 4) // 4
 
@@ -361,14 +377,18 @@ def make_scan_blob(segments, cap_bytes):
         nz = v != 0
         nruns = nz.sum(dtype=jnp.int32)
         nll = nz[:ll_n].sum(dtype=jnp.int32)       # live LL prefix length
-        rank = jnp.cumsum(nz, dtype=jnp.int32) - 1
-        tgt = jnp.where(nz, rank, TP)
-        # two 1-column scatters: XLA lowers a multi-column row scatter
-        # ~8x slower than single-column ones on TPU (measured: 78 ms vs
-        # 2x5 ms at 1080p-luma scale); damp is recomputed from pos
-        # elementwise instead of shipping a third column through
-        vals = jnp.zeros(TP, jnp.int32).at[tgt].set(v, mode="drop")
-        pos = jnp.zeros(TP, jnp.int32).at[tgt].set(idxs, mode="drop")
+        # left-compaction as ONE stable sort on the 0/1 iszero key (a
+        # stable partition): 6x faster than the scatter formulation on
+        # TPU (measured 223 ms -> 37 ms per 8-frame FHD luma chunk for
+        # rank-cumsum + two 1-column .at[tgt].set scatters vs this;
+        # multi-column row scatters were another 8x worse still)
+        _, sv, si = jax.lax.sort(((~nz).astype(jnp.int32), v, idxs),
+                                 num_keys=1, is_stable=True)
+        live = jnp.arange(TP, dtype=jnp.int32) < nruns
+        vals = jnp.where(live, jnp.zeros(TP, jnp.int32).at[:total].set(sv),
+                         0)
+        pos = jnp.where(live, jnp.zeros(TP, jnp.int32).at[:total].set(si),
+                        0)
         dmp = _damp_of_pos(segments, pos)
         idxs = jnp.arange(TP, dtype=jnp.int32)   # slot ids, padded width
         act = idxs < nruns                       # live compacted slots
@@ -426,13 +446,6 @@ def make_scan_blob(segments, cap_bytes):
         nbytes = (end_bits + 7) // 8
         fallback = fallback | (nbytes > Mb) | (nruns >= (1 << RUN_BITS))
 
-        mlen = tot_i
-        merged = isr & (mlen <= 33)              # one-part HF codes
-        spill = isr & (mlen > 33)                # rare long HF codes
-        nspill = spill.sum(dtype=jnp.int32)
-        fallback = fallback | (nspill > SPILL)
-        srank = jnp.cumsum(spill, dtype=jnp.int32) - 1
-
         buf = jnp.zeros(Mw, jnp.int32)
 
         # L1 — LL prefix, generic two-part emission
@@ -448,47 +461,19 @@ def make_scan_blob(segments, cap_bytes):
         nl1 = jnp.clip(-(-nll // _CLL), 0, -(-total // _CLL))
         buf = jax.lax.fori_loop(0, nl1, l1, buf)
 
-        # L2 — HF one-part codes + spill-row collection
-        spill_rows = jnp.full((SPILL + 1, 8), 0, jnp.int32)
-
-        def l2(c, carry):
-            buf, spill_rows = carry
+        # L2 — HF two-part emission: run UEG (<=45 bits, 3 words) then
+        # the rice tail (1+k <= 31 bits, 2 words) after its zero gap
+        def l2(c, buf):
             o = c * _CHF
             sl = lambda a: jax.lax.dynamic_slice(a, (o,), (_CHF,))
-            mlive = sl(merged)
-            msh = (sl(bgap) + sl(blen)).astype(jnp.uint32)
-            mlo, mhi = _shl64_wide(sl(alo), sl(ahi), msh)
-            mlo = mlo | sl(blo)
-            mhi = mhi | sl(bhi)
-            buf = _scatter_part(buf, mlive, sl(sa), sl(mlen),
-                                mlo, mhi, Mw, nwords=2)
-            srows = jnp.stack(
-                [sl(sa), sl(alen),
-                 sl(alo).astype(jnp.int32), sl(ahi).astype(jnp.int32),
-                 sl(sb), sl(blen),
-                 sl(blo).astype(jnp.int32), sl(bhi).astype(jnp.int32)],
-                axis=1)
-            sidx = jnp.where(sl(spill), jnp.clip(sl(srank), 0, SPILL),
-                             SPILL)
-            spill_rows = spill_rows.at[sidx].set(srows, mode="drop")
-            return buf, spill_rows
+            live = sl(isr)
+            buf = _scatter_part(buf, live, sl(sa), sl(alen),
+                                sl(alo), sl(ahi), Mw)
+            return _scatter_part(buf, live, sl(sb), sl(blen),
+                                 sl(blo), sl(bhi), Mw, nwords=2)
 
         nl2 = jnp.clip(-(-nruns // _CHF), 0, -(-total // _CHF))
-        buf, spill_rows = jax.lax.fori_loop(0, nl2, l2, (buf, spill_rows))
-
-        # L3 — spill table, generic two-part emission
-        def l3(c, buf):
-            o = c * _CSP
-            r = jax.lax.dynamic_slice(spill_rows, (o, 0), (_CSP, 8))
-            live = jnp.arange(_CSP, dtype=jnp.int32) + o < nspill
-            buf = _scatter_part(buf, live, r[:, 0], r[:, 1],
-                                r[:, 2].astype(jnp.uint32),
-                                r[:, 3].astype(jnp.uint32), Mw)
-            return _scatter_part(buf, live, r[:, 4], r[:, 5],
-                                 r[:, 6].astype(jnp.uint32),
-                                 r[:, 7].astype(jnp.uint32), Mw)
-
-        buf = jax.lax.fori_loop(0, -(-nspill // _CSP), l3, buf)
+        buf = jax.lax.fori_loop(0, nl2, l2, buf)
 
         blob = jax.lax.bitcast_convert_type(buf, jnp.uint8).reshape(-1)[:Mb]
         hdr = jnp.stack([nruns >> 16, nruns >> 8, nruns]).astype(jnp.uint8)

@@ -28,7 +28,7 @@ def main():
     v = np.where(rng.random(total) < density,
                  rng.integers(-100, 100, total), 0).astype(np.int32)
     vj = jax.device_put(v)
-    TP = scan_pl._pad_to(max(total, scan_pl._CHF), scan_pl._CHF)
+    TP = scan_pl._chunk_sizes(total, 0)[2]
 
     def cumsum_only(v):
         nz = v != 0

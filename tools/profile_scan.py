@@ -109,9 +109,9 @@ def main():
           f"max={nz.max()}", flush=True)
 
     # --- mirrored stages (shapes/ops copied from scan_pl.make_scan_blob)
-    TP = scan_pl._pad_to(max(total, scan_pl._CHF), scan_pl._CHF)
     damp_pos = scan_pl._pos_tables(segments)
     ll_n = segments[0][0] if segments and segments[0][1] < 0 else 0
+    _CLL, _CHF, TP = scan_pl._chunk_sizes(total, ll_n)
     Mb = cap
     Mw = scan_pl._pad_to(Mb, 4) // 4
 
@@ -121,23 +121,22 @@ def main():
         nz = v != 0
         nruns = nz.sum(dtype=jnp.int32)
         nll = nz[:ll_n].sum(dtype=jnp.int32)
-        rank = jnp.cumsum(nz, dtype=jnp.int32) - 1
-        tgt = jnp.where(nz, rank, TP)
-        rows = jnp.stack([v, idxs, jnp.asarray(damp_pos),
-                          jnp.zeros(total, jnp.int32)], axis=1)
-        comp = jnp.zeros((TP, 4), jnp.int32).at[tgt].set(rows, mode="drop")
-        return comp, nruns, nll
+        _, sv, si = jax.lax.sort(((~nz).astype(jnp.int32), v, idxs),
+                                 num_keys=1, is_stable=True)
+        live = jnp.arange(TP, dtype=jnp.int32) < nruns
+        vals = jnp.where(live,
+                         jnp.zeros(TP, jnp.int32).at[:total].set(sv), 0)
+        pos = jnp.where(live,
+                        jnp.zeros(TP, jnp.int32).at[:total].set(si), 0)
+        return vals, pos, nruns, nll
 
-    comp, nruns, nll = jax.jit(jax.vmap(compact))(v)
-    comp = jax.device_put(np.asarray(comp))
-    nruns = jax.device_put(np.asarray(nruns))
-    nll = jax.device_put(np.asarray(nll))
+    outs = jax.jit(jax.vmap(compact))(v)
+    valsC, posC, nruns, nll = [jax.device_put(np.asarray(o)) for o in outs]
     t_c = timeit(jax.jit(jax.vmap(compact)), v)
     print(f"compact     {t_c:8.2f} ms/chunk", flush=True)
 
-    def prep(comp, nruns):
-        vals = comp[:, 0]
-        dmp = comp[:, 2]
+    def prep(vals, pos, nruns):
+        dmp = scan_pl._damp_of_pos(segments, pos)
         idxs = jnp.arange(TP, dtype=jnp.int32)
         act = idxs < nruns
         isneg = act & (dmp < 0)
@@ -149,8 +148,8 @@ def main():
         thr = jnp.where(isr, (e + 1) << dsafe, 0)
         return thr, um1, isneg, isr, dsafe
 
-    thr, um1, isneg, isr, dsafe = jax.jit(jax.vmap(prep))(comp, nruns)
-    thr = jax.device_put(np.asarray(thr))
+    thr = jax.device_put(np.asarray(
+        jax.jit(jax.vmap(prep))(valsC, posC, nruns)[0]))
 
     def vkchain(thr, nll, nruns):
         return scan_pl._vk_call(TP)(thr, nll, nruns)
@@ -158,10 +157,8 @@ def main():
     t_vk = timeit(jax.jit(jax.vmap(vkchain)), thr, nll, nruns)
     print(f"vkchain     {t_vk:8.2f} ms/chunk", flush=True)
 
-    def pattern(comp, nruns, vkpre):
-        vals = comp[:, 0]
-        pos = comp[:, 1]
-        dmp = comp[:, 2]
+    def pattern(vals, pos, nruns, vkpre):
+        dmp = scan_pl._damp_of_pos(segments, pos)
         idxs = jnp.arange(TP, dtype=jnp.int32)
         act = idxs < nruns
         isneg = act & (dmp < 0)
@@ -188,77 +185,53 @@ def main():
             [jnp.zeros(1, jnp.int32),
              jnp.cumsum(tot_i, dtype=jnp.int32)[:-1]])
         sb = sa + alen + bgap
-        return sa, sb, alo, ahi, alen, blo, bhi, blen, tot_i, isneg, isr
+        return sa, sb, alo, ahi, alen, blo, bhi, blen, isneg, isr
 
-    vkpre = jax.jit(jax.vmap(vkchain))(thr, nll, nruns)
-    vkpre = jax.device_put(np.asarray(vkpre))
-    t_p = timeit(jax.jit(jax.vmap(pattern)), comp, nruns, vkpre)
+    vkpre = jax.device_put(np.asarray(
+        jax.jit(jax.vmap(vkchain))(thr, nll, nruns)))
+    t_p = timeit(jax.jit(jax.vmap(pattern)), valsC, posC, nruns, vkpre)
     print(f"pattern     {t_p:8.2f} ms/chunk", flush=True)
 
-    outs = jax.jit(jax.vmap(pattern))(comp, nruns, vkpre)
-    (sa, sb, alo, ahi, alen, blo, bhi, blen, tot_i, isneg2, isr2) = \
+    outs = jax.jit(jax.vmap(pattern))(valsC, posC, nruns, vkpre)
+    (sa, sb, alo, ahi, alen, blo, bhi, blen, isneg2, isr2) = \
         [jax.device_put(np.asarray(o)) for o in outs]
 
     def emit_l1(nll, sa, sb, alo, ahi, alen, blo, bhi, blen, isneg):
         buf = jnp.zeros(Mw, jnp.int32)
 
         def l1(c, buf):
-            o = c * scan_pl._CLL
-            sl = lambda a: jax.lax.dynamic_slice(a, (o,), (scan_pl._CLL,))
+            o = c * _CLL
+            sl = lambda a: jax.lax.dynamic_slice(a, (o,), (_CLL,))
             live = sl(isneg)
             buf = scan_pl._scatter_part(buf, live, sl(sa), sl(alen),
                                         sl(alo), sl(ahi), Mw)
             return scan_pl._scatter_part(buf, live, sl(sb), sl(blen),
                                          sl(blo), sl(bhi), Mw)
 
-        nl1 = jnp.clip(-(-nll // scan_pl._CLL), 0,
-                       -(-total // scan_pl._CLL))
+        nl1 = jnp.clip(-(-nll // _CLL), 0, -(-total // _CLL))
         return jax.lax.fori_loop(0, nl1, l1, buf)
 
     t_1 = timeit(jax.jit(jax.vmap(emit_l1)), nll, sa, sb, alo, ahi, alen,
                  blo, bhi, blen, isneg2)
     print(f"emitL1      {t_1:8.2f} ms/chunk", flush=True)
 
-    def emit_l2(nruns, sa, alo, ahi, alen, blo, bhi, blen, tot_i, isr,
-                bgap_blen):
+    def emit_l2(nruns, sa, sb, alo, ahi, alen, blo, bhi, blen, isr):
         buf = jnp.zeros(Mw, jnp.int32)
-        merged = isr & (tot_i <= 33)
-        spill = isr & (tot_i > 33)
-        srank = jnp.cumsum(spill, dtype=jnp.int32) - 1
-        spill_rows = jnp.full((scan_pl.SPILL + 1, 8), 0, jnp.int32)
 
-        def l2(c, carry):
-            buf, spill_rows = carry
-            o = c * scan_pl._CHF
-            sl = lambda a: jax.lax.dynamic_slice(a, (o,), (scan_pl._CHF,))
-            mlive = sl(merged)
-            msh = sl(bgap_blen).astype(jnp.uint32)
-            mlo, mhi = scan_pl._shl64_wide(sl(alo), sl(ahi), msh)
-            mlo = mlo | sl(blo)
-            mhi = mhi | sl(bhi)
-            buf = scan_pl._scatter_part(buf, mlive, sl(sa), sl(tot_i),
-                                        mlo, mhi, Mw)
-            srows = jnp.stack(
-                [sl(sa), sl(alen),
-                 sl(alo).astype(jnp.int32), sl(ahi).astype(jnp.int32),
-                 sl(sa), sl(blen),
-                 sl(blo).astype(jnp.int32), sl(bhi).astype(jnp.int32)],
-                axis=1)
-            sidx = jnp.where(sl(spill),
-                             jnp.clip(sl(srank), 0, scan_pl.SPILL),
-                             scan_pl.SPILL)
-            spill_rows = spill_rows.at[sidx].set(srows, mode="drop")
-            return buf, spill_rows
+        def l2(c, buf):
+            o = c * _CHF
+            sl = lambda a: jax.lax.dynamic_slice(a, (o,), (_CHF,))
+            live = sl(isr)
+            buf = scan_pl._scatter_part(buf, live, sl(sa), sl(alen),
+                                        sl(alo), sl(ahi), Mw)
+            return scan_pl._scatter_part(buf, live, sl(sb), sl(blen),
+                                         sl(blo), sl(bhi), Mw, nwords=2)
 
-        nl2 = jnp.clip(-(-nruns // scan_pl._CHF), 0,
-                       -(-total // scan_pl._CHF))
-        buf, spill_rows = jax.lax.fori_loop(0, nl2, l2, (buf, spill_rows))
-        return buf, spill_rows
+        nl2 = jnp.clip(-(-nruns // _CHF), 0, -(-total // _CHF))
+        return jax.lax.fori_loop(0, nl2, l2, buf)
 
-    bgap_blen = (sb - sa - np.asarray(alen)) + np.asarray(blen)
-    bgap_blen = jax.device_put(np.asarray(bgap_blen))
-    t_2 = timeit(jax.jit(jax.vmap(emit_l2)), nruns, sa, alo, ahi, alen,
-                 blo, bhi, blen, tot_i, isr2, bgap_blen)
+    t_2 = timeit(jax.jit(jax.vmap(emit_l2)), nruns, sa, sb, alo, ahi,
+                 alen, blo, bhi, blen, isr2)
     print(f"emitL2      {t_2:8.2f} ms/chunk", flush=True)
 
     blobf = scan_pl.make_scan_blob(segments, cap)

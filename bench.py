@@ -503,6 +503,15 @@ def main():
 
     persist()
 
+    # A tunnel-handshake stall (~10 min observed on the first remote
+    # compile of a process) or a cold compile set can eat the whole
+    # extras budget inside the headline; guarantee the BASELINE-config
+    # extras a 480 s floor without unbounding the total wall clock.
+    global _T0
+    used = time.monotonic() - _T0
+    if used > BUDGET - 480:
+        _T0 = time.monotonic() - (BUDGET - 480)
+
     # ---- extras: priority order, each gated on remaining budget and
     # hard-capped (SIGALRM) so one slow extra cannot erase the record
     only = os.environ.get("DSV2_BENCH_ONLY")

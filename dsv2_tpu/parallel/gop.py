@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core import constants as K
-from ..core import intmath as im
 from ..ops import sbt, hzcc
 
 
@@ -37,43 +36,11 @@ def device_intra_step(cfg_sbt, cfg_hzcc):
     pixels -> (dequantized coefs, scan values)."""
     def step(px, blockdata, q):
         x = px.astype(jnp.int32) - 128
-        coefs = _fwd(x, blockdata, cfg_sbt)
+        coefs = sbt.make_fwd_sbt(cfg_sbt)(x, blockdata)
         deq, v = _quant(coefs, blockdata, q, cfg_hzcc)
-        recon = _inv(deq, blockdata, q, cfg_sbt)
+        recon = sbt.make_inv_sbt(cfg_sbt)(deq, blockdata, q)
         return jnp.clip(recon + 128, 0, 255).astype(jnp.uint8), v
     return step
-
-
-def _fwd(x, blockdata, cfg):
-    for l in range(1, cfg.lvls + 1):
-        kind = sbt._kind(cfg, l)
-        if kind == "haar":
-            sw = im.round_shift(cfg.cw, l - 1)
-            sh = im.round_shift(cfg.ch, l - 1)
-            x = x.at[:sh, :sw].set(
-                sbt._haar_fwd(x[:sh, :sw], sh, sw, sbt._ovf(cfg, l)))
-        else:
-            x = sbt._filter_2d_fwd(x, cfg, l, kind, blockdata)
-    return x
-
-
-def _inv(x, blockdata, q, cfg):
-    for l in range(cfg.lvls, 0, -1):
-        kind = sbt._kind(cfg, l)
-        ovf = sbt._ovf(cfg, l)
-        if kind == "haar":
-            sw = im.round_shift(cfg.cw, l - 1)
-            sh = im.round_shift(cfg.ch, l - 1)
-            if cfg.lossless or (not cfg.is_luma and cfg.isP):
-                out = sbt._haar_inv_simple(x[:sh, :sw], sh, sw, ovf)
-            else:
-                hqp = q // (14 if cfg.isP else (2 if l > 4 else 8)) \
-                    if cfg.is_luma else q // 2
-                out = sbt._haar_inv_filtered(x, sh, sw, ovf, hqp)
-            x = x.at[:sh, :sw].set(out)
-        else:
-            x = sbt._filter_2d_inv(x, cfg, l, kind, blockdata)
-    return x
 
 
 def _quant(coefs, blockdata, q, cfg):

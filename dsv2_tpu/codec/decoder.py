@@ -240,11 +240,13 @@ class Decoder:
                 log.warning("corrupt plane %d (bad EOP)", c)
             vs.append(v)
             lls.append(np.int32(ll))
+        from . import devsteps
+        cvs = devsteps.compact_vs(pcfg, vs, lossless)
         job = dict(fno=fno, has_ref=has_ref, is_ref=is_ref, meta=meta,
                    pcfg=pcfg, blk_w=blk_w, blk_h=blk_h, quant=quant,
                    lossless=lossless, do_filter=do_filter,
                    blockdata=blockdata, bd_grid=bd_grid, mf=mf,
-                   vs=vs, lls=lls, bad_planes=bad_planes)
+                   vs=vs, cvs=cvs, lls=lls, bad_planes=bad_planes)
         return DEC_OK, job, fno
 
     def _execute_job(self, job):
@@ -257,18 +259,19 @@ class Decoder:
         do_filter, bd_grid, mf = job["do_filter"], job["bd_grid"], job["mf"]
         vs, lls, bad_planes = job["vs"], job["lls"], job["bad_planes"]
         blockdata = job["blockdata"]
-        if bad_planes and self.ref_dev is not None:
-            # corrupt stream: drop to the host chain for the rest of the
-            # stream (the recovery paths read reference pixels host-side)
+        if (bad_planes or job["cvs"] is None) and self.ref_dev is not None:
+            # corrupt stream, or HF values outside the compact-transfer
+            # contract: drop to the host chain for the rest of the stream
+            # (the recovery/dense paths read reference pixels host-side)
             self.ref = self._materialize_ref()
             self.ref_dev = None
             self.device_chain = False
         if (self.device_chain and not self._use_arena and not bad_planes
-                and self.ref is None
+                and job["cvs"] is not None and self.ref is None
                 and (not has_ref or self.ref_dev is not None)):
             return self._decode_picture_chain(
                 fno, has_ref, is_ref, pcfg, blk_w, blk_h, quant,
-                lossless, do_filter, bd_grid, mf, vs, lls)
+                lossless, do_filter, bd_grid, mf, job["cvs"], lls)
         out = Frame(meta.subsamp, meta.width, meta.height, border=True)
         if has_ref:
             if self.ref is None:
@@ -437,7 +440,13 @@ class Decoder:
         the fused bodies are the single-frame programs."""
         from . import devsteps
         meta = jobs[0]["meta"]
-        vs = tuple(np.stack([j["vs"][c] for j in jobs]) for c in range(3))
+        if isinstance(jobs[0]["cvs"][0], tuple):
+            vs = tuple((np.stack([j["cvs"][c][0] for j in jobs]),
+                        np.stack([j["cvs"][c][1] for j in jobs]))
+                       for c in range(3))
+        else:   # lossless: compact_vs passes dense vectors through
+            vs = tuple(np.stack([j["cvs"][c] for j in jobs])
+                       for c in range(3))
         bd = np.stack([j["bd_grid"] for j in jobs])
         q = np.asarray([j["quant"] for j in jobs], np.int32)
         lls = np.stack([np.asarray(j["lls"], np.int32) for j in jobs])
@@ -497,7 +506,8 @@ def decode_stream_chunked(stream, chunk=None, decoder=None):
 
     def kind_of(job):
         if not (dec.device_chain and not dec._use_arena
-                and not job["bad_planes"] and dec.ref is None):
+                and not job["bad_planes"] and job["cvs"] is not None
+                and dec.ref is None):
             return None
         if job["has_ref"]:
             # every chunked P must advance the chain (scan carries it);

@@ -383,6 +383,39 @@ def make_p_decode_step_arena(w, h, subsamp, blk_w, blk_h, lossless):
     return jax.jit(step)
 
 
+def compact_vs(pcfg, vs, lossless):
+    """h2d diet for the chain decode: each dense int32 scan vector ships
+    as (LL prefix int32[ll_n], HF tail int8). The tail holds the plane's
+    rice-coded values, |v| <= 127 in every stream the encoders emit
+    (dense8 contract, native/dsv2n.c scan_dense8_*); a legal stream CAN
+    exceed that, so callers fall back to the dense host path when this
+    returns None. Lossless streams keep dense vectors (their HF values
+    are full-range). Cuts the upload ~4x: 617 KB -> ~160 KB per CIF P
+    frame, against a measured ~45 of 50.7 ms/frame of CIF decode being
+    h2d transfer (tools/profile_decode.py)."""
+    if lossless:
+        return tuple(vs)
+    lln = _ll_ns(pcfg)
+    out = []
+    for c in range(3):
+        v = np.asarray(vs[c])
+        n = lln[c]
+        hf = v[n:]
+        if hf.size and (hf.max() > 127 or hf.min() < -127):
+            return None
+        out.append((v[:n].astype(np.int32), hf.astype(np.int8)))
+    return tuple(out)
+
+
+def _expand_vs(vs, lossless):
+    """Device-side inverse of compact_vs (int8 -> int32 sign-extend)."""
+    if lossless:
+        return vs
+    return tuple(jnp.concatenate([llv.astype(jnp.int32),
+                                  hf.astype(jnp.int32)])
+                 for (llv, hf) in vs)
+
+
 @functools.lru_cache(maxsize=None)
 def make_id_chain_step(w, h, subsamp, blk_w, blk_h, lossless):
     """Intra decode + device reference chain: recon -> intra dering
@@ -394,7 +427,7 @@ def make_id_chain_step(w, h, subsamp, blk_w, blk_h, lossless):
     base = make_i_decode_step(w, h, subsamp, blk_w, blk_h, lossless)
 
     def step(vs, bd, q, lls, fq, fthresh, do_filter):
-        pxs = base(vs, bd, q, lls)
+        pxs = base(_expand_vs(vs, lossless), bd, q, lls)
         vis = []
         for c in range(3):
             pw, ph = pcfg.pdims[c]
@@ -426,8 +459,8 @@ def make_pd_chain_step(w, h, subsamp, blk_w, blk_h, lossless,
 
     def step(vs, bd, q, lls, refs, mvx, mvy, flags, submask, dc, tmc,
              fq, fthresh, do_filter):
-        recons = base(vs, bd, q, lls, refs, mvx, mvy, flags, submask,
-                      dc, tmc)
+        recons = base(_expand_vs(vs, lossless), bd, q, lls, refs, mvx,
+                      mvy, flags, submask, dc, tmc)
         vis = []
         for c in range(3):
             pw, ph = pcfg.pdims[c]

@@ -570,12 +570,15 @@ def main():
                                  warm_frames=4, frames_per_stream=32,
                                  pref="/tmp/dsv2_bench_c4.dsv"),
               tpu_only=True)
-    run_extra("decode_fhd", 45, 180, lambda: dict(
-        decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv"),
-        config="decode_fhd_intra_dsv"), tpu_only=True)
     # diagnostics last: BASELINE configs always outrank them for budget
     run_extra("link_MBps", 20, 60, lambda: round(link_mbps(), 1),
               tpu_only=True)
+    # decode_fhd VERY last: an FHD decode chain run once crashed the TPU
+    # worker ("kernel fault"); everything above is already persisted if
+    # that recurs
+    run_extra("decode_fhd", 45, 180, lambda: dict(
+        decode_fps(ref_dir, "/tmp/dsv2_bench_ref.dsv"),
+        config="decode_fhd_intra_dsv"), tpu_only=True)
 
     print(json.dumps(rec))
     print(f"# reference C encoder: {c_fps:.2f} fps (same host, same "

@@ -441,8 +441,8 @@ class Decoder:
         from . import devsteps
         meta = jobs[0]["meta"]
         if isinstance(jobs[0]["cvs"][0], tuple):
-            vs = tuple((np.stack([j["cvs"][c][0] for j in jobs]),
-                        np.stack([j["cvs"][c][1] for j in jobs]))
+            vs = tuple(tuple(np.stack([j["cvs"][c][k] for j in jobs])
+                             for k in range(len(jobs[0]["cvs"][c])))
                        for c in range(3))
         else:   # lossless: compact_vs passes dense vectors through
             vs = tuple(np.stack([j["cvs"][c] for j in jobs])

@@ -383,16 +383,22 @@ def make_p_decode_step_arena(w, h, subsamp, blk_w, blk_h, lossless):
     return jax.jit(step)
 
 
+_NFIX = 64
+
+
 def compact_vs(pcfg, vs, lossless):
     """h2d diet for the chain decode: each dense int32 scan vector ships
-    as (LL prefix int32[ll_n], HF tail int8). The tail holds the plane's
-    rice-coded values, |v| <= 127 in every stream the encoders emit
-    (dense8 contract, native/dsv2n.c scan_dense8_*); a legal stream CAN
-    exceed that, so callers fall back to the dense host path when this
-    returns None. Lossless streams keep dense vectors (their HF values
-    are full-range). Cuts the upload ~4x: 617 KB -> ~160 KB per CIF P
-    frame, against a measured ~45 of 50.7 ms/frame of CIF decode being
-    h2d transfer (tools/profile_decode.py)."""
+    as (LL prefix int32[ll_n], HF tail int8, fixups). HF values are
+    |v| <= 127 in almost every slot (the encoders' dense8 device-blob
+    contract, native/dsv2n.c scan_dense8_*), but legal streams do exceed
+    it occasionally (intra frames at low qp); those slots ship clamped
+    in the int8 tail plus a <=_NFIX-entry (pos, true value) patch list.
+    Returns None — callers fall back to the dense host path — only when
+    a plane needs more than _NFIX patches (pathological streams).
+    Lossless streams keep dense vectors (full-range values). Cuts the
+    upload ~4x: 617 KB -> ~160 KB per CIF P frame, against a measured
+    ~45 of 50.7 ms/frame of CIF decode being h2d transfer
+    (tools/profile_decode.py)."""
     if lossless:
         return tuple(vs)
     lln = _ll_ns(pcfg)
@@ -401,19 +407,27 @@ def compact_vs(pcfg, vs, lossless):
         v = np.asarray(vs[c])
         n = lln[c]
         hf = v[n:]
-        if hf.size and (hf.max() > 127 or hf.min() < -127):
+        over = np.nonzero((hf > 127) | (hf < -127))[0]
+        if over.size > _NFIX:
             return None
-        out.append((v[:n].astype(np.int32), hf.astype(np.int8)))
+        fpos = np.full(_NFIX, hf.size, np.int32)   # OOB -> dropped
+        fval = np.zeros(_NFIX, np.int32)
+        fpos[:over.size] = over
+        fval[:over.size] = hf[over]
+        out.append((v[:n].astype(np.int32),
+                    np.clip(hf, -127, 127).astype(np.int8), fpos, fval))
     return tuple(out)
 
 
 def _expand_vs(vs, lossless):
-    """Device-side inverse of compact_vs (int8 -> int32 sign-extend)."""
+    """Device-side inverse of compact_vs (sign-extend + patch fixups)."""
     if lossless:
         return vs
-    return tuple(jnp.concatenate([llv.astype(jnp.int32),
-                                  hf.astype(jnp.int32)])
-                 for (llv, hf) in vs)
+    out = []
+    for (llv, hf, fpos, fval) in vs:
+        hfi = hf.astype(jnp.int32).at[fpos].set(fval, mode="drop")
+        out.append(jnp.concatenate([llv.astype(jnp.int32), hfi]))
+    return tuple(out)
 
 
 @functools.lru_cache(maxsize=None)

@@ -321,13 +321,51 @@ class LockstepBatcher:
 
 
 def encode_streams_lockstep(stream_frames, enc_factory, width=None,
-                            mesh=None):
+                            mesh=None, groups=1):
     """Encode independent GOP streams concurrently with lockstep device
     batching; returns the per-stream byte chunks in order. Byte-identical
     to encoding each stream sequentially. With a mesh, lanes shard across
-    its "gop" axis devices."""
+    its "gop" axis devices.
+
+    groups > 1 pipelines the device: streams split contiguously into
+    `groups` independent batchers of `width` lanes each. While group A's
+    threads run their host phase (RC, motion entropy, packet assembly)
+    after a flush, group B's flush executes on the device — hiding the
+    per-flush host time that a single full-width batcher serializes
+    behind every dispatch. Same jit cache (keyed on per-group width), so
+    the groups share compiled programs; results are byte-identical
+    because scheduling never affects per-stream math."""
     n = len(stream_frames)
-    width = width or n
+    if groups <= 1:
+        return _encode_group(stream_frames, enc_factory, width or n, mesh)
+    width = width or -(-n // groups)
+    results = [None] * n
+    errors = []
+
+    def run_group(g):
+        lo = g * width
+        sf = stream_frames[lo:lo + width]
+        if not sf:
+            return
+        try:
+            results[lo:lo + len(sf)] = _encode_group(
+                sf, enc_factory, width, mesh)
+        except BaseException as exc:
+            errors.append(exc)
+
+    gthreads = [threading.Thread(target=run_group, args=(g,))
+                for g in range(groups)]
+    for t in gthreads:
+        t.start()
+    for t in gthreads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
+def _encode_group(stream_frames, enc_factory, width, mesh):
+    n = len(stream_frames)
     batcher = LockstepBatcher(width, mesh=mesh)
     results = [None] * n
     errors = []

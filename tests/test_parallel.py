@@ -82,6 +82,12 @@ def test_lockstep_streams_match_sequential(fixtures_dir):
     assert [len(x) for x in lock] == [len(x) for x in seq]
     assert lock == seq
 
+    # pipelined grouping (2 batchers x 2 lanes, device flushes of group A
+    # overlap host phases of group B) is a pure scheduling change — bytes
+    # must be identical to the single-batcher and sequential runs
+    grouped = encode_streams_lockstep(streams, factory, width=2, groups=2)
+    assert grouped == seq
+
 
 def test_parallel_decode_matches_sequential(fixtures_dir):
     """Lockstep GOP-parallel decode == sequential decode, frame for frame."""

@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     gop = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    groups = int(os.environ.get("DSV2_BENCHP_GROUPS", "1"))
     plat = os.environ.get("DSV2_JAX_PLATFORM")
     if plat:
         import jax
@@ -33,7 +34,7 @@ def main():
 
     res = os.environ.get("DSV2_BENCHP_RES", "352x288")
     W, H = (int(v) for v in res.split("x"))
-    n = width * gop
+    n = width * groups * gop
     path = f"/tmp/dsv2_benchp_{W}x{H}_{n}.y4m"
     if not os.path.exists(path):
         mkfixtures.write_y4m(path, W, H, n)
@@ -72,15 +73,18 @@ def main():
 
     # lockstep warmup (compile) then timed; stage stats cover ONLY the
     # timed run (DSV2_TRACE=1)
-    encode_streams_lockstep(streams[:width], factory, width=width)
+    nst = width * groups
+    encode_streams_lockstep(streams[:nst], factory, width=width,
+                            groups=groups)
     from dsv2_tpu.utils import trace
     trace._acc.clear()
     trace._cnt.clear()
     t0 = time.perf_counter()
-    out = encode_streams_lockstep(streams[:width], factory, width=width)
+    out = encode_streams_lockstep(streams[:nst], factory, width=width,
+                                  groups=groups)
     dt = time.perf_counter() - t0
-    total = width * gop
-    print(f"lockstep x{width} ({backend} HME, {W}x{H}): "
+    total = nst * gop
+    print(f"lockstep x{width}g{groups} ({backend} HME, {W}x{H}): "
           f"{total / dt:.2f} fps aggregate "
           f"({total} frames in {dt:.1f}s, {sum(len(o) for o in out)} bytes)")
 

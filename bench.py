@@ -262,13 +262,16 @@ def link_mbps():
 
 def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
                runs=3, c_runs=1, warm_frames=None, frames_per_stream=None,
-               pref="/tmp/dsv2_bench_pref.dsv"):
-    """Lockstep P-frame encode (width streams x frames_per_stream frames,
-    default gop frames each) vs the C encoder on the identical input;
-    EVERY lane is byte-checked against the reference binary encoding the
-    same frame range (-sfr/-nfr chunk semantics, parallel_encode.sh:35-75).
-    Default geometry is BASELINE config 1 (Stefan-class CIF -qp=60
-    -gop=48, README.md:141); configs 3/4 call it with their own shapes.
+               groups=1, pref="/tmp/dsv2_bench_pref.dsv"):
+    """Lockstep P-frame encode (width*groups streams x frames_per_stream
+    frames, default gop frames each) vs the C encoder on the identical
+    input; EVERY lane is byte-checked against the reference binary
+    encoding the same frame range (-sfr/-nfr chunk semantics,
+    parallel_encode.sh:35-75). Default geometry is BASELINE config 1
+    (Stefan-class CIF -qp=60 -gop=48, README.md:141); configs 3/4 call
+    it with their own shapes. groups>1 runs that many width-lane
+    batchers concurrently so device flushes of one group overlap host
+    phases of the others (measured 3.6x aggregate at 8x2 vs 8x1).
     c_runs: timed C-encoder passes (1 keeps the extras inside the bench
     budget; the C side has low run-to-run variance on an idle host)."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
@@ -276,7 +279,8 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
     from dsv2_tpu.utils.packet import encode_eos
 
     fps_n = frames_per_stream or gop
-    n = width * fps_n
+    nlanes = width * groups
+    n = nlanes * fps_n
     src = ensure_inputs(w, h, n)
 
     def cref():
@@ -294,7 +298,7 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
     # disk keyed by the full config (the input fixture is deterministic),
     # so re-running the bench skips ~8 reference encodes per metric.
     wants = []
-    for i in range(width):
+    for i in range(nlanes):
         out_i = (f"/tmp/dsv2_bench_pref_{w}x{h}n{n}g{gop}q{qp}_l{i}.dsv")
         if not os.path.exists(out_i):
             subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
@@ -314,17 +318,18 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
     wstreams = streams if warm_frames is None else \
         [s[:warm_frames] for s in streams]
     with_retry(lambda: encode_streams_lockstep(wstreams, factory,
-                                               width=width))
+                                               width=width, groups=groups))
     exact = [True]
     eos_len = len(encode_eos())
 
     def run():
         t0 = time.perf_counter()
-        out = encode_streams_lockstep(streams, factory, width=width)
+        out = encode_streams_lockstep(streams, factory, width=width,
+                                      groups=groups)
         dt = time.perf_counter() - t0
         # lockstep streams carry no EOS packet (the concatenating caller
         # appends one); each reference chunk ends with one
-        for i in range(width):
+        for i in range(nlanes):
             if (wants[i][:len(out[i])] != out[i]
                     or len(wants[i]) - len(out[i]) != eos_len):
                 exact[0] = False
@@ -333,10 +338,10 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
         return n / dt
 
     fps = statistics.median([with_retry(run) for _ in range(runs)])
-    return {"config": name or f"cif_qp{qp}_gop{gop}_x{width}",
+    return {"config": name or f"cif_qp{qp}_gop{gop}_x{width}g{groups}",
             "fps": round(fps, 3), "c_fps": round(c_fps, 3),
             "vs_baseline": round(fps / c_fps, 4), "exact": exact[0],
-            "exact_lanes": width, "runs": runs}
+            "exact_lanes": nlanes, "runs": runs}
 
 
 def lossless444_batch(ref_bin, nframes=8, chunk=4):
@@ -543,8 +548,12 @@ def main():
               lambda: round(device_ms_per_frame(src, chunk), 3))
     # BASELINE config 1 (warm_frames=2 compiles the I + P step shapes
     # without paying a full extra 384-frame pass before the timed runs)
+    # groups=2 pipelines two 8-lane batchers (device flush of one group
+    # overlaps host phase of the other): measured 29.5 vs 8.1 fps in the
+    # same tunnel regime. groups>2 saturates the 1-core host.
     run_extra("p_lockstep", 120, 360,
-              lambda: p_lockstep(ref_bin, p_gop, p_width, warm_frames=2))
+              lambda: p_lockstep(ref_bin, p_gop, p_width, warm_frames=2,
+                                 groups=2 if on_tpu else 1))
     # BASELINE config 2 (generates its own input; independent of whether
     # p_lockstep ran)
     run_extra("decode", 60, 180,
@@ -553,23 +562,25 @@ def main():
     # default effort IS 10 on both encoders; README.md:181,:208)
     run_extra("mobile_cif", 90, 300,
               lambda: p_lockstep(ref_bin, 60, p_width,
-                                 name="cif_gop60_effort10_x8", runs=1,
-                                 warm_frames=2,
+                                 name="cif_gop60_effort10_x8g2", runs=1,
+                                 warm_frames=2, groups=2,
                                  pref="/tmp/dsv2_bench_c3.dsv"),
+              tpu_only=True)
+    # BASELINE config 4: Parkrun-class 1280x720 GOP=250 (qpel + EPRM
+    # motion stress; README.md:229). 32 frames x8 streams = 256 frames
+    # per side (a full 1000-frame GOP does not fit the bench budget;
+    # gop=250 semantics are identical for the frames encoded). Runs
+    # before lossless444: it is the config with the thinnest record.
+    run_extra("parkrun_720p", 120, 420,
+              lambda: p_lockstep(ref_bin, 250, 4, w=1280, h=720,
+                                 name="720p_gop250_x4g2_32f", runs=1,
+                                 warm_frames=4, frames_per_stream=32,
+                                 groups=2,
+                                 pref="/tmp/dsv2_bench_c4.dsv"),
               tpu_only=True)
     # BASELINE config 5
     run_extra("lossless444", 90, 300,
               lambda: lossless444_batch(ref_bin), tpu_only=True)
-    # BASELINE config 4: Parkrun-class 1280x720 GOP=250 (qpel + EPRM
-    # motion stress; README.md:229). 32 frames x4 streams = 128 frames
-    # per side (a full 1000-frame GOP does not fit the bench budget;
-    # gop=250 semantics are identical for the frames encoded).
-    run_extra("parkrun_720p", 120, 420,
-              lambda: p_lockstep(ref_bin, 250, 4, w=1280, h=720,
-                                 name="720p_gop250_x4_32f", runs=1,
-                                 warm_frames=4, frames_per_stream=32,
-                                 pref="/tmp/dsv2_bench_c4.dsv"),
-              tpu_only=True)
     # diagnostics last: BASELINE configs always outrank them for budget
     run_extra("link_MBps", 20, 60, lambda: round(link_mbps(), 1),
               tpu_only=True)

@@ -73,6 +73,13 @@ def remaining():
     return BUDGET - (time.monotonic() - _T0)
 
 
+def mark(label):
+    """Coarse stage timer on stderr: shows where the headline wall went
+    (driver logs keep it; skipped-extra postmortems need it)."""
+    print(f"# t+{time.monotonic() - _T0:6.1f}s {label}", file=sys.stderr,
+          flush=True)
+
+
 class MetricTimeout(Exception):
     pass
 
@@ -160,7 +167,21 @@ def read_frames(src):
     return frames, meta
 
 
-def our_intra_fps(src, want, nframes, chunk, qp=60):
+def intra_warm(src, chunk, qp=60):
+    """Trace+compile the batched intra pipeline for this shape (the same
+    programs our_intra_fps times). Runs in a thread overlapped with the
+    C-side reference encodes: tracing releases the GIL during remote
+    compiles and the C encoder is a subprocess."""
+    from dsv2_tpu.cli import make_encoder, default_enc_opts
+    from dsv2_tpu.parallel.batch import encode_intra_batch
+    frames, meta = read_frames(src)
+    mark("intra warm start")
+    enc = make_encoder(meta, default_enc_opts(qp=qp, gop=0))
+    encode_intra_batch(enc, frames, chunk=chunk)
+    mark("intra warm done")
+
+
+def our_intra_fps(src, want, nframes, chunk, qp=60, warm=True):
     """Returns (fps, exact)."""
     from dsv2_tpu.cli import make_encoder, default_enc_opts
     from dsv2_tpu.parallel.batch import encode_intra_batch
@@ -171,8 +192,9 @@ def our_intra_fps(src, want, nframes, chunk, qp=60):
         return make_encoder(meta, default_enc_opts(qp=qp, gop=0))
 
     # warmup (jit compile of the batched device pipeline, same batch shape)
-    enc = mk()
-    encode_intra_batch(enc, frames, chunk=chunk)
+    if warm:
+        enc = mk()
+        encode_intra_batch(enc, frames, chunk=chunk)
 
     exact = [True]
 
@@ -379,11 +401,12 @@ def p_chunk_input(ref_bin, gop=P_GOP, w=352, h=288, qp=60):
     return out
 
 
-def decode_fps(ref_build, dsv_path, runs=3):
+def decode_fps(ref_build, dsv_path, runs=2):
     """BASELINE config 2: decode dsv_path to frames, wall-clock vs the
     single-header d28dec reference decoder binary on the same file;
     our y4m output byte-checked against d28dec's."""
     import io
+    import numpy as np
     from dsv2_tpu.codec import decoder as D
     from dsv2_tpu.utils import packet, y4m
 
@@ -430,10 +453,48 @@ def decode_fps(ref_build, dsv_path, runs=3):
     if not exact:
         print("# WARNING: decode output does not byte-match d28dec",
               file=sys.stderr)
+
+    # device-resident throughput: pixels never leave the chip, one digest
+    # scalar does. The tunnel's d2h floor alone (152 KB/frame at ~36 MB/s
+    # ≈ 4 ms) exceeds d28dec's CIF wall clock, so this is the honest
+    # measure of DECODE speed as opposed to link speed; exactness comes
+    # from the full-fetch passes above, the digest cross-checks that the
+    # resident pass decoded the same pixels as d28dec's output.
+    want_digest = 0
+    wf = io.BytesIO(want)
+    wrdr = y4m.Y4MReader(wf)
+    while True:
+        ps = wrdr.read_frame()
+        if ps is None:
+            break
+        for p in ps:
+            want_digest += int(np.asarray(p).astype(np.int64).sum())
+    want_digest &= 0xFFFFFFFF
+
+    def res_run():
+        rs = D.ResidentSum()
+        t0 = time.perf_counter()
+        k = 0
+        for _fno, _meta, _fr in D.decode_stream_chunked(
+                io.BytesIO(data), resident=rs):
+            k += 1
+        tot = rs.total()   # the one d2h sync
+        return time.perf_counter() - t0, k, tot
+    res_dts = []
+    digest_ok = True
+    for _ in range(runs):
+        dt, k, tot = with_retry(res_run)
+        res_dts.append(dt)
+        digest_ok = digest_ok and (k == n) and (tot == want_digest)
+    res_dt = statistics.median(res_dts)
+
     return {"config": "decode_dsv_to_y4m", "frames": n,
             "fps": round(n / our_dt, 3),
             "d28dec_fps": round(n / ref_dt, 3),
-            "vs_baseline": round(ref_dt / our_dt, 4), "exact": exact}
+            "vs_baseline": round(ref_dt / our_dt, 4), "exact": exact,
+            "device_fps": round(n / res_dt, 3),
+            "device_vs_d28dec": round(ref_dt / res_dt, 4),
+            "resident_digest_ok": digest_ok}
 
 
 def _pick_platform():
@@ -474,14 +535,34 @@ def main():
             "cif_intra_encode_fps_cpu"
         p_gop, p_width = P_GOP_CPU, P_WIDTH_CPU
         extra = {"tpu_tunnel_down": True}
+    mark("start")
+    src = ensure_inputs(w, h, nframes)
+    mark("inputs ready")
+    # overlap our jit warm (tracing + remote compiles, GIL released on
+    # RPC waits) with the reference build + timed C encodes (subprocesses)
+    import threading
+    warm_err = []
+
+    def _warm():
+        try:
+            intra_warm(src, chunk)
+        except BaseException as e:
+            warm_err.append(e)
+    wt = threading.Thread(target=_warm)
+    wt.start()
     ref_dir = subprocess.run([os.path.join(REPO, "tools", "build_ref.sh")],
                              capture_output=True, text=True,
                              check=True).stdout.strip()
     ref_bin = os.path.join(ref_dir, "dsv2")
-    src = ensure_inputs(w, h, nframes)
+    mark("ref built")
     c_fps = ref_fps(ref_bin, src, nframes, ARGS)
+    mark("C headline timed")
+    wt.join()
+    if warm_err:
+        raise warm_err[0]
     want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
-    fps, exact = our_intra_fps(src, want, nframes, chunk)
+    fps, exact = our_intra_fps(src, want, nframes, chunk, warm=False)
+    mark("our headline timed")
     rec = {
         "metric": metric,
         "value": round(fps, 3),
@@ -534,6 +615,7 @@ def main():
                   "needed", file=sys.stderr)
             persist()
             return
+        mark(f"extra {key} start")
         try:
             with metric_cap(min(cap, remaining() - 20)):
                 extra[key] = fn()

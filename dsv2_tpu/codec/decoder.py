@@ -484,7 +484,36 @@ def _auto_chunk(pcfg):
     return max(2, min(32, (24 << 20) // max(npix, 1)))
 
 
-def decode_stream_chunked(stream, chunk=None, decoder=None):
+class ResidentSum:
+    """Digest accumulator for device-resident decode: the decoded pixel
+    payloads never leave the device; a running int32-wraparound pixel sum
+    does instead (ONE scalar d2h at the end via .total()). The full-fetch
+    pass establishes byte-exactness; this cross-checks that the resident
+    pass decoded the same pixels while measuring decode throughput with
+    the link out of the loop (the tunnel's d2h floor alone exceeds the C
+    conformance decoder's wall clock on CIF — see bench_artifacts)."""
+
+    def __init__(self):
+        self._dev = None   # device scalar chain (no host sync until total)
+        self._host = 0
+
+    def add_dev(self, packed):
+        import jax.numpy as jnp
+        s = jnp.sum(packed.astype(jnp.int32))
+        self._dev = s if self._dev is None else self._dev + s
+
+    def add_host(self, frame, pcfg):
+        for c in range(3):
+            self._host += int(frame.view(c).astype(np.int64).sum())
+
+    def total(self):
+        t = self._host
+        if self._dev is not None:
+            t += int(np.asarray(self._dev))
+        return t & 0xFFFFFFFF
+
+
+def decode_stream_chunked(stream, chunk=None, decoder=None, resident=None):
     """Decode a .dsv stream with multi-frame fused dispatches: runs of
     consecutive ref P pictures (same geometry) become ONE lax.scan
     dispatch + ONE [K, npix] pixel fetch, and runs of non-ref intra
@@ -494,7 +523,12 @@ def decode_stream_chunked(stream, chunk=None, decoder=None):
     decode of the next chunk with device compute + fetch of the previous
     one. Anything irregular — metadata changes, corrupt planes, non-ref
     P, arena geometry, host-chain fallback — flushes the run and takes
-    the single-frame path."""
+    the single-frame path.
+
+    resident: a ResidentSum — decoded pixels stay on the device; fused
+    chunks update the digest on device and the yielded Frame is None
+    (single-frame fallbacks still realize on host and fold into the
+    digest)."""
     dec = decoder or Decoder()
     pend = []   # chain-eligible jobs, all sharing pend[0]["key"]
     outq = []   # dispatched, unrealized: (tag, payload, jobs)
@@ -533,7 +567,16 @@ def decode_stream_chunked(stream, chunk=None, decoder=None):
         tag, payload, jobs = entry
         if tag == "one":
             j = jobs[0]
-            yield j["fno"], j["meta"], payload()
+            frame = payload()
+            if resident is not None:
+                resident.add_host(frame, j["pcfg"])
+                frame = None
+            yield j["fno"], j["meta"], frame
+            return
+        if resident is not None:
+            resident.add_dev(payload)
+            for j in jobs:
+                yield j["fno"], j["meta"], None
             return
         flat = payload if isinstance(payload, np.ndarray) \
             else np.asarray(payload)

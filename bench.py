@@ -282,9 +282,24 @@ def link_mbps():
     return statistics.median([run(i) for i in range(3)])
 
 
+def _ref_lane_caches(ref_bin, src, w, h, n, gop, qp, fps_n, nlanes):
+    wants = []
+    for i in range(nlanes):
+        out_i = (f"/tmp/dsv2_bench_pref_{w}x{h}n{n}g{gop}q{qp}_l{i}.dsv")
+        if not os.path.exists(out_i):
+            subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
+                            "-out=" + out_i, "-y4m=1",
+                            f"-gop={gop}", f"-qp={qp}",
+                            f"-sfr={i * fps_n}", f"-nfr={fps_n}"],
+                           capture_output=True)
+        wants.append(open(out_i, "rb").read())
+    return wants
+
+
 def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
                runs=3, c_runs=1, warm_frames=None, frames_per_stream=None,
-               groups=1, pref="/tmp/dsv2_bench_pref.dsv"):
+               groups=1, prefetch=False,
+               pref="/tmp/dsv2_bench_pref.dsv"):
     """Lockstep P-frame encode (width*groups streams x frames_per_stream
     frames, default gop frames each) vs the C encoder on the identical
     input; EVERY lane is byte-checked against the reference binary
@@ -304,6 +319,12 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
     nlanes = width * groups
     n = nlanes * fps_n
     src = ensure_inputs(w, h, n)
+    if prefetch:
+        # prep-only mode (runs in the headline warm window): generate the
+        # input fixture and the per-lane reference chunk caches so the
+        # timed metric later pays neither
+        _ref_lane_caches(ref_bin, src, w, h, n, gop, qp, fps_n, nlanes)
+        return None
 
     def cref():
         t0 = time.perf_counter()
@@ -319,16 +340,7 @@ def p_lockstep(ref_bin, gop, width, w=352, h=288, qp=60, name=None,
     # all-lane exactness, so check all lanes. Lane outputs are cached on
     # disk keyed by the full config (the input fixture is deterministic),
     # so re-running the bench skips ~8 reference encodes per metric.
-    wants = []
-    for i in range(nlanes):
-        out_i = (f"/tmp/dsv2_bench_pref_{w}x{h}n{n}g{gop}q{qp}_l{i}.dsv")
-        if not os.path.exists(out_i):
-            subprocess.run([ref_bin, "e", "-y", "-inp=" + src,
-                            "-out=" + out_i, "-y4m=1",
-                            f"-gop={gop}", f"-qp={qp}",
-                            f"-sfr={i * fps_n}", f"-nfr={fps_n}"],
-                           capture_output=True)
-        wants.append(open(out_i, "rb").read())
+    wants = _ref_lane_caches(ref_bin, src, w, h, n, gop, qp, fps_n, nlanes)
     frames, meta = read_frames(src)
     streams = [frames[i:i + fps_n] for i in range(0, n, fps_n)]
 
@@ -480,6 +492,7 @@ def decode_fps(ref_build, dsv_path, runs=2):
             k += 1
         tot = rs.total()   # the one d2h sync
         return time.perf_counter() - t0, k, tot
+    with_retry(res_run)   # warm: the per-chunk digest-sum programs
     res_dts = []
     digest_ok = True
     for _ in range(runs):
@@ -555,11 +568,25 @@ def main():
                              check=True).stdout.strip()
     ref_bin = os.path.join(ref_dir, "dsv2")
     mark("ref built")
-    c_fps = ref_fps(ref_bin, src, nframes, ARGS)
-    mark("C headline timed")
+    # prep for the extras (fixture gen + per-lane reference chunk caches —
+    # untimed subprocess/IO work) fills the warm window; every TIMED
+    # section below runs with the box otherwise idle
+    try:
+        p_lockstep(ref_bin, p_gop, p_width, warm_frames=2,
+                   groups=2 if on_tpu else 1, prefetch=True)
+        if on_tpu:
+            p_lockstep(ref_bin, 60, p_width, groups=2, prefetch=True)
+            p_lockstep(ref_bin, 250, 4, w=1280, h=720,
+                       frames_per_stream=32, groups=2, prefetch=True)
+    except Exception as e:
+        print(f"# prefetch failed (non-fatal): {e!r}", file=sys.stderr)
+    mark("extras prefetched")
     wt.join()
     if warm_err:
         raise warm_err[0]
+    mark("warm joined")
+    c_fps = ref_fps(ref_bin, src, nframes, ARGS)
+    mark("C headline timed")
     want = open("/tmp/dsv2_bench_ref.dsv", "rb").read()
     fps, exact = our_intra_fps(src, want, nframes, chunk, warm=False)
     mark("our headline timed")
